@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated Parquet fixtures (FIXTURES.md §B).
+  *
+  * Parquet is self-describing, so no schema is supplied at read time;
+  * Catalyst prunes columns and pushes predicates into the scan. At 100 TB
+  * these same loaders work unchanged on a partitioned directory tree —
+  * partition pruning comes free from the path-based reader.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/
+    * Bench/test sessions). Normalize back to a microsecond timestamp —
+    * the same ns→us truncation DuckDB applies.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The reference's central grouping key is an integer `era` time bucket
+    * (utils.py:18, metrics.py:5). On the fixtures the analogue is a
+    * month bucket derived from a date column (FIXTURES.md §B mapping).
+    * Long-typed so Spark output matches DuckDB's BIGINT `year()*12+month()`.
+    */
+  def eraOfDate(c: Column): Column = (year(c) * 12 + month(c)).cast("long")
+
+  /** Day-granularity era for the `events` table (30 distinct days). */
+  def eraOfTs(c: Column): Column = dayofmonth(c).cast("long")
+}

@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.EraRank
+
+/** Core relational battery (SURVEY §2.2-§2.7) on the TPC-H-ish star
+  * schema. Each query exercises one or more inventory rows; Scaladoc
+  * cites the reference op it re-expresses.
+  *
+  * Scale notes: joins against `nation`/`region`/fold tables are
+  * broadcast (they are tiny at any SF); the big fact scans rely on
+  * Catalyst parquet pushdown (filters + column pruning), and
+  * aggregations use partial+final hash agg — the Spark twin of the
+  * reference's split-then-mean two-phase pattern (`tuners.py:88-94`).
+  */
+object CorePack extends QueryPack {
+
+  /** S1/A3/F5 — TPC-H Q1-shaped pricing summary (partial+final agg). */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 0).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("sum_disc"),
+        round(avg(col("l_quantity")), 5).as("avg_qty"),
+        round(avg(col("l_discount")), 5).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** P1/P2/P7 — projection + conjunctive filter, pushed to parquet. */
+  def qFilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_extendedprice") > 50000)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** J1/S4 — 5-table star join, small dims broadcast (the Spark twin of
+    * `scatter(broadcast=True)` at `tuners.py:56-60`). */
+  def qJoinStar(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** P3 — semi-join (fold-membership row filter, `utils.py:34`). */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val hot = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+    Tables.customer(s, d)
+      .join(hot, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** U3 — anti-join (drop-list removal, `tuners.py:239-247`). */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** T2 — distributed top-k (TakeOrderedAndProject, not a full sort;
+    * `feature_selection_numerai.py:197` sort+head). */
+  def qTopkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** W1 — per-era pct-rank with method="first" ties (`metrics.py:19`). */
+  def qWindowRankEra(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), Tables.eraOfTs(col("ts")).as("era"), col("value"))
+    EraRank.withPctRankFirst(ev, "r", col("era"), col("value"), col("event_id"))
+      .select(col("event_id"), col("era"), round(col("r"), 6).as("r"))
+      .orderBy(col("event_id"))
+  }
+
+  /** M2 — the flagship `spearman_rank` pipeline (`metrics.py:5-22`):
+    * scan → per-era rank → global rank-vs-truth correlation. */
+  def qSpearmanByEra(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
+        col("l_extendedprice").as("pred"), col("l_quantity").as("y"),
+        col("l_orderkey"), col("l_linenumber"))
+    EraRank.spearmanByEra(li, col("era"), col("pred"), col("y"),
+      col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** A5 — quartic mean error against per-era rank (`metrics.py:25-33`). */
+  def qQuarticError(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
+        col("l_extendedprice").as("pred"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = EraRank.withPctRankFirst(li, "r", col("era"), col("pred"),
+      col("l_orderkey"), col("l_linenumber"))
+    ranked.agg(round(avg(pow(col("l_quantity") / 50.0 - col("r"), 4)), 6).as("qme"))
+  }
+
+  /** A4 — exact quantiles per group (`tuners.py:144-145`). */
+  def qQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A7 — distinct values (`utils.py:23`). */
+  def qDistinctFlags(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** U1 — union + dedup of two selections (`utils.py:38-46`). */
+  def qUnionFilters(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val autos = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val rich  = c.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    autos.union(rich).distinct().orderBy(col("c_custkey"))
+  }
+
+  /** A13 — grouped collect-to-list (`feature_clustering.py:74-81`),
+    * emitted as a deterministic comma-joined string. */
+  def qGroupedCollect(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val n   = Tables.nation(s, d)
+    sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        array_join(transform(sort_array(collect_list(col("s_suppkey"))),
+          x => x.cast("string")), ",").as("suppliers"),
+        count(lit(1)).as("n_sup"))
+      .orderBy(col("n_name"))
+  }
+
+  /** J3 — theta (inequality) self-join: supplier pairs per nation
+    * (`feature_clustering.py:26-33` upper-triangle pair generation). */
+  def qThetaPairs(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.supplier(s, d).select(col("s_suppkey").as("ka"), col("s_nationkey").as("na"))
+    val b = Tables.supplier(s, d).select(col("s_suppkey").as("kb"), col("s_nationkey").as("nb"))
+    a.join(b, col("na") === col("nb") && col("ka") < col("kb"))
+      .groupBy(col("na").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Outer join + null semantics (P5/P6): orders with no heavy line. */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val heavy = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey")).distinct()
+    Tables.orders(s, d)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_without_heavy"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A1 — correlation / moments battery (`metrics.py:21`). */
+  def qCorrStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+      round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+      round(avg(col("l_extendedprice")), 4).as("avg_price"),
+      count(lit(1)).as("n"))
+
+  /** P4 — deterministic head sample (fit-on-prefix, `utils.py:151`). */
+  def qSampleHead(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_orderkey")).limit(500)
+      .agg(round(sum(col("o_totalprice")), 0).as("sum_price"), count(lit(1)).as("n"))
+
+  /** F5/P8 — scalar math battery + payout clip (`utils.py:55`). */
+  def qMathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      round(sum(sqrt(col("l_quantity"))), 4).as("sum_sqrt_qty"),
+      round(sum(log(col("l_extendedprice"))), 4).as("sum_log_price"),
+      round(sum(abs(col("l_quantity") - 25.0)), 1).as("sum_abs_dev"),
+      round(sum(pow(col("l_discount"), 2)), 6).as("sum_disc_sq"),
+      sum(floor(col("l_quantity") / 7)).cast("long").as("sum_floor"),
+      sum(ceil(col("l_quantity") / 7)).cast("long").as("sum_ceil"),
+      round(avg(EraRank.payoutClip((col("l_quantity") - 25.0) / 100.0)), 6).as("avg_payout"))
+
+  /** Grouping-sets coverage: ROLLUP over region/nation (SURVEY §2.4). */
+  def qRollup(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val n   = Tables.nation(s, d)
+    val r   = Tables.region(s, d)
+    sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_sup"), round(sum(col("s_acctbal")), 0).as("bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q_filter_project"   -> qFilterProject,
+    "q_join_star"        -> qJoinStar,
+    "q_semi_join"        -> qSemiJoin,
+    "q_anti_join"        -> qAntiJoin,
+    "q_topk_orders"      -> qTopkOrders,
+    "q_window_rank_era"  -> qWindowRankEra,
+    "q_spearman_by_era"  -> qSpearmanByEra,
+    "q_quartic_error"    -> qQuarticError,
+    "q_quantiles"        -> qQuantiles,
+    "q_distinct_flags"   -> qDistinctFlags,
+    "q_union_filters"    -> qUnionFilters,
+    "q_grouped_collect"  -> qGroupedCollect,
+    "q_theta_pairs"      -> qThetaPairs,
+    "q_outer_join"       -> qOuterJoin,
+    "q_corr_stats"       -> qCorrStats,
+    "q_sample_head"      -> qSampleHead,
+    "q_math_funcs"       -> qMathFuncs,
+    "q_rollup"           -> qRollup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 0) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc,
+        | round(avg(l_quantity), 5) AS avg_qty, round(avg(l_discount), 5) AS avg_disc,
+        | count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_extendedprice > 50000
+        |ORDER BY 1, 2""".stripMargin,
+    "q_join_star" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+    "q_window_rank_era" ->
+      """SELECT event_id, CAST(date_part('day', ts) AS BIGINT) AS era,
+        | round(CAST(row_number() OVER (PARTITION BY date_part('day', ts) ORDER BY value, event_id) AS DOUBLE)
+        |   / count(*) OVER (PARTITION BY date_part('day', ts)), 6) AS r
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_spearman_by_era" ->
+      """WITH t AS (
+        |  SELECT l_quantity AS y,
+        |    CAST(row_number() OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)) AS r
+        |  FROM lineitem)
+        |SELECT round(corr(y, r), 6) AS spearman FROM t""".stripMargin,
+    "q_quartic_error" ->
+      """WITH t AS (
+        |  SELECT l_quantity,
+        |    CAST(row_number() OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)) AS r
+        |  FROM lineitem)
+        |SELECT round(avg(pow(l_quantity / 50.0 - r, 4)), 6) AS qme FROM t""".stripMargin,
+    "q_quantiles" ->
+      """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 4) AS p75, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "q_union_filters" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY 1""".stripMargin,
+    "q_grouped_collect" ->
+      """SELECT n_name, string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey) AS suppliers,
+        | count(*) AS n_sup
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_theta_pairs" ->
+      """SELECT CAST(a.s_nationkey AS BIGINT) AS nationkey, count(*) AS n_pairs
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_outer_join" ->
+      """WITH heavy AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_heavy
+        |FROM orders LEFT JOIN heavy ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price, count(*) AS n
+        |FROM lineitem""".stripMargin,
+    "q_sample_head" ->
+      """SELECT round(sum(o_totalprice), 0) AS sum_price, count(*) AS n
+        |FROM (SELECT o_totalprice FROM orders ORDER BY o_orderkey LIMIT 500)""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT round(sum(sqrt(l_quantity)), 4) AS sum_sqrt_qty,
+        | round(sum(ln(l_extendedprice)), 4) AS sum_log_price,
+        | round(sum(abs(l_quantity - 25.0)), 1) AS sum_abs_dev,
+        | round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq,
+        | CAST(sum(floor(l_quantity / 7)) AS BIGINT) AS sum_floor,
+        | CAST(sum(ceil(l_quantity / 7)) AS BIGINT) AS sum_ceil,
+        | round(avg(least(1.0, greatest(-1.0, ((l_quantity - 25.0) / 100.0) / 0.2))), 6) AS avg_payout
+        |FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_sup, round(sum(s_acctbal), 0) AS bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+  )
+}

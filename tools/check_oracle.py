@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Loads each <name>/ parquet result written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB (tables registered
+as views over the same parquet), and compares: schema (column names),
+row count, and a hash over rows sorted by all columns.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes a bit
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    names = sorted([os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "*"))
+                    if os.path.isdir(p)])
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        got = pd.read_parquet(os.path.join(out_dir, name))
+        if name not in oracle:
+            status = "NO-ORACLE rows=%d" % len(got)
+            n_noracle += 1
+            print(f"{name:28s} {status}")
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"{name:28s} ORACLE-SQL-ERROR: {str(e)[:160]}")
+            n_fail += 1
+            continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"{name:28s} SCHEMA-MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"{name:28s} ROWS-MISMATCH spark={len(g)} duck={len(e)}")
+            n_fail += 1
+            continue
+        eq = True
+        for c in g.columns:
+            a, b = g[c].values, e[c].values
+            if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
+                ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
+            else:
+                ok = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
+            if not ok:
+                bad = None
+                try:
+                    m = ~np.isclose(a.astype(float), b.astype(float), equal_nan=True)
+                    i = int(np.argmax(m))
+                    bad = f"col={c} row={i} spark={a[i]!r} duck={b[i]!r}"
+                except Exception:
+                    m = pd.Series(a).astype(str) != pd.Series(b).astype(str)
+                    i = int(np.argmax(m.values))
+                    bad = f"col={c} row={i} spark={a[i]!r} duck={b[i]!r}"
+                print(f"{name:28s} VALUE-MISMATCH {bad}")
+                eq = False
+                break
+        if eq:
+            print(f"{name:28s} PASS rows={len(g)}")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noracle} no-oracle ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
