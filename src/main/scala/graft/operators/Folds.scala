@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Era-grouped fold machinery (`utils.py:11-48` `kfold_era`) and the
+  * column-permutation primitive behind MDA (`feature_selection_numerai
+  * .py:127-129`).
+  *
+  * The reference shuffles the distinct eras on the driver and splits
+  * them into k blocks; rows follow their era. Spark form: a tiny
+  * fold-assignment relation (one row per era) broadcast-joined back to
+  * the fact — the join IS the `era.isin(fold_eras)` semi-join
+  * (`utils.py:34`). At 100 TB the fact side never moves: the fold
+  * table is a broadcast, so fold selection is a map-side filter.
+  */
+object Folds {
+
+  /** M1 deterministic variant: fold = (rank of era) mod k. Stable across
+    * engines, so oracle-checkable; use for reproducible CV splits. */
+  def foldAssignment(distinctEras: DataFrame, eraCol: String, k: Int): DataFrame =
+    distinctEras
+      .withColumn("fold",
+        ((row_number().over(Window.orderBy(col(eraCol))) - 1) % k).cast("long"))
+
+  /** M1 seeded-random variant (`utils.py:26-29`: np.random.shuffle of
+    * unique eras + array_split). Distinct eras are few by construction
+    * (they are time buckets), so the shuffle runs driver-side on the
+    * collected era list — same as the reference — and returns a small
+    * assignment relation to broadcast.
+    */
+  def eraKFoldRandom(distinctEras: DataFrame, eraCol: String, k: Int,
+                     seed: Long): DataFrame = {
+    val spark = distinctEras.sparkSession
+    import spark.implicits._
+    val eras = distinctEras.select(col(eraCol).cast("long")).as[Long].collect().sorted
+    val rnd = new scala.util.Random(seed)
+    val shuffled = rnd.shuffle(eras.toVector)
+    // np.array_split semantics: first (n % k) folds get one extra era.
+    val n = shuffled.size
+    val base = n / k; val extra = n % k
+    val assigned = Iterator.unfold((0, 0)) { case (f, off) =>
+      if (f >= k) None
+      else {
+        val sz = base + (if (f < extra) 1 else 0)
+        Some((shuffled.slice(off, off + sz).map(e => (e, f.toLong)), (f + 1, off + sz)))
+      }
+    }.flatten.toSeq
+    assigned.toDF(eraCol, "fold")
+  }
+
+  /** T5: permute `valueCol` within each era by re-ordering on `orderKey`
+    * — the "two independent orderings joined on row position" form.
+    * Deterministic given a deterministic `orderKey` (pass an arithmetic
+    * hash of the row id for oracle-checkable runs, or
+    * `xxhash64(id, lit(seed))` for production).
+    *
+    * Scale: both windows partition by era, so ranking is per-era local;
+    * the positional join shuffles on (era, rn) — no global ordering
+    * bottleneck. This mirrors destroying one feature's signal while
+    * keeping its marginal distribution per fold (MDA's core trick).
+    */
+  def permuteWithinEra(df: DataFrame, valueCol: String, eraCol: String,
+                       idCols: Seq[String], orderKey: Column): DataFrame = {
+    val ids = idCols.map(col)
+    val wId = Window.partitionBy(col(eraCol)).orderBy(ids.map(_.asc): _*)
+    val wKey = Window.partitionBy(col(eraCol))
+      .orderBy((orderKey +: ids).map(_.asc): _*)
+    val keep = df.columns.filterNot(_ == valueCol).map(col)
+    val a = df.withColumn("graft_rn", row_number().over(wId))
+      .select((keep :+ col("graft_rn")): _*)
+    val b = df.withColumn("graft_rn", row_number().over(wKey))
+      .select(col(eraCol).as("graft_era_b"), col("graft_rn").as("graft_rn_b"),
+        col(valueCol))
+    a.join(b, a(eraCol) === col("graft_era_b") &&
+        col("graft_rn") === col("graft_rn_b"))
+      .drop("graft_rn", "graft_rn_b", "graft_era_b")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Information-theoretic feature-distance aggregates
+  * (`distance_func.py:9-22` variation of information via 2-D
+  * histograms). Composed entirely from relational builtins — the 5x5
+  * contingency table is a groupBy().count() and the entropies are
+  * sum(-p*ln p) over it — so Catalyst gets full partial/final agg and
+  * whole-stage codegen; no UDAF needed (SURVEY §4).
+  */
+object InfoTheory {
+
+  /** A9: fixed-bound equi-width bucket id in [0, bins-1]
+    * (`np.histogram`-style, right-closed top bin). */
+  def bucket(x: Column, lo: Double, hi: Double, bins: Int): Column =
+    least(lit(bins - 1), floor((x - lo) / (hi - lo) * bins)).cast("long")
+
+  /** A9: 2-D histogram (`np.histogram2d(x, y, 5)` at
+    * `distance_func.py:14`) as a (bx, by, n) relation. */
+  def histogram2d(df: DataFrame, x: Column, y: Column,
+                  xLo: Double, xHi: Double, yLo: Double, yHi: Double,
+                  bins: Int): DataFrame =
+    df.select(bucket(x, xLo, xHi, bins).as("bi"), bucket(y, yLo, yHi, bins).as("bj"))
+      .groupBy(col("bi"), col("bj")).agg(count(lit(1)).as("n"))
+
+  /** A10: variation of information VI = 2*H(X,Y) - H(X) - H(Y)
+    * (`distance_func.py:9-22`), computed from a joint-count relation
+    * (the output of [[histogram2d]]). One row out.
+    */
+  def variationOfInformation(joint: DataFrame): DataFrame = {
+    val total = joint.agg(sum(col("n")).cast("double").as("tot"))
+    def entropy(counts: DataFrame, out: String): DataFrame =
+      counts.crossJoin(total)
+        .agg(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))) as out)
+    val hxy = entropy(joint, "hxy")
+    val hx = entropy(joint.groupBy(col("bi")).agg(sum(col("n")).as("n")), "hx")
+    val hy = entropy(joint.groupBy(col("bj")).agg(sum(col("n")).as("n")), "hy")
+    hxy.crossJoin(hx).crossJoin(hy)
+      .select(round(lit(2) * col("hxy") - col("hx") - col("hy"), 6).as("vi"))
+  }
+}

@@ -101,9 +101,9 @@ object CorePack extends QueryPack {
     val li = Tables.lineitem(s, d)
       .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
         col("l_extendedprice").as("pred"), col("l_quantity").as("y"),
-        col("l_orderkey"), col("l_linenumber"))
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     EraRank.spearmanByEra(li, col("era"), col("pred"), col("y"),
-      col("l_orderkey"), col("l_linenumber"))
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
   /** A5 — quartic mean error against per-era rank (`metrics.py:25-33`). */
@@ -111,9 +111,9 @@ object CorePack extends QueryPack {
     val li = Tables.lineitem(s, d)
       .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
         col("l_extendedprice").as("pred"), col("l_quantity"),
-        col("l_orderkey"), col("l_linenumber"))
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     val ranked = EraRank.withPctRankFirst(li, "r", col("era"), col("pred"),
-      col("l_orderkey"), col("l_linenumber"))
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     ranked.agg(round(avg(pow(col("l_quantity") / 50.0 - col("r"), 4)), 6).as("qme"))
   }
 
@@ -281,7 +281,7 @@ object CorePack extends QueryPack {
       """WITH t AS (
         |  SELECT l_quantity AS y,
         |    CAST(row_number() OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)
-        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS DOUBLE)
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS DOUBLE)
         |    / count(*) OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)) AS r
         |  FROM lineitem)
         |SELECT round(corr(y, r), 6) AS spearman FROM t""".stripMargin,
@@ -289,7 +289,7 @@ object CorePack extends QueryPack {
       """WITH t AS (
         |  SELECT l_quantity,
         |    CAST(row_number() OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)
-        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS DOUBLE)
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS DOUBLE)
         |    / count(*) OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)) AS r
         |  FROM lineitem)
         |SELECT round(avg(pow(l_quantity / 50.0 - r, 4)), 6) AS qme FROM t""".stripMargin,

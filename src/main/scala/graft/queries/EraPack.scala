@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Folds
+
+/** Era/fold machinery (SURVEY §2 M1/T3/T5): fold assignment as a tiny
+  * broadcastable relation, fold-complement row selection, and the
+  * deterministic column-permutation primitive behind MDA.
+  */
+object EraPack extends QueryPack {
+
+  private def orderEras(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(Tables.eraOfDate(col("o_orderdate")).as("era")).distinct()
+
+  /** M1 — fold assignment over distinct eras (`utils.py:11-48`),
+    * deterministic rank-mod-k variant. */
+  def qFoldAssign(s: SparkSession, d: String): DataFrame =
+    Folds.foldAssignment(orderEras(s, d), "era", 3).orderBy(col("era"))
+
+  /** M1/P3 — rows-per-fold via broadcast join back to the fact table
+    * (the `era.isin(fold_eras)` semi-join at `utils.py:34`). */
+  def qFoldCounts(s: SparkSession, d: String): DataFrame = {
+    val folds = Folds.foldAssignment(orderEras(s, d), "era", 3)
+    Tables.orders(s, d)
+      .withColumn("era", Tables.eraOfDate(col("o_orderdate")))
+      .join(broadcast(folds), "era")
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 0).as("sum_price"))
+      .orderBy(col("fold"))
+  }
+
+  /** T5 — era-local deterministic column permutation
+    * (`feature_selection_numerai.py:127-129`): l_quantity re-dealt
+    * within each shipdate-month era by a multiplicative-hash ordering.
+    */
+  def qPermuteEra(s: SparkSession, d: String): DataFrame = {
+    // (l_orderkey, l_linenumber) alone is NOT unique in the fixture;
+    // (l_orderkey, l_linenumber, l_partkey, l_suppkey) is — the full
+    // key is required for a deterministic, oracle-stable permutation.
+    val base = Tables.lineitem(s, d)
+      .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val hashKey =
+      (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)
+        + col("l_partkey") * lit(7919L) + col("l_suppkey") * lit(104729L)) % lit(999999937L)
+    Folds.permuteWithinEra(base, "l_quantity", "era",
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), hashKey)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").as("q_perm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_fold_assign" -> qFoldAssign,
+    "q_fold_counts" -> qFoldCounts,
+    "q_permute_era" -> qPermuteEra,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_fold_assign" ->
+      """SELECT era, CAST((row_number() OVER (ORDER BY era) - 1) % 3 AS BIGINT) AS fold
+        |FROM (SELECT DISTINCT year(o_orderdate)*12 + month(o_orderdate) AS era FROM orders)
+        |ORDER BY era""".stripMargin,
+    "q_fold_counts" ->
+      """WITH folds AS (
+        |  SELECT era, CAST((row_number() OVER (ORDER BY era) - 1) % 3 AS BIGINT) AS fold
+        |  FROM (SELECT DISTINCT year(o_orderdate)*12 + month(o_orderdate) AS era FROM orders))
+        |SELECT fold, count(*) AS n_orders, round(sum(o_totalprice), 0) AS sum_price
+        |FROM orders JOIN folds ON year(o_orderdate)*12 + month(o_orderdate) = folds.era
+        |GROUP BY fold ORDER BY fold""".stripMargin,
+    "q_permute_era" ->
+      """WITH base AS (
+        |  SELECT year(l_shipdate)*12 + month(l_shipdate) AS era,
+        |    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem),
+        |a AS (SELECT era, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    row_number() OVER (PARTITION BY era
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+        |  FROM base),
+        |b AS (SELECT era, l_quantity,
+        |    row_number() OVER (PARTITION BY era ORDER BY
+        |      (l_orderkey * 2654435761 + l_linenumber * 40503
+        |       + l_partkey * 7919 + l_suppkey * 104729) % 999999937,
+        |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+        |  FROM base)
+        |SELECT a.l_orderkey, a.l_linenumber, a.l_partkey, a.l_suppkey,
+        |  b.l_quantity AS q_perm
+        |FROM a JOIN b ON a.era = b.era AND a.rn = b.rn
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+  )
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-table coverage: JSON props (F-json), date bucketing (the era
+  * generalization, SURVEY §1.1), tumbling windows (§2.10 batch form),
+  * one-hot pivots (F6), and a fully relational era-fold CV round (M4:
+  * per-fold group-mean model → held-out scoring).
+  */
+object EventsPack extends QueryPack {
+
+  /** F-json/F2 — JSON field extraction + grouped integer sum. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** F-date — per-day rollup (date_trunc + DATE output for oracle
+    * parity; raw timestamps are never emitted). */
+  def qDateAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("d"))
+
+  /** §2.10 — 6-hour tumbling window aggregation (batch twin of the
+    * Structured Streaming query in graft.streaming; epoch-aligned, so
+    * the window start is floor(epoch/21600)*21600). */
+  def qTumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(col("w.start").cast("long").as("wstart"), col("n"),
+        col("sum_value"), col("avg_value"))
+      .orderBy(col("wstart"))
+
+  /** F6 — one-hot / pivot: per-user event-type counts as columns. */
+  def qOnehotCounts(s: SparkSession, d: String): DataFrame = {
+    def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+      .orderBy(col("user_id"))
+  }
+
+  /** M4 — a fully relational era-fold CV round (`tuners.py:100-146`):
+    * fold = day mod 3; model = per-event_type mean of `value` fit on
+    * the other two folds; score each held-out fold. The params x folds
+    * grid of the reference becomes a 3-row broadcast joined against the
+    * fact — at scale the fact is scanned once, never collected.
+    */
+  def qCvGroupMean(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select((Tables.eraOfTs(col("ts")) % 3).as("fold"),
+        col("event_type"), col("value"))
+    val folds = s.range(0, 3).select(col("id").as("f"))
+    val model = ev.join(broadcast(folds), col("fold") =!= col("f"))
+      .groupBy(col("f"), col("event_type").as("et"))
+      .agg(avg(col("value")).as("pred"))
+    ev.join(broadcast(model),
+        col("fold") === col("f") && col("event_type") === col("et"))
+      .groupBy(col("fold"))
+      .agg(round(corr(col("value"), col("pred")), 6).as("score"),
+        round(sqrt(avg(pow(col("value") - col("pred"), 2))), 4).as("rmse"))
+      .orderBy(col("fold"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_json_extract"   -> qJsonExtract,
+    "q_date_agg"       -> qDateAgg,
+    "q_tumbling_window" -> qTumblingWindow,
+    "q_onehot_counts"  -> qOnehotCounts,
+    "q_cv_group_mean"  -> qCvGroupMean,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_date_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
+        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_onehot_counts" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cv_group_mean" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_part('day', ts) AS BIGINT) % 3 AS fold, event_type, value
+        |  FROM events),
+        |folds AS (SELECT unnest(generate_series(0, 2)) AS f),
+        |model AS (
+        |  SELECT f, event_type, avg(value) AS pred
+        |  FROM ev, folds WHERE fold != f GROUP BY 1, 2)
+        |SELECT fold, round(corr(value, pred), 6) AS score,
+        | round(sqrt(avg(pow(value - pred, 2))), 4) AS rmse
+        |FROM ev JOIN model ON ev.fold = model.f AND ev.event_type = model.event_type
+        |GROUP BY fold ORDER BY fold""".stripMargin,
+  )
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.InfoTheory
+
+/** Info-theoretic aggregates (SURVEY §2 A9-A11/M14) and the
+  * embedding-matrix aggregates (A2/A6) over the `embeddings` fixture —
+  * the feature-matrix analogue of the reference's 310-column numpy
+  * array (FIXTURES.md §B).
+  */
+object InfoPack extends QueryPack {
+
+  /** A9 — 5x5 contingency table (`distance_func.py:14`). */
+  def qHist2d(s: SparkSession, d: String): DataFrame =
+    InfoTheory.histogram2d(Tables.lineitem(s, d),
+        col("l_quantity"), col("l_discount"), 1, 50, 0, 0.1, 5)
+      .orderBy(col("bi"), col("bj"))
+
+  /** A10 — variation of information between bucketed quantity and
+    * discount (`distance_func.py:9-22`). */
+  def qVi(s: SparkSession, d: String): DataFrame =
+    InfoTheory.variationOfInformation(
+      InfoTheory.histogram2d(Tables.lineitem(s, d),
+        col("l_quantity"), col("l_discount"), 1, 50, 0, 0.1, 5))
+
+  private def components(s: SparkSession, d: String, nPos: Int): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .filter(col("p") < nPos)
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+
+  /** A2/M14/J3 — pairwise correlation matrix over the first 8 embedding
+    * components (`#cell-13` feature-correlation EDA; the pair join is
+    * the upper-triangle theta join of `feature_clustering.py:26-33`).
+    * Scale path for all-pairs over wide matrices: pivot to columns +
+    * `RowMatrix.computeCovariance` — the explode/join form shown here
+    * is the honest relational shape for a bounded pair set. */
+  def qPairwiseCorr(s: SparkSession, d: String): DataFrame = {
+    val e = components(s, d, 8)
+    val a = e.select(col("vec_id"), col("pos").as("pa"), col("x").as("xa"))
+    val b = e.select(col("vec_id").as("vb"), col("pos").as("pb"), col("x").as("xb"))
+    a.join(b, col("vec_id") === col("vb") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(round(corr(col("xa"), col("xb")), 5).as("c"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
+  /** A6-adjacent — L2 norm per embedding vector via a codegen'd array
+    * fold (no shuffle at all: scan → project). */
+  def qEmbedNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 5).as("norm"))
+      .orderBy(col("vec_id"))
+
+  /** A6 — per-component mean |x| (`feature_selection_numerai.py:286`
+    * mean-|SHAP| per feature), explode + groupBy(pos) form. */
+  def qEmbedMeanAbs(s: SparkSession, d: String): DataFrame =
+    components(s, d, 64)
+      .groupBy(col("pos"))
+      .agg(round(avg(abs(col("x"))), 6).as("mean_abs"))
+      .orderBy(col("pos"))
+
+  val queries: Map[String, Q] = Map(
+    "q_hist2d"        -> qHist2d,
+    "q_vi"            -> qVi,
+    "q_pairwise_corr" -> qPairwiseCorr,
+    "q_embed_norm"    -> qEmbedNorm,
+    "q_embed_meanabs" -> qEmbedMeanAbs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_hist2d" ->
+      """SELECT CAST(least(4, floor((l_quantity - 1) / 49.0 * 5)) AS BIGINT) AS bi,
+        | CAST(least(4, floor((l_discount - 0) / 0.1 * 5)) AS BIGINT) AS bj,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vi" ->
+      """WITH b AS (
+        |  SELECT CAST(least(4, floor((l_quantity - 1) / 49.0 * 5)) AS BIGINT) AS bi,
+        |    CAST(least(4, floor((l_discount - 0) / 0.1 * 5)) AS BIGINT) AS bj
+        |  FROM lineitem),
+        |joint AS (SELECT bi, bj, count(*) AS c FROM b GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM joint),
+        |hxy AS (SELECT -sum((c / n) * ln(c / n)) AS h FROM joint, tot),
+        |mx AS (SELECT bi, sum(c) AS c FROM joint GROUP BY 1),
+        |hx AS (SELECT -sum((c / n) * ln(c / n)) AS h FROM mx, tot),
+        |my AS (SELECT bj, sum(c) AS c FROM joint GROUP BY 1),
+        |hy AS (SELECT -sum((c / n) * ln(c / n)) AS h FROM my, tot)
+        |SELECT round(2 * hxy.h - hx.h - hy.h, 6) AS vi FROM hxy, hx, hy""".stripMargin,
+    "q_pairwise_corr" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |f AS (SELECT vec_id, pos, x FROM e WHERE pos <= 8)
+        |SELECT a.pos AS pa, b.pos AS pb, round(corr(a.x, b.x), 5) AS c
+        |FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos < b.pos
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id, round(sqrt(sum(x * x)), 5) AS norm
+        |FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_embed_meanabs" ->
+      """SELECT pos, round(avg(abs(x)), 6) AS mean_abs
+        |FROM (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x
+        |      FROM embeddings)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
