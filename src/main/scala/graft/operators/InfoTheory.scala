@@ -29,16 +29,18 @@ object InfoTheory {
   /** A10: variation of information VI = 2*H(X,Y) - H(X) - H(Y)
     * (`distance_func.py:9-22`), computed from a joint-count relation
     * (the output of [[histogram2d]]). One row out.
+    *
+    * Single-pass form: VI = Σ_xy p_xy·(ln p_x + ln p_y − 2·ln p_xy),
+    * with the margins as window sums over the (tiny) joint relation —
+    * the base table is scanned exactly once, vs. four scans for the
+    * naive three-entropy composition.
     */
-  def variationOfInformation(joint: DataFrame): DataFrame = {
-    val total = joint.agg(sum(col("n")).cast("double").as("tot"))
-    def entropy(counts: DataFrame, out: String): DataFrame =
-      counts.crossJoin(total)
-        .agg(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))) as out)
-    val hxy = entropy(joint, "hxy")
-    val hx = entropy(joint.groupBy(col("bi")).agg(sum(col("n")).as("n")), "hx")
-    val hy = entropy(joint.groupBy(col("bj")).agg(sum(col("n")).as("n")), "hy")
-    hxy.crossJoin(hx).crossJoin(hy)
-      .select(round(lit(2) * col("hxy") - col("hx") - col("hy"), 6).as("vi"))
-  }
+  def variationOfInformation(joint: DataFrame): DataFrame =
+    joint
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .withColumn("mx", sum(col("n")).over(Window.partitionBy(col("bi"))).cast("double"))
+      .withColumn("my", sum(col("n")).over(Window.partitionBy(col("bj"))).cast("double"))
+      .agg(round(sum((col("n") / col("tot")) *
+        (log(col("mx") / col("tot")) + log(col("my") / col("tot"))
+          - lit(2) * log(col("n") / col("tot")))), 6).as("vi"))
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (north-star ANN
+  * surface): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane (sign-LSH) bucketing as the scale path.
+  *
+  * Scale design: brute-force broadcasts the (small) query set against
+  * the corpus scan — one pass, no shuffle on the corpus, ranking via
+  * per-query top-k windows. The LSH variant reduces candidate sets to
+  * same-bucket vectors: at 100 TB the corpus is bucketed once
+  * (write-time partitioning by bucket id) and queries probe buckets.
+  */
+object SimilarityPack extends QueryPack {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. Ranking
+    * happens on the ROUNDED cosine with a vec_id tie-break so the
+    * selection is engine-stable. */
+  def qAnnCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Sign-LSH bucketing: 8 deterministic integer pseudo-hyperplanes
+    * w(j,pos) = ((pos*31 + j*17) mod 7) - 3; bucket = sign-bit vector.
+    * Emits bucket occupancy (the partition histogram a planner would
+    * use to size probes). */
+  def qAnnLshBuckets(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+    val js = s.range(0, 8).select(col("id").as("j"))
+    val dots = e.crossJoin(broadcast(js))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("x") * (((col("pos") * 31 + col("j") * 17) % 7) - 3)).as("dj"))
+    val buckets = dots.groupBy(col("vec_id"))
+      .agg(sum(when(col("dj") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("bucket"))
+    buckets.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ann_cosine"      -> qAnnCosine,
+    "q_ann_lsh_buckets" -> qAnnLshBuckets,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+        |  FROM e, q WHERE e.vec_id != q.q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "q_ann_lsh_buckets" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dots AS (SELECT vec_id, j, sum(x * (((pos*31 + j*17) % 7) - 3)) AS dj
+        |         FROM e, js GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        |    FROM dots GROUP BY 1)
+        |SELECT bucket, count(*) AS n FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

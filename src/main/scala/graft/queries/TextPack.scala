@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextOps
+
+/** Deduplication + text analysis over `documents` — the
+  * training-data-pipeline operators the north star adds beyond the
+  * reference surface: exact dedup, n-gram Jaccard near-dup,
+  * MinHash-LSH candidate generation, SimHash near-dup, quality
+  * scoring, fingerprinting.
+  *
+  * Scale design: every pipeline is hash/shuffle-parallel — shingle
+  * explode → hash → groupBy(shingle|band|bit) — and candidate
+  * verification only touches pairs that share a bucket, never the
+  * all-pairs cross product (except the SimHash demo pair scan, whose
+  * scale path is banding on signature prefixes, noted below).
+  */
+object TextPack extends QueryPack {
+
+  /** Exact dedup by content hash: representative id + duplicate count
+    * per distinct text (`dropDuplicates` with provenance). */
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("doc_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_id"))
+
+  /** Per-document quality metrics: token counts, type-token ratio,
+    * stopword ratio, mean word length. */
+  def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_distinct"),
+      round(size(array_distinct(w)).cast("double") / size(w), 6).as("ttr"),
+      round(size(filter(w, x => x === "the" || x === "a")).cast("double") / size(w), 6)
+        .as("stop_ratio"),
+      round(aggregate(transform(w, x => length(x).cast("long")), lit(0L),
+        (acc, x) => acc + x).cast("double") / size(w), 4).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** n-gram Jaccard near-dup: distinct 3-word shingles per doc, pairs
+    * via shingle-equality join (only docs sharing a shingle are ever
+    * compared), Jaccard = |∩| / (|A|+|B|-|∩|). */
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val dsh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+      .persist() // reused by both join sides and the size table
+    val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val x = dsh.select(col("doc_id").as("a"), col("sh"))
+    val y = dsh.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    val common = x.join(y, col("sh") === col("sh_b") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.toDF("a", "na"), "a").join(sizes.toDF("b", "nb"), "b")
+      .withColumn("jacv", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jacv") >= 0.05)
+      .select(col("a"), col("b"), round(col("jacv"), 6).as("jac"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** MinHash + LSH banding: 16 min-hashes over shingle hashes
+    * (permutation family h_j(x) = (x * (2j+1)) mod p on 31-bit
+    * residues), 8 bands x 2 rows; candidates = pairs sharing any band
+    * signature. Candidate generation is a band-signature groupBy join —
+    * at 100 TB the only shuffle keys are (band, signature), never doc
+    * pairs. */
+  def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val p = 2147483647L
+    val dsh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), (TextOps.hash60(col("sh")) % p).as("h"))
+    // 16 min-hash columns in ONE partial+final agg (no row explosion:
+    // the hash-family index is pivoted into columns, not rows).
+    val minCols = (0 until 16).map(j =>
+      min((col("h") * (2 * j + 1)) % p).as(s"mh_$j"))
+    val bandCols = (0 until 8).map(b =>
+      concat_ws(",", col(s"mh_${2 * b}").cast("string"),
+        col(s"mh_${2 * b + 1}").cast("string")).as(s"sg_$b"))
+    // Unpivot the 8 band signatures to (doc_id, band, sg) rows and find
+    // candidates with ONE equi-join on (band, sg) — the shuffle keys
+    // are bucket ids, never doc pairs (the 100 TB-safe shape).
+    val stackExpr = "stack(8, " +
+      (0 until 8).map(b => s"$b, sg_$b").mkString(", ") + ") AS (band, sg)"
+    val stacked = dsh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select((col("doc_id") +: bandCols): _*)
+      .selectExpr("doc_id", stackExpr)
+      .persist() // reused by both self-join sides
+    val left = stacked.select(col("doc_id").as("a"), col("band"), col("sg"))
+    val right = stacked.select(col("doc_id").as("b"), col("band").as("band_r"),
+      col("sg").as("sg_r"))
+    left.join(right, col("band") === col("band_r") && col("sg") === col("sg_r")
+        && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** SimHash near-dup: 48-bit signature from word-hash bit votes,
+    * pairs with Hamming distance <= 3. The pair scan here is the
+    * all-pairs form (fine at fixture scale); the 100 TB path blocks on
+    * signature bytes (split the 48 bits into 4 bands of 12 — any pair
+    * within distance 3 shares at least one exact band). */
+  def qSimhashDedup(s: SparkSession, d: String): DataFrame = {
+    val wdf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .select(col("doc_id"), TextOps.hash60(col("w")).as("hv"))
+    // 48 bit-vote sums pivoted into columns: one partial+final agg over
+    // the word stream instead of a 48x row explosion.
+    val voteCols = (0 until 48).map(j =>
+      sum(when(expr(s"shiftright(hv, $j) & 1") === 1, 1).otherwise(-1)).as(s"s_$j"))
+    val simhash = (0 until 48).map(j =>
+      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    // 4 blocking bands of 12 bits: any pair at Hamming distance <= 3
+    // differs in at most 3 bands, so it matches on at least one —
+    // banding is EXACT here, and replaces the all-pairs scan with 4
+    // equi-joins on band values (the 100 TB-safe shape).
+    val bandCols = (0 until 4).map { b =>
+      (0 until 12).map(k =>
+        when(col(s"s_${12 * b + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band_$b")
+    }
+    val stackExpr = "stack(4, " +
+      (0 until 4).map(b => s"$b, band_$b").mkString(", ") + ") AS (band, bv)"
+    val stacked = wdf.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select((col("doc_id") +: simhash.as("simhash") +: bandCols): _*)
+      .selectExpr("doc_id", "simhash", stackExpr)
+      .persist() // reused by both self-join sides
+    val left = stacked.select(col("doc_id").as("a"), col("simhash").as("sa"),
+      col("band"), col("bv"))
+    val right = stacked.select(col("doc_id").as("b"), col("simhash").as("sb"),
+      col("band").as("band_r"), col("bv").as("bv_r"))
+    val cands = left.join(right, col("band") === col("band_r")
+        && col("bv") === col("bv_r") && col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb"))
+    cands.distinct()
+      .withColumn("hd", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hd") <= 3)
+      .select(col("a"), col("b"), col("hd"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Canonical-form document fingerprint (rolling-hash-style id). */
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic (rows-only check: marker-word scoring is
+    * engine-internal, not ANSI-SQL-portable). Scores each doc against
+    * tiny per-language stopword profiles; reports confusion counts
+    * against the labeled `lang` column. */
+  def qLangid(s: SparkSession, d: String): DataFrame = {
+    val w = col("graft_w")
+    def score(markers: Seq[String]) =
+      size(filter(w, x => x.isInCollection(markers)))
+    val scored = Tables.documents(s, d)
+      .withColumn("graft_w", TextOps.words(lower(col("text"))))
+      .select(
+      col("doc_id"), col("lang"),
+      score(Seq("the", "a", "of", "and", "is")).as("s_en"),
+      score(Seq("el", "la", "de", "y", "es")).as("s_es"),
+      score(Seq("der", "die", "und", "das", "ist")).as("s_de"),
+      score(Seq("le", "la", "et", "les", "est")).as("s_fr"),
+      score(Seq("的", "是", "了", "在", "和")).as("s_zh"))
+    val best = scored.withColumn("lang_pred",
+      when(col("s_es") > col("s_en"), lit("es"))
+        .when(col("s_de") > col("s_en"), lit("de"))
+        .when(col("s_fr") > col("s_en"), lit("fr"))
+        .when(col("s_zh") > col("s_en"), lit("zh"))
+        .otherwise(lit("en")))
+    best.groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact"   -> qDedupExact,
+    "q_text_quality"  -> qTextQuality,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_minhash_lsh"   -> qMinhashLsh,
+    "q_simhash_dedup" -> qSimhashDedup,
+    "q_fingerprint"   -> qFingerprint,
+    "q_langid"        -> qLangid,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS doc_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        | round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr,
+        | round(CAST(len(list_filter(w, x -> x IN ('the','a'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
+        | round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 4) AS avg_word_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id, sh FROM tri),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2)
+        |SELECT a, b, round(c*1.0/(sa.n+sb.n-c), 6) AS jac
+        |FROM common JOIN sizes sa ON a=sa.doc_id JOIN sizes sb ON b=sb.doc_id
+        |WHERE c*1.0/(sa.n+sb.n-c) >= 0.05 ORDER BY 1, 2""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT % 2147483647 AS h FROM tri),
+        |js AS (SELECT unnest(generate_series(0,15)) AS j),
+        |minh AS (SELECT doc_id, j, j // 2 AS band,
+        |    min((h * (2*j+1)) % 2147483647) AS mh FROM dsh, js GROUP BY 1,2,3),
+        |sig AS (SELECT doc_id, band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sg FROM minh GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM sig x JOIN sig y ON x.band=y.band AND x.sg=y.sg AND x.doc_id<y.doc_id)
+        |SELECT a, b FROM cand ORDER BY 1, 2""".stripMargin,
+    "q_simhash_dedup" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS hv FROM w),
+        |js AS (SELECT unnest(generate_series(0,47)) AS j),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s FROM h, js GROUP BY 1,2),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        |    FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hd
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY 1, 2""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))),1,15))::BIGINT AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
