@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(CorePack, EraPack, InfoPack, EventsPack, TextPack, SimilarityPack, MultimodalPack)
+    Seq(CorePack, EraPack, InfoPack, EventsPack, TextPack, SimilarityPack,
+      MultimodalPack, MlPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The `spearman_rank` pipeline (`metrics.py:5-22`) — scan → per-era

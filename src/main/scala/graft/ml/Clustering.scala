@@ -1,0 +1,71 @@
+package graft.ml
+
+/** M15 `get_optimal_clusters` (`feature_clustering.py:39-132`): cluster
+  * features from a pairwise distance matrix, choosing the cluster
+  * count by silhouette scan.
+  *
+  * The distributed part is producing the (i, j, dist) edge list (a
+  * groupBy-aggregate query — see InfoPack's pairwise queries); the
+  * matrix is over FEATURES (310x310 in the reference), so clustering
+  * itself is driver-side — same division of labor as the reference
+  * (SURVEY §3.3). Average-linkage agglomerative clustering stands in
+  * for sklearn's AgglomerativeClustering; deterministic with
+  * index-based tie-breaks.
+  */
+object Clustering {
+
+  /** Average-linkage agglomerative clustering of an n x n distance
+    * matrix down to k clusters. Returns cluster label per index
+    * (labels are the smallest member index, then densely re-numbered
+    * in index order for determinism).
+    */
+  def agglomerate(dist: Array[Array[Double]], k: Int): Array[Int] = {
+    val n = dist.length
+    var clusters = (0 until n).map(i => Vector(i)).toBuffer
+    while (clusters.size > k) {
+      var best = (0, 1)
+      var bestD = Double.MaxValue
+      for (a <- clusters.indices; b <- (a + 1) until clusters.size) {
+        var s = 0.0
+        for (i <- clusters(a); j <- clusters(b)) s += dist(i)(j)
+        val d = s / (clusters(a).size * clusters(b).size)
+        if (d < bestD - 1e-12) { bestD = d; best = (a, b) }
+      }
+      val (a, b) = best
+      val merged = clusters(a) ++ clusters(b)
+      clusters.remove(b); clusters.remove(a)
+      clusters.append(merged.sorted)
+    }
+    val labelOf = new Array[Int](n)
+    clusters.toSeq.sortBy(_.min).zipWithIndex.foreach {
+      case (members, lbl) => members.foreach(i => labelOf(i) = lbl)
+    }
+    labelOf
+  }
+
+  /** Mean silhouette coefficient of a labeling over a distance matrix
+    * (`feature_clustering.py`'s selection criterion). */
+  def silhouette(dist: Array[Array[Double]], labels: Array[Int]): Double = {
+    val n = dist.length
+    val byLabel = labels.indices.groupBy(labels(_))
+    if (byLabel.size < 2) return -1.0
+    val scores = (0 until n).map { i =>
+      val own = byLabel(labels(i)).filterNot(_ == i)
+      val a = if (own.isEmpty) 0.0 else own.map(dist(i)).sum / own.size
+      val b = byLabel.collect {
+        case (l, members) if l != labels(i) =>
+          members.map(dist(i)).sum / members.size
+      }.min
+      if (own.isEmpty) 0.0 else (b - a) / math.max(a, b)
+    }
+    scores.sum / n
+  }
+
+  /** W2 argmax scan over candidate cluster counts: fit each k, keep the
+    * best silhouette (`feature_clustering.py:53-131`). */
+  def optimalClusters(dist: Array[Array[Double]], ks: Seq[Int]): (Int, Array[Int], Double) =
+    ks.map { k =>
+      val labels = agglomerate(dist, k)
+      (k, labels, silhouette(dist, labels))
+    }.maxBy(_._3)
+}

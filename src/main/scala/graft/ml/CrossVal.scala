@@ -1,0 +1,54 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Folds
+
+/** M4 `kfold_dask` (`tuners.py:100-146`): era-grouped k-fold
+  * cross-validation of an arbitrary fit/predict pair.
+  *
+  * The reference scatters fold blocks to pinned workers and gathers
+  * scores; here each fold's train/test split is a broadcast-join
+  * filter against the fold-assignment relation (the fact table is
+  * scanned, never collected), the model fit is whatever Spark jobs the
+  * caller's `fit` launches (MLlib estimators distribute themselves),
+  * and per-fold scores are unioned into one small result relation.
+  *
+  * `fit`: train-DataFrame => (test-DataFrame => DataFrame with a
+  * `pred` column). Mirrors the reference's "any sklearn estimator"
+  * contract (`tuners.py:14`) with MLlib models as the JVM twins.
+  */
+object CrossVal {
+
+  def kfoldScores(df: DataFrame, eraCol: String, k: Int,
+                  fit: DataFrame => (DataFrame => DataFrame),
+                  score: DataFrame => DataFrame,
+                  seed: Option[Long] = None): DataFrame = {
+    val folds = seed match {
+      case Some(sd) => Folds.eraKFoldRandom(
+        df.select(col(eraCol)).distinct(), eraCol, k, sd)
+      case None => Folds.foldAssignment(
+        df.select(col(eraCol)).distinct(), eraCol, k)
+    }
+    // persisted: every fold branch re-reads the same fact+fold join
+    val withFold = df.join(broadcast(folds), eraCol).persist()
+    val perFold = (0 until k).map { f =>
+      val train = withFold.filter(col("fold") =!= f).drop("fold")
+      val test = withFold.filter(col("fold") === f).drop("fold")
+      val predict = fit(train)
+      score(predict(test)).withColumn("fold", lit(f.toLong))
+    }
+    val all = perFold.reduce(_ unionByName _)
+    val metrics = all.columns.filterNot(_ == "fold")
+    all.select((col("fold") +: metrics.map(col)): _*).orderBy(col("fold"))
+  }
+
+  /** A3/A4 summary over per-fold scores (`tuners.py:144-145`): mean and
+    * exact quartiles of a metric column. */
+  def summarize(perFold: DataFrame, metric: String): DataFrame =
+    perFold.agg(
+      round(avg(col(metric)), 6).as(s"mean_$metric"),
+      round(expr(s"percentile($metric, 0.25)"), 6).as(s"q25_$metric"),
+      round(expr(s"percentile($metric, 0.75)"), 6).as(s"q75_$metric"))
+}

@@ -1,0 +1,84 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Folds
+
+/** M7 `mean_decrease_accuracy` (`feature_selection_numerai.py:13-154`):
+  * permutation feature importance under era-grouped CV.
+  *
+  * Reference shape: fit per fold → baseline score → per feature,
+  * shuffle that column (driver-side numpy, re-scattered) → re-score →
+  * normalized drop. Spark shape: the model is fit once per fold
+  * (MLlib distributes the fit), the permutation is the era-local
+  * two-ordering join ([[Folds.permuteWithinEra]]) executed on the
+  * executors, and every re-score is one lazy plan — the driver never
+  * touches row data (SURVEY §3.1).
+  */
+object FeatureSelection {
+
+  /** MLlib RandomForest fitter (the sklearn-RF twin, SURVEY §2.11).
+    * Returns a closure usable as [[CrossVal.kfoldScores]]'s `fit`. */
+  def rfFitter(featCols: Seq[String], targetCol: String, numTrees: Int,
+               maxDepth: Int, seed: Long): DataFrame => (DataFrame => DataFrame) = {
+    train => {
+      val va = new VectorAssembler()
+        .setInputCols(featCols.toArray).setOutputCol("graft_fv")
+      val rf = new RandomForestRegressor()
+        .setFeaturesCol("graft_fv").setLabelCol(targetCol)
+        .setPredictionCol("pred").setNumTrees(numTrees)
+        .setMaxDepth(maxDepth).setSeed(seed)
+      val model = rf.fit(va.transform(train))
+      test => model.transform(va.transform(test)).drop("graft_fv")
+    }
+  }
+
+  /** Spearman of `pred` vs target on a scored frame (fold-level). */
+  private def spearmanOf(df: DataFrame, eraCol: String, targetCol: String,
+                         idCols: Seq[String]): Double =
+    Scoring.scores(df, col(eraCol), col("pred"), col(targetCol), 1.0,
+        idCols.map(col): _*)
+      .head().getDouble(0)
+
+  /** MDA: per-feature normalized importance (acc−shuff)/(1−shuff)
+    * (`feature_selection_numerai.py:54-55`), averaged over k era folds,
+    * descending. Deterministic given `seed`.
+    */
+  def mda(df: DataFrame, eraCol: String, featCols: Seq[String],
+          targetCol: String, idCols: Seq[String], k: Int, seed: Long,
+          fit: DataFrame => (DataFrame => DataFrame)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val folds = Folds.foldAssignment(df.select(col(eraCol)).distinct(), eraCol, k)
+    val withFold = df.join(broadcast(folds), eraCol).persist()
+    val rows = (0 until k).flatMap { f =>
+      val train = withFold.filter(col("fold") =!= f).drop("fold")
+      val test = withFold.filter(col("fold") === f).drop("fold").persist()
+      val predict = fit(train)
+      val base = spearmanOf(predict(test), eraCol, targetCol, idCols)
+      featCols.map { feat =>
+        val permuted = Folds.permuteWithinEra(test, feat, eraCol, idCols,
+          xxhash64(idCols.map(col) :+ lit(seed + f): _*))
+        val shuff = spearmanOf(predict(permuted), eraCol, targetCol, idCols)
+        val imp = if (shuff >= 1.0) 0.0 else (base - shuff) / (1.0 - shuff)
+        (feat, f.toLong, imp)
+      }
+    }
+    rows.toDF("feature", "fold", "importance")
+      .groupBy(col("feature"))
+      .agg(round(avg(col("importance")), 6).as("importance"))
+      .orderBy(col("importance").desc, col("feature"))
+  }
+
+  /** M9 selector: top-n features by importance (`feature_selection_
+    * numerai.py:249-268`) — a driver-side take on the tiny result. */
+  def selectTop(importances: DataFrame, n: Int): Seq[String] = {
+    val spark = importances.sparkSession
+    import spark.implicits._
+    importances.orderBy(col("importance").desc, col("feature"))
+      .select(col("feature")).as[String].take(n).toSeq
+  }
+}

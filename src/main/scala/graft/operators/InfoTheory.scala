@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
 object InfoTheory {
 
   /** A9: fixed-bound equi-width bucket id in [0, bins-1]
-    * (`np.histogram`-style, right-closed top bin). */
+    * (`np.histogram`-style, clamped at both ends). */
   def bucket(x: Column, lo: Double, hi: Double, bins: Int): Column =
-    least(lit(bins - 1), floor((x - lo) / (hi - lo) * bins)).cast("long")
+    greatest(lit(0), least(lit(bins - 1), floor((x - lo) / (hi - lo) * bins)))
+      .cast("long")
 
   /** A9: 2-D histogram (`np.histogram2d(x, y, 5)` at
     * `distance_func.py:14`) as a (bx, by, n) relation. */

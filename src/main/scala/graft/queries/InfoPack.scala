@@ -66,10 +66,40 @@ object InfoPack extends QueryPack {
       .agg(round(avg(abs(col("x"))), 6).as("mean_abs"))
       .orderBy(col("pos"))
 
+  /** M14 — the full pairwise feature-distance matrix as a relation:
+    * VI between bucketed embedding components (i < j <= 6), the
+    * distributed half of `pairwise` + `get_optimal_clusters`
+    * (`feature_clustering.py:12-36`). One shuffle keyed on the joint
+    * histogram cells, margins via windows over the tiny cell relation. */
+  def qPairwiseVi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .filter(col("p") < 6)
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
+        InfoTheory.bucket(col("x").cast("double"), -0.5, 0.5, 5).as("b"))
+    val a = e.select(col("vec_id"), col("pos").as("pa"), col("b").as("ba"))
+    val bb = e.select(col("vec_id").as("vb"), col("pos").as("pb"), col("b").as("bb"))
+    val joint = a.join(bb, col("vec_id") === col("vb") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"), col("ba"), col("bb"))
+      .agg(count(lit(1)).as("n"))
+    val pair = Seq(col("pa"), col("pb"))
+    joint
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(pair: _*)).cast("double"))
+      .withColumn("mx", sum(col("n")).over(Window.partitionBy(col("pa"), col("pb"), col("ba"))).cast("double"))
+      .withColumn("my", sum(col("n")).over(Window.partitionBy(col("pa"), col("pb"), col("bb"))).cast("double"))
+      .groupBy(pair: _*)
+      .agg(round(sum((col("n") / col("tot")) *
+        (log(col("mx") / col("tot")) + log(col("my") / col("tot"))
+          - lit(2) * log(col("n") / col("tot")))), 6).as("vi"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_hist2d"        -> qHist2d,
     "q_vi"            -> qVi,
     "q_pairwise_corr" -> qPairwiseCorr,
+    "q_pairwise_vi"   -> qPairwiseVi,
     "q_embed_norm"    -> qEmbedNorm,
     "q_embed_meanabs" -> qEmbedMeanAbs,
   )
@@ -102,6 +132,24 @@ object InfoPack extends QueryPack {
         |SELECT a.pos AS pa, b.pos AS pb, round(corr(a.x, b.x), 5) AS c
         |FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos < b.pos
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pairwise_vi" ->
+      """WITH e0 AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |f AS (SELECT vec_id, pos,
+        |    CAST(greatest(0, least(4, floor((x - (-0.5)) / (0.5 - (-0.5)) * 5))) AS BIGINT) AS b
+        |  FROM e0 WHERE pos <= 6),
+        |joint AS (SELECT a.pos AS pa, b.pos AS pb, a.b AS ba, b.b AS bb, count(*) AS n
+        |          FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos < b.pos
+        |          GROUP BY 1, 2, 3, 4),
+        |w AS (SELECT pa, pb, n,
+        |    CAST(sum(n) OVER (PARTITION BY pa, pb) AS DOUBLE) AS tot,
+        |    CAST(sum(n) OVER (PARTITION BY pa, pb, ba) AS DOUBLE) AS mx,
+        |    CAST(sum(n) OVER (PARTITION BY pa, pb, bb) AS DOUBLE) AS my
+        |  FROM joint)
+        |SELECT pa, pb, round(sum((n / tot) * (ln(mx / tot) + ln(my / tot)
+        |  - 2 * ln(n / tot))), 6) AS vi
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id, round(sqrt(sum(x * x)), 5) AS norm
         |FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ml.{Clustering, CrossVal, FeatureSelection, Scoring, Transform}
+
+/** The compound ML macros (SURVEY §2.9) surfaced as driver-checkable
+  * queries. MLlib-model results are rows-only checked (a DuckDB oracle
+  * cannot re-fit a RandomForest); the fit-on-head standardizer is
+  * fully oracle-checked.
+  */
+object MlPack extends QueryPack {
+
+  /** Embeddings as a feature-matrix relation: era (synthetic time
+    * bucket), id, 8 feature columns, target (FIXTURES.md §B mapping). */
+  private def featureFrame(s: SparkSession, d: String): DataFrame = {
+    val feats = (0 until 8).map(i => col("embedding").getItem(i).cast("double").as(s"e_$i"))
+    Tables.embeddings(s, d).select(
+      (col("vec_id") +: (col("vec_id") % 10).as("era")
+        +: col("label").cast("double").as("target") +: feats): _*)
+  }
+
+  private val featCols = (0 until 8).map(i => s"e_$i")
+
+  /** M4 — era-grouped 3-fold CV of an MLlib RandomForest (the
+    * `kfold_dask` twin, `tuners.py:100-146`): per-fold Spearman + QME.
+    * Rows-only check (model internals are engine-specific). */
+  def qCvRf(s: SparkSession, d: String): DataFrame =
+    CrossVal.kfoldScores(featureFrame(s, d), "era", 3,
+      FeatureSelection.rfFitter(featCols, "target", numTrees = 10,
+        maxDepth = 4, seed = 42),
+      scored => Scoring.scores(scored, col("era"), col("pred"), col("target"),
+        9.0, col("vec_id")))
+
+  /** M7 — MDA permutation importance under 2-fold era CV
+    * (`feature_selection_numerai.py:13-154`). Rows-only check. */
+  def qMdaRf(s: SparkSession, d: String): DataFrame =
+    FeatureSelection.mda(featureFrame(s, d), "era", featCols, "target",
+      Seq("vec_id"), k = 2, seed = 42,
+      fit = FeatureSelection.rfFitter(featCols, "target", numTrees = 10,
+        maxDepth = 4, seed = 42))
+
+  /** M14+M15 — pairwise corr-distance over 8 embedding components
+    * (distributed agg) → driver-side agglomerative clustering with
+    * silhouette scan over k=2..4 (`feature_clustering.py:39-132`).
+    * Deterministic; rows-only check (clustering is not ANSI SQL). */
+  def qFeatureClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = InfoPack.qPairwiseCorr(s, d)
+      .select(col("pa"), col("pb"), (lit(1.0) - abs(col("c"))).as("dist"))
+      .collect()
+    val n = 8
+    val dist = Array.fill(n, n)(0.0)
+    edges.foreach { r =>
+      val (i, j, dv) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
+      dist(i)(j) = dv; dist(j)(i) = dv
+    }
+    val (k, labels, sil) = Clustering.optimalClusters(dist, Seq(2, 3, 4))
+    labels.zipWithIndex.map { case (lbl, i) => (lbl.toLong, s"e_$i") }
+      .toSeq.toDF("label", "feature")
+      .groupBy(col("label"))
+      .agg(array_join(sort_array(collect_list(col("feature"))), ",").as("members"),
+        count(lit(1)).as("n"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("silhouette", round(lit(sil), 6))
+      .orderBy(col("label"))
+  }
+
+  /** M11 — fit-on-head standardizer applied distributed
+    * (`utils.py:132-167`), fully oracle-checked: stats from the first
+    * 500 orders by key become plan literals. */
+  def qStandardize(s: SparkSession, d: String): DataFrame =
+    Transform.standardizeOnHead(Tables.orders(s, d), Seq("o_totalprice"),
+        nFit = 500, orderCol = "o_orderkey")
+      .select(col("o_orderkey"), col("o_totalprice_z"))
+      .orderBy(col("o_orderkey"))
+
+  val queries: Map[String, Q] = Map(
+    "q_cv_rf"            -> qCvRf,
+    "q_mda_rf"           -> qMdaRf,
+    "q_feature_clusters" -> qFeatureClusters,
+    "q_standardize"      -> qStandardize,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_standardize" ->
+      """WITH head AS (SELECT o_totalprice FROM orders ORDER BY o_orderkey LIMIT 500),
+        |stats AS (SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd FROM head)
+        |SELECT o_orderkey, round((o_totalprice - m) / sd, 4) AS o_totalprice_z
+        |FROM orders, stats ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.Clustering
+import graft.operators.Multimodal
+
+class ClusteringMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("agglomerate: two obvious blobs separate at k=2") {
+    // indices 0-2 mutually close, 3-5 mutually close, blocks far apart
+    val n = 6
+    val d = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 0.0
+      else if ((i < 3) == (j < 3)) 0.1 else 1.0
+    }
+    val labels = Clustering.agglomerate(d, 2)
+    assert(labels.take(3).toSet.size == 1)
+    assert(labels.drop(3).toSet.size == 1)
+    assert(labels(0) != labels(3))
+    val sil = Clustering.silhouette(d, labels)
+    assert(sil > 0.7)
+    val (bestK, _, _) = Clustering.optimalClusters(d, Seq(2, 3, 4))
+    assert(bestK == 2)
+  }
+
+  test("decodeBatch: typed mapPartitions path equals the scalar stub") {
+    val df = Seq((1L, "hello"), (2L, "a longer document body"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val got = Multimodal.decodeBatch(df).collect().sortBy(_.doc_id)
+    assert(got(0) == Multimodal.decodeMeta(
+      Multimodal.MediaPayload(1L, "hello".getBytes("UTF-8"))))
+    assert(got(0).byte_len == 5 && got(0).width == 21 && got(0).n_frames == 1 + 'h' % 8)
+  }
+}

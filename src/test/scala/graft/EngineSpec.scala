@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RollingHash
+import graft.streaming.EventStream
+
+/** Driver-contract and extension-surface smoke tests. */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("entry: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size >= 40)
+  }
+
+  test("every query returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, TestSpark.sf).count()
+      if (n == 0) Some(name) else None
+    }
+    // candidate-pair queries may legitimately be empty at tiny SF; all
+    // others must produce rows
+    assert(empties.toSet.subsetOf(Set("q_ngram_jaccard", "q_minhash_lsh",
+      "q_simhash_dedup", "q_anti_join", "q_theta_pairs")),
+      s"unexpected empty: $empties")
+  }
+
+  test("rolling_hash: codegen expression matches reference impl") {
+    val texts = Seq("", "a", "hello world", "🦄 utf8")
+    val got = texts.toDF("t")
+      .select(RollingHash.rolling_hash(col("t")).as("h")).as[Long].collect()
+    val want = texts.map(t => RollingHash.hash(t.getBytes("UTF-8")))
+    assert(got.toSeq == want)
+  }
+
+  test("streaming windowed agg matches the batch tumbling-window query") {
+    val stream = EventStream.runOnce(spark, TestSpark.sf, "graft_stream_test")
+      .select("wstart", "n", "sum_value").orderBy("wstart").collect()
+    val batch = graft.queries.EventsPack.qTumblingWindow(spark, TestSpark.sf)
+      .select("wstart", "n", "sum_value").orderBy("wstart").collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
+}

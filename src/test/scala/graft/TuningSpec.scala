@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.Tuning
+import graft.ml.Tuning.Param
+
+/** M5/M6 driver-side search semantics (`utils.py:89-129`,
+  * `tuners.py:376-509`). */
+class TuningSpec extends AnyFunSuite {
+
+  test("LHS: one sample per stratum per dimension, bounds respected") {
+    val params = Seq(Param("a", 0, 10), Param("b", 1, 100, log = true))
+    val n = 16
+    val samples = Tuning.latinHypercube(params, n, seed = 42)
+    assert(samples.size == n)
+    for (p <- params) {
+      val vs = samples.map(_(p.name))
+      assert(vs.forall(v => v >= p.lo && v <= p.hi))
+      // stratification: exactly one sample falls in each of the n strata
+      val strata = vs.map { v =>
+        val u = if (p.log) (math.log(v) - math.log(p.lo)) / (math.log(p.hi) - math.log(p.lo))
+        else (v - p.lo) / (p.hi - p.lo)
+        math.min(n - 1, (u * n).toInt)
+      }
+      assert(strata.toSet.size == n, s"param ${p.name}: strata $strata")
+    }
+  }
+
+  test("LHS integer params quantize, determinism per seed") {
+    val ps = Seq(Param("trees", 10, 1000, isInt = true))
+    val s1 = Tuning.latinHypercube(ps, 8, 7)
+    val s2 = Tuning.latinHypercube(ps, 8, 7)
+    assert(s1 == s2)
+    assert(s1.forall(m => m("trees") == math.rint(m("trees"))))
+  }
+
+  test("lhsSearch ranks by score descending") {
+    val ps = Seq(Param("x", 0, 1))
+    val trials = Tuning.lhsSearch(ps, 10, 3)(c => -math.abs(c("x") - 0.5))
+    assert(trials.map(_.score) == trials.map(_.score).sorted.reverse)
+    assert(math.abs(trials.head.config("x") - 0.5) < 0.2)
+  }
+
+  test("hyperband: converges toward the optimum, evaluates head-fractions") {
+    val ps = Seq(Param("x", 0, 1))
+    var fractions = Set.empty[Double]
+    val trials = Tuning.hyperband(ps, maxResource = 9, eta = 3, seed = 1) {
+      (c, frac) => fractions += frac; -math.abs(c("x") - 0.7)
+    }
+    assert(trials.nonEmpty)
+    assert(trials.map(_.score) == trials.map(_.score).sorted.reverse)
+    assert(fractions.exists(_ < 1.0) && fractions.contains(1.0))
+    assert(math.abs(trials.head.config("x") - 0.7) < 0.25)
+  }
+}
