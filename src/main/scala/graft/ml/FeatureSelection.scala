@@ -36,33 +36,53 @@ object FeatureSelection {
     }
   }
 
-  /** Spearman of `pred` vs target on a scored frame (fold-level). */
-  private def spearmanOf(df: DataFrame, eraCol: String, targetCol: String,
-                         idCols: Seq[String]): Double =
-    Scoring.scores(df, col(eraCol), col("pred"), col(targetCol), 1.0,
-        idCols.map(col): _*)
-      .head().getDouble(0)
-
   /** MDA: per-feature normalized importance (acc−shuff)/(1−shuff)
     * (`feature_selection_numerai.py:54-55`), averaged over k era folds,
     * descending. Deterministic given `seed`.
+    *
+    * Per fold, the baseline and every per-feature permuted variant are
+    * unioned into ONE tagged relation, model-transformed once, and
+    * scored with a single grouped aggregate (rank window partitioned by
+    * (variant, era) → corr per variant) — one Spark action per fold
+    * instead of features+1, and the variant fan-out runs fully on the
+    * executors.
     */
   def mda(df: DataFrame, eraCol: String, featCols: Seq[String],
           targetCol: String, idCols: Seq[String], k: Int, seed: Long,
           fit: DataFrame => (DataFrame => DataFrame)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val folds = Folds.foldAssignment(df.select(col(eraCol)).distinct(), eraCol, k)
     val withFold = df.join(broadcast(folds), eraCol).persist()
     val rows = (0 until k).flatMap { f =>
       val train = withFold.filter(col("fold") =!= f).drop("fold")
       val test = withFold.filter(col("fold") === f).drop("fold").persist()
       val predict = fit(train)
-      val base = spearmanOf(predict(test), eraCol, targetCol, idCols)
+      // one permutation join yields every feature's permuted copy;
+      // per-feature variants are then pure projections over it
+      val permuted = Folds.permuteManyWithinEra(test, featCols, eraCol, idCols,
+        xxhash64(idCols.map(col) :+ lit(seed + f): _*)).persist()
+      val variants = ("__base__", test) +: featCols.map { ft =>
+        ft -> permuted.select(test.columns.map(c =>
+          if (c == ft) col(s"${ft}_perm").as(ft) else col(c)): _*)
+      }
+      val tagged = variants.map { case (tag, fr) =>
+        fr.select(test.columns.map(col): _*).withColumn("graft_feat", lit(tag))
+      }.reduce(_ unionByName _)
+      val scored = predict(tagged)
+      val order = Window.partitionBy(col("graft_feat"), col(eraCol))
+        .orderBy((col("pred") +: idCols.map(col)).map(_.asc): _*)
+      val whole = Window.partitionBy(col("graft_feat"), col(eraCol))
+      val sp = scored
+        .withColumn("graft_r",
+          row_number().over(order).cast("double") / count(lit(1)).over(whole))
+        .groupBy(col("graft_feat"))
+        .agg(corr(col(targetCol), col("graft_r")).as("spearman"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val base = sp("__base__")
       featCols.map { feat =>
-        val permuted = Folds.permuteWithinEra(test, feat, eraCol, idCols,
-          xxhash64(idCols.map(col) :+ lit(seed + f): _*))
-        val shuff = spearmanOf(predict(permuted), eraCol, targetCol, idCols)
+        val shuff = sp(feat)
         val imp = if (shuff >= 1.0) 0.0 else (base - shuff) / (1.0 - shuff)
         (feat, f.toLong, imp)
       }

@@ -61,6 +61,26 @@ object Folds {
     * bottleneck. This mirrors destroying one feature's signal while
     * keeping its marginal distribution per fold (MDA's core trick).
     */
+  /** T5 batched form: permute SEVERAL columns in one two-ordering join
+    * (all receive the same re-deal). Adds `<col>_perm` columns. Used by
+    * MDA, where per-feature variants then become pure projections —
+    * one shuffle for the whole feature set instead of one per feature.
+    */
+  def permuteManyWithinEra(df: DataFrame, valueCols: Seq[String], eraCol: String,
+                           idCols: Seq[String], orderKey: Column): DataFrame = {
+    val ids = idCols.map(col)
+    val wId = Window.partitionBy(col(eraCol)).orderBy(ids.map(_.asc): _*)
+    val wKey = Window.partitionBy(col(eraCol))
+      .orderBy((orderKey +: ids).map(_.asc): _*)
+    val a = df.withColumn("graft_rn", row_number().over(wId))
+    val b = df.withColumn("graft_rn", row_number().over(wKey))
+      .select((col(eraCol).as("graft_era_b") +: col("graft_rn").as("graft_rn_b")
+        +: valueCols.map(c => col(c).as(s"${c}_perm"))): _*)
+    a.join(b, a(eraCol) === col("graft_era_b") &&
+        col("graft_rn") === col("graft_rn_b"))
+      .drop("graft_rn", "graft_rn_b", "graft_era_b")
+  }
+
   def permuteWithinEra(df: DataFrame, valueCol: String, eraCol: String,
                        idCols: Seq[String], orderKey: Column): DataFrame = {
     val ids = idCols.map(col)

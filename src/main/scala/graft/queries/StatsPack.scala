@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Higher-order statistics + parsing coverage: era-string parsing
+  * (F1), distance correlation on a bounded sample (A11), closed-form
+  * OLS with per-feature contribution decomposition (the linear-model
+  * stand-in for SHAP's additive attributions, M10), and session
+  * windows over events.
+  */
+object StatsPack extends QueryPack {
+
+  /** F1 — `era.map(lambda x: int(x.lstrip('era')))` (`#cell-6`):
+    * strings like "era7" parsed back to ints. The fixture has no era
+    * strings, so synthesize then parse — the parse is what's tested. */
+  def qEraParse(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(concat(lit("era"), month(col("o_orderdate"))).as("era_str"))
+      .select(regexp_replace(col("era_str"), "^era", "").cast("long").as("era"))
+      .groupBy(col("era")).agg(count(lit(1)).as("n"))
+      .orderBy(col("era"))
+
+  /** A11 — distance correlation (`distance_func.py:38-74`) of quantity
+    * vs extendedprice on a deterministic 100-row head sample: the
+    * O(n^2) double-centering runs on the bounded sample (SURVEY A11),
+    * expressed relationally as a self cross join + window means. */
+  def qDcor(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .limit(100)
+      .select(row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))).as("i"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val a = base.select(col("i"), col("x"), col("y"))
+    val b = base.select(col("i").as("j"), col("x").as("xj"), col("y").as("yj"))
+    val pairs = a.crossJoin(b)
+      .select(col("i"), col("j"),
+        abs(col("x") - col("xj")).as("ax"), abs(col("y") - col("yj")).as("ay"))
+    val wi = Window.partitionBy(col("i"))
+    val wj = Window.partitionBy(col("j"))
+    val wAll = Window.partitionBy()
+    val centered = pairs
+      .withColumn("cax", col("ax") - avg(col("ax")).over(wi)
+        - avg(col("ax")).over(wj) + avg(col("ax")).over(wAll))
+      .withColumn("cay", col("ay") - avg(col("ay")).over(wi)
+        - avg(col("ay")).over(wj) + avg(col("ay")).over(wAll))
+    centered.agg(
+      round(sqrt(sqrt(
+        pow(avg(col("cax") * col("cay")), 2)
+          / (sqrt(avg(col("cax") * col("cax"))) * sqrt(avg(col("cay") * col("cay"))))
+      )), 6).as("dcor"))
+  }
+
+  /** M10-shaped additive attribution for a closed-form model: OLS
+    * y ~ x1 + x2 fit AS AGGREGATION (normal equations from var/cov
+    * aggregates — the "fit" is itself a relational query), then
+    * per-feature mean |contribution| (`feature_selection_numerai
+    * .py:286`'s mean-|SHAP| shape, exact for linear models). */
+  def qOlsContrib(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity").as("x1"), col("l_discount").as("x2"),
+        col("l_extendedprice").as("y"))
+    val stats = li.agg(
+      var_samp(col("x1")).as("v1"), var_samp(col("x2")).as("v2"),
+      covar_samp(col("x1"), col("x2")).as("c12"),
+      covar_samp(col("x1"), col("y")).as("c1y"),
+      covar_samp(col("x2"), col("y")).as("c2y"),
+      avg(col("x1")).as("m1"), avg(col("x2")).as("m2"))
+    val withB = li.crossJoin(broadcast(stats))
+      .withColumn("det", col("v1") * col("v2") - col("c12") * col("c12"))
+      .withColumn("b1", (col("v2") * col("c1y") - col("c12") * col("c2y")) / col("det"))
+      .withColumn("b2", (col("v1") * col("c2y") - col("c12") * col("c1y")) / col("det"))
+    val f1 = withB.agg(round(avg(col("b1")), 6).as("beta"),
+      round(avg(abs(col("b1") * (col("x1") - col("m1")))), 4).as("mean_abs_contrib"))
+      .withColumn("feature", lit("x1"))
+    val f2 = withB.agg(round(avg(col("b2")), 6).as("beta"),
+      round(avg(abs(col("b2") * (col("x2") - col("m2")))), 4).as("mean_abs_contrib"))
+      .withColumn("feature", lit("x2"))
+    f1.unionByName(f2).select(col("feature"), col("beta"), col("mean_abs_contrib"))
+      .orderBy(col("feature"))
+  }
+
+  /** Session windows over events (gap 30 min): Spark-native
+    * `session_window`, oracle-mirrored by the gaps-and-islands SQL. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q_era_parse"      -> qEraParse,
+    "q_dcor"           -> qDcor,
+    "q_ols_contrib"    -> qOlsContrib,
+    "q_session_window" -> qSessionWindow,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_era_parse" ->
+      """SELECT CAST(regexp_replace('era' || month(o_orderdate), '^era', '') AS BIGINT) AS era,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dcor" ->
+      """WITH base AS (
+        |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS i,
+        |    l_quantity AS x, l_extendedprice AS y
+        |  FROM (SELECT * FROM lineitem
+        |        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 100)),
+        |pairs AS (
+        |  SELECT a.i, b.i AS j, abs(a.x - b.x) AS ax, abs(a.y - b.y) AS ay
+        |  FROM base a, base b),
+        |centered AS (
+        |  SELECT ax - avg(ax) OVER (PARTITION BY i) - avg(ax) OVER (PARTITION BY j)
+        |           + avg(ax) OVER () AS cax,
+        |         ay - avg(ay) OVER (PARTITION BY i) - avg(ay) OVER (PARTITION BY j)
+        |           + avg(ay) OVER () AS cay
+        |  FROM pairs)
+        |SELECT round(sqrt(sqrt(pow(avg(cax * cay), 2)
+        |  / (sqrt(avg(cax * cax)) * sqrt(avg(cay * cay))))), 6) AS dcor
+        |FROM centered""".stripMargin,
+    "q_ols_contrib" ->
+      """WITH li AS (SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y FROM lineitem),
+        |stats AS (
+        |  SELECT var_samp(x1) AS v1, var_samp(x2) AS v2, covar_samp(x1, x2) AS c12,
+        |    covar_samp(x1, y) AS c1y, covar_samp(x2, y) AS c2y,
+        |    avg(x1) AS m1, avg(x2) AS m2
+        |  FROM li),
+        |wb AS (
+        |  SELECT x1, x2, m1, m2,
+        |    (v2 * c1y - c12 * c2y) / (v1 * v2 - c12 * c12) AS b1,
+        |    (v1 * c2y - c12 * c1y) / (v1 * v2 - c12 * c12) AS b2
+        |  FROM li, stats)
+        |SELECT 'x1' AS feature, round(avg(b1), 6) AS beta,
+        |  round(avg(abs(b1 * (x1 - m1))), 4) AS mean_abs_contrib FROM wb
+        |UNION ALL
+        |SELECT 'x2', round(avg(b2), 6), round(avg(abs(b2 * (x2 - m2))), 4) FROM wb
+        |ORDER BY feature""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS es, event_id FROM events),
+        |f AS (SELECT user_id, es, event_id,
+        |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+        |      >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id) AS sid
+        |  FROM f),
+        |sess AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+        |  max(n) AS max_session_events
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

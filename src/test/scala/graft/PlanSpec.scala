@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.CorePack
+
+/** Plan-shape regression tests: the optimizations the engine depends
+  * on at scale must actually appear in the physical plan (prompt rule:
+  * a scan that reads all columns for a 2-column projection is wrong).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("filters are pushed into the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(500))
+  }
+
+  test("scans are column-pruned") {
+    val p = plan("q_filter_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"), p.take(800))
+  }
+
+  test("star join broadcasts the small dimensions") {
+    assert(plan("q_join_star").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("ranked-filter ANN uses WindowGroupLimit pushdown") {
+    assert(plan("q_ann_cosine").contains("WindowGroupLimit"))
+  }
+
+  test("rolling_hash is SQL-callable via GraftExtensions") {
+    // injectFunction path, exercised through the function registry
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => graft.functions.RollingHash(exprs.head), "scala_udf")
+    val got = spark.sql("SELECT rolling_hash('hello world') AS h")
+      .head().getLong(0)
+    assert(got == graft.functions.RollingHash.hash("hello world".getBytes("UTF-8")))
+  }
+}
