@@ -95,7 +95,32 @@ object InfoPack extends QueryPack {
       .orderBy(col("pa"), col("pb"))
   }
 
+  /** A2 scale path — the FULL 64x64 correlation matrix in ONE pass via
+    * MLlib (`Correlation.corr` over the assembled vector column; the
+    * Spark twin of `#cell-13`'s `df.corr()`), emitted as the
+    * upper-triangle edge list. The explode/self-join form
+    * (qPairwiseCorr) is the honest relational shape for a bounded pair
+    * set; this is the one-scan form for wide matrices — no shuffle of
+    * pair rows at all (grammian aggregation). */
+  def qCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Correlation
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+      .select(array_to_vector(col("embedding")).as("features"))
+    val m = Correlation.corr(v, "features").head()
+      .getAs[org.apache.spark.ml.linalg.Matrix](0)
+    val edges = for {
+      i <- 0 until m.numRows
+      j <- (i + 1) until m.numCols
+    } yield (i + 1L, j + 1L, m(i, j))
+    edges.toDF("i", "j", "raw")
+      .select(col("i"), col("j"), round(col("raw"), 5).as("c"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_corr_matrix"   -> qCorrMatrix,
     "q_hist2d"        -> qHist2d,
     "q_vi"            -> qVi,
     "q_pairwise_corr" -> qPairwiseCorr,
@@ -105,6 +130,12 @@ object InfoPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_corr_matrix" ->
+      """WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+        |SELECT a.pos AS i, b.pos AS j, round(corr(a.x, b.x), 5) AS c
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos < b.pos
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_hist2d" ->
       """SELECT CAST(least(4, floor((l_quantity - 1) / 49.0 * 5)) AS BIGINT) AS bi,
         | CAST(least(4, floor((l_discount - 0) / 0.1 * 5)) AS BIGINT) AS bj,

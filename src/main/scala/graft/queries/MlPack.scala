@@ -77,7 +77,36 @@ object MlPack extends QueryPack {
       .select(col("o_orderkey"), col("o_totalprice_z"))
       .orderBy(col("o_orderkey"))
 
+  /** M5/J4 — a hyperparameter sweep as ONE relational plan: the
+    * params x folds grid (`tuners.py:70-77`) is a literal alpha grid
+    * cross-joined against the fold'd fact; the "model" is the
+    * shrunken group mean pred = m + alpha*(gm - m) fit on each fold
+    * complement; the leaderboard ranks alphas by held-out RMSE. The
+    * reference launches tasks per (param, fold); here the whole sweep
+    * is a single Catalyst plan with broadcast model stats. */
+  def qParamSweep(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select((Tables.eraOfTs(col("ts")) % 2).as("fold"),
+        col("event_type"), col("value"))
+    val folds = s.range(0, 2).select(col("id").as("f"))
+    val train = ev.join(broadcast(folds), col("fold") =!= col("f"))
+    val global = train.groupBy(col("f").as("fg")).agg(avg(col("value")).as("m"))
+    val group = train.groupBy(col("f"), col("event_type").as("et"))
+      .agg(avg(col("value")).as("gm"))
+    val alphas = s.range(0, 5).select((col("id") * 0.25).as("alpha"))
+    ev.join(broadcast(group), col("fold") === col("f") && col("event_type") === col("et"))
+      .join(broadcast(global), col("f") === col("fg"))
+      .crossJoin(broadcast(alphas))
+      .withColumn("pred", col("m") + col("alpha") * (col("gm") - col("m")))
+      .groupBy(col("alpha"), col("fold"))
+      .agg(sqrt(avg(pow(col("value") - col("pred"), 2))).as("rmse_f"))
+      .groupBy(col("alpha"))
+      .agg(round(avg(col("rmse_f")), 4).as("rmse"))
+      .orderBy(col("rmse"), col("alpha"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_param_sweep"      -> qParamSweep,
     "q_cv_rf"            -> qCvRf,
     "q_mda_rf"           -> qMdaRf,
     "q_feature_clusters" -> qFeatureClusters,
@@ -85,6 +114,23 @@ object MlPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_param_sweep" ->
+      """WITH ev AS (SELECT CAST(date_part('day', ts) AS BIGINT) % 2 AS fold,
+        |    event_type, value FROM events),
+        |folds AS (SELECT unnest(generate_series(0, 1)) AS f),
+        |train AS (SELECT f, event_type, value FROM ev, folds WHERE fold != f),
+        |gstats AS (SELECT f AS fg, avg(value) AS m FROM train GROUP BY 1),
+        |grp AS (SELECT f, event_type AS et, avg(value) AS gm FROM train GROUP BY 1, 2),
+        |alphas AS (SELECT unnest(generate_series(0, 4)) * 0.25 AS alpha),
+        |scored AS (
+        |  SELECT alpha, fold,
+        |    sqrt(avg(pow(value - (m + alpha * (gm - m)), 2))) AS rmse_f
+        |  FROM ev JOIN grp ON ev.fold = grp.f AND ev.event_type = grp.et
+        |          JOIN gstats ON grp.f = gstats.fg
+        |          CROSS JOIN alphas
+        |  GROUP BY 1, 2)
+        |SELECT alpha, round(avg(rmse_f), 4) AS rmse FROM scored
+        |GROUP BY 1 ORDER BY rmse, alpha""".stripMargin,
     "q_standardize" ->
       """WITH head AS (SELECT o_totalprice FROM orders ORDER BY o_orderkey LIMIT 500),
         |stats AS (SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd FROM head)
