@@ -95,7 +95,18 @@ object StatsPack extends QueryPack {
         max(col("n")).as("max_session_events"))
       .orderBy(col("user_id"))
 
+  /** A7 scale pair — exact multi-column distinct counts (the expand-
+    * based plan); the approximate path is `approx_count_distinct`
+    * (HLL), excluded from the oracle set because sketch estimates are
+    * engine-specific. */
+  def qCountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
   val queries: Map[String, Q] = Map(
+    "q_count_distinct" -> qCountDistinct,
     "q_era_parse"      -> qEraParse,
     "q_dcor"           -> qDcor,
     "q_ols_contrib"    -> qOlsContrib,
@@ -103,6 +114,11 @@ object StatsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
     "q_era_parse" ->
       """SELECT CAST(regexp_replace('era' || month(o_orderdate), '^era', '') AS BIGINT) AS era,
         | count(*) AS n

@@ -38,6 +38,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_ann_cosine").contains("WindowGroupLimit"))
   }
 
+  test("partitioned writes enable partition pruning on read") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, TestSpark.sf)
+      .withColumn("d", to_date(date_trunc("day", col("ts"))))
+      .write.partitionBy("d").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("d") === lit("2024-01-03").cast("date"))
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(d"), p.take(600))
+    assert(pruned.count() > 0)
+  }
+
   test("rolling_hash is SQL-callable via GraftExtensions") {
     // injectFunction path, exercised through the function registry
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
