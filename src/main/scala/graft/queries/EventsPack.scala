@@ -71,7 +71,23 @@ object EventsPack extends QueryPack {
       .orderBy(col("fold"))
   }
 
+  /** As-of join (engine-new temporal operator, SURVEY §2.3): each
+    * event joined to the user's most recent signup at-or-before it.
+    * Union+window composition (`operators.AsOf`); the per-key
+    * sort-merge variant (`plans.AsOfMerge`) is regression-tested
+    * equal. Oracle: deterministic last_value-ignore-nulls SQL (same
+    * construction — DuckDB's native ASOF JOIN breaks ties
+    * unspecified, so the oracle mirrors the construction instead). */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+    graft.operators.AsOf.asOfJoin(ev, signups, "user_id", "ts", "event_id", "event_id")
+      .select(col("event_id"), col("event_id_asof"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_asof_join"      -> qAsofJoin,
     "q_json_extract"   -> qJsonExtract,
     "q_date_agg"       -> qDateAgg,
     "q_tumbling_window" -> qTumblingWindow,
@@ -80,6 +96,18 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH sign AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
+        |u AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 0 AS tag, event_id, event_id AS ref FROM sign
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS t, 1 AS tag, event_id, NULL AS ref FROM events),
+        |w AS (SELECT user_id, tag, event_id,
+        |    last_value(ref IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, tag, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_id_asof
+        |  FROM u)
+        |SELECT event_id, event_id_asof FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
