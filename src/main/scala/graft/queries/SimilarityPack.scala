@@ -63,9 +63,44 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("bucket"))
   }
 
+  /** Embedding-cosine near-dup (north-star dedup family): sign-LSH
+    * bucket candidate generation (pairs only within a bucket — the
+    * shuffle key is the bucket id) + exact cosine verification at
+    * threshold 0.4 on the rounded score. The fixture has no planted
+    * embedding near-dups (max pairwise cosine ~0.51), so the threshold
+    * sits below that to exercise the verify stage. */
+  def qEmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+    val js = s.range(0, 8).select(col("id").as("j"))
+    val buckets = e.crossJoin(broadcast(js))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("x") * (((col("pos") * 31 + col("j") * 17) % 7) - 3)).as("dj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dj") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("bucket"))
+    val cand = buckets.select(col("vec_id").as("a"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("b"), col("bucket").as("bucket_r")),
+        col("bucket") === col("bucket_r") && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val va = v.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = v.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "a").join(vb, "b")
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("a"), col("b"), col("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_cosine"      -> qAnnCosine,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
+    "q_embed_neardup"   -> qEmbedNeardup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -82,6 +117,23 @@ object SimilarityPack extends QueryPack {
         |  FROM scored)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dots AS (SELECT vec_id, j, sum(x * (((pos*31 + j*17) % 7) - 3)) AS dj
+        |         FROM e, js GROUP BY 1, 2),
+        |buckets AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        |    FROM dots GROUP BY 1),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cand AS (SELECT a.vec_id AS a, b.vec_id AS b FROM buckets a JOIN buckets b
+        |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT a, b, round(list_cosine_similarity(va.vv, vb.vv), 6) AS cos
+        |FROM cand JOIN v va ON a = va.vec_id JOIN v vb ON b = vb.vec_id
+        |WHERE round(list_cosine_similarity(va.vv, vb.vv), 6) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
     "q_ann_lsh_buckets" ->
       """WITH e AS (SELECT vec_id,
         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,

@@ -179,7 +179,34 @@ object TextPack extends QueryPack {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
+  /** TF-IDF top terms per document (rank-cut W3 over a text-derived
+    * score): tf from the word stream, df via a window over the
+    * (doc, term) relation, idf = ln(N/df); top-3 by rounded score with
+    * a term tie-break (scores tie whenever (tf, df) does, so the
+    * ordering must be pinned for engine stability). */
+  def qTfidfTop(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nd))
+      .withColumn("score",
+        round(col("tf") * log(col("nd").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term")))
+        .cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_tfidf_top"     -> qTfidfTop,
     "q_dedup_exact"   -> qDedupExact,
     "q_text_quality"  -> qTextQuality,
     "q_ngram_jaccard" -> qNgramJaccard,
@@ -190,6 +217,19 @@ object TextPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_top" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfr AS (SELECT doc_id, term, tf,
+        |    count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    round(tf * ln(CAST(nd AS DOUBLE) / df), 6) AS score FROM dfr, n),
+        |ranked AS (SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "q_dedup_exact" ->
       """SELECT sha256(text) AS doc_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

@@ -40,6 +40,22 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("stateful streaming totals converge to the batch aggregate") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val q = graft.streaming.EventStream.runningUserTotals(spark, TestSpark.sf)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("graft_state_test").start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode appends refreshed rows per batch; the final state per
+    // user is the max-count row
+    val finalState = spark.table("graft_state_test")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(finalState.except(batch).count() == 0)
+    assert(batch.except(finalState).count() == 0)
+  }
+
   test("streaming windowed agg matches the batch tumbling-window query") {
     val stream = EventStream.runOnce(spark, TestSpark.sf, "graft_stream_test")
       .select("wstart", "n", "sum_value").orderBy("wstart").collect()
