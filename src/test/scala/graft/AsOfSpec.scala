@@ -27,6 +27,26 @@ class AsOfSpec extends AnyFunSuite {
       (103L, None)))       // key 2: no refs
   }
 
+  test("custom AsOfJoinExec plan node equals the window composition") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("t"), col("event_id"),
+        col("event_id").as("pay"))
+    val viaWindow = graft.operators.AsOf
+      .asOfJoin(ev, signups, "user_id", "t", "event_id", "pay")
+      .select(col("event_id"), col("pay_asof"))
+    val planned = graft.plans.AsOfApi
+      .asOfJoinPlanned(ev, signups, "user_id", "t", "event_id", "pay")
+    // the custom exec must actually be in the physical plan
+    assert(planned.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val viaPlan = planned.select(col("event_id"), col("pay_asof"))
+    assert(viaPlan.count() == viaWindow.count())
+    assert(viaPlan.except(viaWindow).count() == 0)
+    assert(viaWindow.except(viaPlan).count() == 0)
+  }
+
   test("cogroup sort-merge equals the window composition on the fixture") {
     val ev = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("unix_micros(ts)").as("t"),
