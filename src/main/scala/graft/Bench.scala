@@ -13,9 +13,26 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: JIT/janino-compile the common codegen paths
+    // (scan, hash agg, window, broadcast join) so per-query timings
+    // measure plan execution, not first-use compiler latency
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).count()
+      li.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("l_orderkey")))).count()
+      li.join(broadcast(li.select(col("l_orderkey").as("k")).limit(10)),
+        col("l_orderkey") === col("k")).count()
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // drop per-query persisted frames so cache pressure from one
+      // query never skews the next one's timing
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

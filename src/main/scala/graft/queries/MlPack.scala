@@ -105,7 +105,44 @@ object MlPack extends QueryPack {
       .orderBy(col("rmse"), col("alpha"))
   }
 
+  /** M6 — Hyperband end to end (`tuners.py:376-509`) with real Spark
+    * evaluations: successive halving over the shrinkage parameter of
+    * the group-mean model, each rung training on a head-fraction of
+    * events (`tuners.py:439-440`'s ratio) against a held-out fold.
+    * Rows-only check (LHS configs come from the JVM RNG). */
+  def qHyperband(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.ml.Tuning
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), (Tables.eraOfTs(col("ts")) % 2).as("fold"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id")).persist()
+    val n = ev.count()
+    def evaluate(config: Map[String, Double], frac: Double): Double = {
+      val alpha = config("alpha")
+      val head = ev.limit(math.max(100, (frac * n).toInt))
+      val train = head.filter(col("fold") === 0)
+      val test = head.filter(col("fold") === 1)
+      val gm = train.groupBy(col("event_type").as("et")).agg(avg(col("value")).as("gm"))
+      val gmean = train.agg(avg(col("value")).as("m"))
+      // single action: global mean + group means join into one plan
+      val rmse = test.join(broadcast(gm), col("event_type") === col("et"))
+        .crossJoin(broadcast(gmean))
+        .agg(sqrt(avg(pow(col("value")
+          - (col("m") + lit(alpha) * (col("gm") - col("m"))), 2))))
+        .head().getDouble(0)
+      -rmse // higher is better
+    }
+    val trials = Tuning.hyperband(Seq(Tuning.Param("alpha", 0.0, 1.0)),
+      maxResource = 4, eta = 2, seed = 42)(evaluate)
+    trials.take(5).zipWithIndex.map { case (t, i) =>
+      (i + 1L, math.rint(t.config("alpha") * 1e4) / 1e4,
+        math.rint(-t.score * 1e4) / 1e4)
+    }.toDF("rank", "alpha", "rmse")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hyperband"        -> qHyperband,
     "q_param_sweep"      -> qParamSweep,
     "q_cv_rf"            -> qCvRf,
     "q_mda_rf"           -> qMdaRf,

@@ -158,10 +158,12 @@ object TextPack extends QueryPack {
     * against the labeled `lang` column. */
   def qLangid(s: SparkSession, d: String): DataFrame = {
     val w = col("graft_w")
+    // distinct-presence scoring via array_intersect (codegen'd) rather
+    // than per-word interpreted lambda filters
     def score(markers: Seq[String]) =
-      size(filter(w, x => x.isInCollection(markers)))
+      size(array_intersect(w, array(markers.map(lit): _*)))
     val scored = Tables.documents(s, d)
-      .withColumn("graft_w", TextOps.words(lower(col("text"))))
+      .withColumn("graft_w", array_distinct(TextOps.words(lower(col("text")))))
       .select(
       col("doc_id"), col("lang"),
       score(Seq("the", "a", "of", "and", "is")).as("s_en"),
