@@ -106,6 +106,18 @@ object CorePack extends QueryPack {
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
+  /** M2 per-era diagnostic — one Spearman row per era (the notebook's
+    * per-era breakdown; same rank pipeline, grouped finish). */
+  def qSpearmanPerEra(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(Tables.eraOfDate(col("l_shipdate")).as("g_era"),
+        col("l_extendedprice").as("pred"), col("l_quantity").as("y"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    EraRank.spearmanPerEra(li, col("g_era"), col("pred"), col("y"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("era"))
+  }
+
   /** A5 — quartic mean error against per-era rank (`metrics.py:25-33`). */
   def qQuarticError(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -226,6 +238,7 @@ object CorePack extends QueryPack {
     "q_topk_orders"      -> qTopkOrders,
     "q_window_rank_era"  -> qWindowRankEra,
     "q_spearman_by_era"  -> qSpearmanByEra,
+    "q_spearman_per_era" -> qSpearmanPerEra,
     "q_quartic_error"    -> qQuarticError,
     "q_quantiles"        -> qQuantiles,
     "q_distinct_flags"   -> qDistinctFlags,
@@ -285,6 +298,15 @@ object CorePack extends QueryPack {
         |    / count(*) OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)) AS r
         |  FROM lineitem)
         |SELECT round(corr(y, r), 6) AS spearman FROM t""".stripMargin,
+    "q_spearman_per_era" ->
+      """WITH t AS (
+        |  SELECT year(l_shipdate)*12 + month(l_shipdate) AS era, l_quantity AS y,
+        |    CAST(row_number() OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)) AS r
+        |  FROM lineitem)
+        |SELECT era, round(corr(y, r), 6) AS spearman FROM t
+        |GROUP BY era ORDER BY era""".stripMargin,
     "q_quartic_error" ->
       """WITH t AS (
         |  SELECT l_quantity,

@@ -86,7 +86,30 @@ object EventsPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** A3/A4 summary over the relational CV's per-fold scores
+    * (`tuners.py:144-145`: mean + quartile CI bounds), through the
+    * CrossVal.summarize macro shape. */
+  def qCvSummary(s: SparkSession, d: String): DataFrame = {
+    val perFold = qCvGroupMean(s, d)
+    perFold.agg(
+      round(avg(col("score")), 6).as("mean_score"),
+      round(expr("percentile(score, 0.25)"), 6).as("q25_score"),
+      round(expr("percentile(score, 0.75)"), 6).as("q75_score"),
+      round(avg(col("rmse")), 4).as("mean_rmse"))
+  }
+
+  /** Sliding windows (6h length, 3h slide): every event lands in two
+    * overlapping windows; oracle enumerates the two slide offsets. */
+  def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").cast("long").as("wstart"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"))
+
   val queries: Map[String, Q] = Map(
+    "q_cv_summary"     -> qCvSummary,
+    "q_sliding_window" -> qSlidingWindow,
     "q_asof_join"      -> qAsofJoin,
     "q_json_extract"   -> qJsonExtract,
     "q_date_agg"       -> qDateAgg,
@@ -96,6 +119,31 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cv_summary" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_part('day', ts) AS BIGINT) % 3 AS fold, event_type, value
+        |  FROM events),
+        |folds AS (SELECT unnest(generate_series(0, 2)) AS f),
+        |model AS (
+        |  SELECT f, event_type, avg(value) AS pred
+        |  FROM ev, folds WHERE fold != f GROUP BY 1, 2),
+        |perfold AS (
+        |  SELECT fold, round(corr(value, pred), 6) AS score,
+        |    round(sqrt(avg(pow(value - pred, 2))), 4) AS rmse
+        |  FROM ev JOIN model ON ev.fold = model.f AND ev.event_type = model.event_type
+        |  GROUP BY fold)
+        |SELECT round(avg(score), 6) AS mean_score,
+        |  round(quantile_cont(score, 0.25), 6) AS q25_score,
+        |  round(quantile_cont(score, 0.75), 6) AS q75_score,
+        |  round(avg(rmse), 4) AS mean_rmse
+        |FROM perfold""".stripMargin,
+    "q_sliding_window" ->
+      """WITH k AS (SELECT unnest(generate_series(0, 1)) AS k),
+        |w AS (SELECT CAST(floor(epoch(ts) / 10800) * 10800 - k * 10800 AS BIGINT) AS wstart,
+        |    value
+        |  FROM events, k)
+        |SELECT wstart, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_join" ->
       """WITH sign AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
         |u AS (
