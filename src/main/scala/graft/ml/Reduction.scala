@@ -1,0 +1,56 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{PCA, PCAModel, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M11/M12 with a real reducer (`utils.py:132-167` fit_transform_dask,
+  * `tuners.py:149-252` tune_reduction_dask): MLlib PCA as the JVM twin
+  * of the reference's sklearn reductions (SURVEY §2.11 — PCA is the
+  * one with a first-class MLlib twin; Isomap/UMAP/LLE stay
+  * caller-supplied, mirroring the reference's "any sklearn object").
+  *
+  * Fit runs on a bounded deterministic head sample (the reference fits
+  * on `num_fit_rows`), the fitted model broadcasts with the plan, and
+  * the transform is a distributed projection — the manual
+  * `num_splits` chunking evaporates into Spark partitioning.
+  */
+object Reduction {
+
+  /** Fit PCA(k) on the first `nFit` rows (ordered by `orderCol`), then
+    * transform the WHOLE frame; appends `pc_0..pc_{k-1}`. */
+  def pcaFitTransformOnHead(df: DataFrame, featCols: Seq[String], k: Int,
+                            nFit: Int, orderCol: String): (DataFrame, PCAModel) = {
+    val va = new VectorAssembler().setInputCols(featCols.toArray)
+      .setOutputCol("graft_fv")
+    val head = va.transform(df.orderBy(col(orderCol)).limit(nFit))
+    val model = new PCA().setInputCol("graft_fv").setOutputCol("graft_pc")
+      .setK(k).fit(head)
+    val out = model.transform(va.transform(df))
+      .withColumn("graft_pc_arr",
+        org.apache.spark.ml.functions.vector_to_array(col("graft_pc")))
+    val withPcs = (0 until k).foldLeft(out) { (acc, i) =>
+      acc.withColumn(s"pc_$i", col("graft_pc_arr").getItem(i))
+    }.drop("graft_pc_arr")
+    (withPcs.drop("graft_fv", "graft_pc"), model)
+  }
+
+  /** M12 tune_reduction: scan component counts, score each reduced
+    * representation with era-fold CV of the supplied fitter, return the
+    * leaderboard best-first (`tuners.py:149-252`'s loop with Spark jobs
+    * per candidate instead of scattered tasks). */
+  def tuneReduction(df: DataFrame, featCols: Seq[String], eraCol: String,
+                    ks: Seq[Int], nFit: Int, orderCol: String, folds: Int,
+                    fitterFor: Seq[String] => DataFrame => (DataFrame => DataFrame),
+                    score: DataFrame => DataFrame,
+                    metric: String = "spearman"): Seq[(Int, Double)] = {
+    ks.map { k =>
+      val (reduced, _) = pcaFitTransformOnHead(df, featCols, k, nFit, orderCol)
+      val pcCols = (0 until k).map(i => s"pc_$i")
+      val perFold = CrossVal.kfoldScores(reduced, eraCol, folds,
+        fitterFor(pcCols), score)
+      val mean = perFold.agg(avg(col(metric))).head().getDouble(0)
+      k -> mean
+    }.sortBy(-_._2)
+  }
+}

@@ -141,7 +141,22 @@ object MlPack extends QueryPack {
     }.toDF("rank", "alpha", "rmse")
   }
 
+  /** M11/M12/F8 — PCA (the reference's reduction family) fit on a
+    * deterministic head sample, transform distributed; per-component
+    * variance of the projected data as the output relation. Rows-only
+    * (eigendecomposition sign/order is engine-specific). */
+  def qPcaReduce(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.Reduction
+    val (reduced, model) = Reduction.pcaFitTransformOnHead(
+      featureFrame(s, d), featCols, k = 4, nFit = 500, orderCol = "vec_id")
+    val varCols = (0 until 4).map(i =>
+      round(var_samp(col(s"pc_$i")), 6).as(s"var_pc_$i"))
+    reduced.agg(varCols.head, varCols.tail: _*)
+      .withColumn("explained_0", round(lit(model.explainedVariance(0)), 6))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pca_reduce"       -> qPcaReduce,
     "q_hyperband"        -> qHyperband,
     "q_param_sweep"      -> qParamSweep,
     "q_cv_rf"            -> qCvRf,

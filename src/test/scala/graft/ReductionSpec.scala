@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{CrossVal, Progress, Reduction, Scoring}
+
+/** M11/M12/A14: PCA fit-on-head + distributed transform, reduction
+  * tuning loop, and the task-progress listener. */
+class ReductionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val df = {
+    val feats = (0 until 8).map(i => col("embedding").getItem(i).cast("double").as(s"e_$i"))
+    Tables.embeddings(spark, TestSpark.sf).select(
+      (col("vec_id") +: (col("vec_id") % 5).as("era")
+        +: col("label").cast("double").as("target") +: feats): _*)
+  }
+  private val featCols = (0 until 8).map(i => s"e_$i")
+
+  test("PCA fit-on-head transform appends k components, keeps all rows") {
+    val (reduced, model) = Reduction.pcaFitTransformOnHead(
+      df, featCols, k = 3, nFit = 200, orderCol = "vec_id")
+    assert(reduced.count() == df.count())
+    assert((0 until 3).forall(i => reduced.columns.contains(s"pc_$i")))
+    assert(model.explainedVariance.size == 3)
+    // deterministic across runs
+    val (reduced2, _) = Reduction.pcaFitTransformOnHead(
+      df, featCols, k = 3, nFit = 200, orderCol = "vec_id")
+    assert(reduced.select("vec_id", "pc_0").except(
+      reduced2.select("vec_id", "pc_0")).count() == 0)
+  }
+
+  test("tuneReduction returns a best-first leaderboard over k") {
+    def fitter(feats: Seq[String]): org.apache.spark.sql.DataFrame =>
+        (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      _ => test => test.withColumn("pred", feats.map(col).reduce(_ + _))
+    val lb = Reduction.tuneReduction(df, featCols, "era", Seq(2, 4), nFit = 200,
+      orderCol = "vec_id", folds = 2, fitterFor = fitter,
+      score = sc => Scoring.scores(sc, col("era"), col("pred"), col("target"),
+        9.0, col("vec_id")))
+    assert(lb.size == 2)
+    assert(lb.map(_._2) == lb.map(_._2).sorted.reverse)
+  }
+
+  test("Progress listener counts finished tasks for a job") {
+    val (n, finished, failedN) = Progress.tracked(spark) {
+      df.count()
+    }
+    assert(n > 0 && finished > 0 && failedN == 0)
+  }
+}
