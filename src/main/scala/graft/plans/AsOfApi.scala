@@ -19,6 +19,10 @@ object AsOfApi {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOf)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOf
+    }
     val lp = ColumnBridge.analyzed(left)
     // rename right columns behind fresh aliases: keeps this node's
     // captured references valid even when left/right share lineage

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bucketing
+
+/** Write-side bucketing kills the join shuffle; the custom optimizer
+  * rule restores scan pushdown through the custom as-of node. */
+class BucketRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed fact-fact join plans with no shuffle exchange") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "graft_li_b", "l_orderkey", 4)
+    Bucketing.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "graft_o_b", "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_li_b")
+        .join(spark.table("graft_o_b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("custom rule pushes probe-side filters through AsOfJoinNode into the scan") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("t"), col("event_id"),
+        col("event_id").as("pay"))
+    val planned = graft.plans.AsOfApi
+      .asOfJoinPlanned(ev, signups, "user_id", "t", "event_id", "pay")
+      .filter(col("event_type") === "click")
+    val phys = planned.queryExecution.executedPlan.toString
+    // the filter must reach the left parquet scan, not sit above the join
+    assert(phys.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]")
+      || phys.contains("EqualTo(event_type,click)"), phys.take(1200))
+    // and the results match the composition filtered the same way
+    val expect = graft.operators.AsOf
+      .asOfJoin(ev, signups, "user_id", "t", "event_id", "pay")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("pay_asof"))
+    val got = planned.select(col("event_id"), col("pay_asof"))
+    assert(got.except(expect).count() == 0 && expect.except(got).count() == 0)
+  }
+}
