@@ -16,6 +16,19 @@ class BucketRuleSpec extends AnyFunSuite {
       .select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, TestSpark.sf)
       .select("o_orderkey", "o_totalprice")
+    // the in-memory catalog forgets tables between sessions but leaves
+    // their warehouse dirs behind; clear both before re-creating
+    Seq("graft_li_b", "graft_o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Bucketing.writeBucketed(li, "graft_li_b", "l_orderkey", 4)
     Bucketing.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
       "graft_o_b", "l_orderkey", 4)
