@@ -207,7 +207,37 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Token counting (north star: "whitespace + a BPE-ish regex"):
+    * whitespace tokens vs subword-ish units from a GPT-style pattern
+    * (letters / digits / punctuation runs with leading-space folding —
+    * kept RE2-compatible for the oracle: no lookarounds). */
+  def qTokenCount(s: SparkSession, d: String): DataFrame = {
+    val bpe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(TextOps.words(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(lower(col("text")), lit(bpe)).cast("long").as("bpe_tokens"),
+      col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Dedup APPLIED: the canonical document set after dropping the
+    * higher-id member of every >=0.5-Jaccard near-dup pair — exact
+    * dedup composed with the n-gram candidate pipeline, finished with
+    * an anti-join (the actual "train on this" relation). */
+  def qDedupApply(s: SparkSession, d: String): DataFrame = {
+    val pairs = qNgramJaccard(s, d).filter(col("jac") >= 0.5)
+    val drop = pairs.select(col("b").as("doc_id")).distinct()
+    Tables.documents(s, d)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_token_count"   -> qTokenCount,
+    "q_dedup_apply"   -> qDedupApply,
     "q_tfidf_top"     -> qTfidfTop,
     "q_dedup_exact"   -> qDedupExact,
     "q_text_quality"  -> qTextQuality,
@@ -219,6 +249,28 @@ object TextPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS bpe_tokens,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_apply" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id, sh FROM tri),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+        |drop_ids AS (SELECT DISTINCT b AS doc_id
+        |  FROM common JOIN sizes sa ON a=sa.doc_id JOIN sizes sb ON b=sb.doc_id
+        |  WHERE c*1.0/(sa.n+sb.n-c) >= 0.5)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tfidf_top" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
