@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the
+  * cluster-bucketed scale path for similarity search (north star:
+  * "an IVF or LSH-bucketed variant"). Build: KMeans coarse quantizer
+  * over the corpus, each vector assigned to its nearest centroid's
+  * posting list. Search: rank centroids per query, probe the top
+  * `nprobe` lists, exact cosine only within them.
+  *
+  * At 100 TB the posting-list assignment is a write-time partition
+  * key (one shuffle at build), and a query touches nprobe/k of the
+  * data — the candidate join below is keyed on cluster id only.
+  */
+object Ivf {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Corpus -> (vec_id, cluster, v, nrm) posting relation + centroids. */
+  def build(embeddings: DataFrame, k: Int, seed: Long): (DataFrame, Array[Array[Double]]) = {
+    val vecs = embeddings
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cluster").fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("cluster"),
+        vector_to_array(col("features")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Top-k cosine within the `nprobe` closest posting lists per query.
+    * `queries`: (q_id, qv double array). Probe sets are computed from
+    * the (tiny) centroid matrix and broadcast as a (q_id, cluster)
+    * relation — the candidate join is cluster-keyed. */
+  def search(posting: DataFrame, centroids: Array[Array[Double]],
+             queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val spark = posting.sparkSession
+    import spark.implicits._
+    val qLocal = queries.select(col("q_id"), col("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = qLocal.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex.map { case (c, ci) =>
+        val d = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, ci, d)
+      }.sortBy(_._3).take(nprobe).map(t => (t._1, t._2))
+    }.toSeq.toDF("q_id", "cluster")
+    val cand = posting.join(broadcast(probes), "cluster")
+    val withQ = cand.join(broadcast(queries.select(col("q_id").as("qid2"),
+        col("qv"), col("qn"))), col("q_id") === col("qid2"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    withQ.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"), col("rank"))
+  }
+}

@@ -97,10 +97,30 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("a"), col("b"))
   }
 
+  /** IVF ANN with recall measurement: KMeans(16) coarse quantizer,
+    * probe the 4 closest lists per query, exact cosine within them;
+    * reports recall@5 against the brute-force answer per query.
+    * Rows-only (KMeans centroids are engine-specific). */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Ivf
+    val (posting, centroids) = Ivf.build(Tables.embeddings(s, d), k = 16, seed = 42)
+    val queries = posting.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val ivfTop = Ivf.search(posting, centroids, queries, nprobe = 4, topK = 5)
+      .select(col("q_id"), col("n_id"))
+    val exactTop = qAnnCosine(s, d).select(col("q_id").as("qe"), col("n_id").as("ne"))
+    ivfTop.join(exactTop, col("q_id") === col("qe") && col("n_id") === col("ne"),
+        "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      .select(col("q_id"), round(col("hits") / 5.0, 2).as("recall_at_5"))
+      .orderBy(col("q_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_cosine"      -> qAnnCosine,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_embed_neardup"   -> qEmbedNeardup,
+    "q_ann_ivf"         -> qAnnIvf,
   )
 
   val oracles: Map[String, String] = Map(
