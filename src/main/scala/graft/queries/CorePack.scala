@@ -229,7 +229,65 @@ object CorePack extends QueryPack {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** TPC-H Q3-shaped: shipping-priority top-10 — segment filter on the
+    * dim side, date split across orders/lineitem, grouped revenue,
+    * distributed top-k. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cut)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cut)
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Correlated EXISTS (TPC-H Q4 shape) through the SQL facade —
+    * fixture tables registered as temp views, query text through
+    * spark.sql (the engine's SQL surface). */
+  def qExistsCorrelated(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM graft_orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Scalar subquery through the SQL facade: orders above 1.9x the
+    * average price, counted per status. */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price
+        |FROM graft_orders
+        |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM graft_orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** U-family completion: INTERSECT of two customer selections. */
+  def qIntersect(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val autos = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val buyers = o.select(col("o_custkey").as("c_custkey")).distinct()
+    autos.intersect(buyers).orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q_exists_correlated"  -> qExistsCorrelated,
+    "q_scalar_subquery"    -> qScalarSubquery,
+    "q_intersect"          -> qIntersect,
     "q1_pricing_summary" -> q1PricingSummary,
     "q_filter_project"   -> qFilterProject,
     "q_join_star"        -> qJoinStar,
@@ -253,6 +311,33 @@ object CorePack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_exists_correlated" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n, round(min(o_totalprice), 2) AS min_price
+        |FROM orders
+        |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders
+        |ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 0) AS sum_base,
