@@ -107,7 +107,38 @@ object EventsPack extends QueryPack {
       .select(col("w.start").cast("long").as("wstart"), col("n"), col("sum_value"))
       .orderBy(col("wstart"))
 
+  /** Offset windows (engine-new; SURVEY §2.5 notes the reference has
+    * none): per-user lag/lead deltas over the event stream. */
+  def qLagLead(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - col("prev_value"), 2).as("delta_prev"),
+        col("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Frame specs (engine-new): running per-user sum and count with an
+    * explicit ROWS UNBOUNDED PRECEDING frame. */
+  def qRunningSum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lag_lead"       -> qLagLead,
+    "q_running_sum"    -> qRunningSum,
     "q_cv_summary"     -> qCvSummary,
     "q_sliding_window" -> qSlidingWindow,
     "q_asof_join"      -> qAsofJoin,
@@ -119,6 +150,18 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_lag_lead" ->
+      """SELECT event_id, user_id,
+        | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta_prev,
+        | lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        | count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_cv_summary" ->
       """WITH ev AS (
         |  SELECT CAST(date_part('day', ts) AS BIGINT) % 3 AS fold, event_type, value
