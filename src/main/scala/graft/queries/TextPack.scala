@@ -48,8 +48,11 @@ object TextPack extends QueryPack {
     * via shingle-equality join (only docs sharing a shingle are ever
     * compared), Jaccard = |∩| / (|A|+|B|-|∩|). */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // join on 60-bit shingle hashes, not strings: same counts
+    // (collision odds ~ |shingles|^2 / 2^61), far cheaper shuffle keys
     val dsh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh0"))
+      .select(col("doc_id"), TextOps.hash60(col("sh0")).as("sh"))
       .persist() // reused by both join sides and the size table
     val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val x = dsh.select(col("doc_id").as("a"), col("sh"))
@@ -261,7 +264,8 @@ object TextPack extends QueryPack {
         |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
         |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
         |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
-        |dsh AS (SELECT DISTINCT doc_id, sh FROM tri),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT AS sh FROM tri),
         |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
         |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
@@ -302,7 +306,8 @@ object TextPack extends QueryPack {
         |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
         |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
         |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
-        |dsh AS (SELECT DISTINCT doc_id, sh FROM tri),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT AS sh FROM tri),
         |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
         |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2)
