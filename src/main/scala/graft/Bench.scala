@@ -29,16 +29,21 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       // drop per-query persisted frames so cache pressure from one
       // query never skews the next one's timing
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (ok, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (ok, v)) =>
+      // a failed query is recorded as a negative time so a fast
+      // failure can never read as a fast pass
+      s"\"" + k + "\":" + (if (ok) v else -v)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (false, _)) => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

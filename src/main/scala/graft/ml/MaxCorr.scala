@@ -58,7 +58,10 @@ object MaxCorr {
     while (iter < maxIter && gain > tol) {
       phi = standardize(smooth(theta, bx))   // E[theta(y) | x]
       theta = standardize(smooth(phi, by))   // E[phi(x) | y]
-      val c = math.abs(corrOf(phi, theta))
+      // signed, matching the reference's convention (distance_func
+      // .py:34 uses 1 - corr, not 1 - |corr|): a negatively-correlated
+      // transform pair yields a distance > 1 there too
+      val c = corrOf(phi, theta)
       gain = math.abs(c - last)
       last = c
       iter += 1

@@ -89,30 +89,52 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
 
       val rBuf = rIter.buffered
+      var started = false
       var curKey: Any = null
       var curPay: Any = null
       var havePay = false
+      // UnsafeProjection reuses its output row buffer across calls, so
+      // for buffer-backed types (UTF8String / Decimal / binary) any
+      // value cached across iterations MUST be copied out — otherwise
+      // the next projection call silently rewrites what curKey/curPay
+      // point at and key-change detection compares the buffer to
+      // itself. InternalRow.copyValue is a no-op for primitives.
+      def sameKey(a: Any, b: Any): Boolean =
+        if (a == null || b == null) a == null && b == null
+        else keyOrd.compare(a, b) == 0
 
       lIter.map { lRow =>
-        val k = lKeyProj(lRow).get(0, keyType)
+        val k = InternalRow.copyValue(lKeyProj(lRow).get(0, keyType))
         val t = lTimeProj(lRow).get(0, timeType)
-        if (curKey == null || keyOrd.compare(curKey, k) != 0) {
+        if (!started || !sameKey(curKey, k)) {
           // entering a new left key: reset state, skip right rows of
-          // smaller keys
-          curKey = k; curPay = null; havePay = false
-          while (rBuf.hasNext &&
-            keyOrd.compare(rKeyProj(rBuf.head).get(0, keyType), k) < 0) rBuf.next()
+          // smaller keys (null right keys sort first and match nothing)
+          started = true; curKey = k; curPay = null; havePay = false
+          if (k != null) {
+            var skipping = true
+            while (skipping && rBuf.hasNext) {
+              val rKeyV = rKeyProj(rBuf.head).get(0, keyType)
+              if (rKeyV == null || keyOrd.compare(rKeyV, k) < 0) rBuf.next()
+              else skipping = false
+            }
+          }
         }
-        // consume right rows of this key with time <= t
-        var advancing = true
+        // consume right rows of this key with time <= t; a null left
+        // key or null left time matches no right row (SQL semantics),
+        // and a null-time right row matches nothing ever so it is
+        // consumed rather than left to block the scan
+        var advancing = k != null
         while (advancing && rBuf.hasNext) {
           val rHead = rBuf.head
           val rKeyV = rKeyProj(rHead).get(0, keyType)
-          if (keyOrd.compare(rKeyV, k) == 0 &&
-              timeOrd.compare(rTimeProj(rHead).get(0, timeType), t) <= 0) {
-            curPay = rPayProj(rHead).get(0, pay.dataType)
-            havePay = true
-            rBuf.next()
+          if (rKeyV != null && keyOrd.compare(rKeyV, k) == 0) {
+            val rTimeV = rTimeProj(rHead).get(0, timeType)
+            if (rTimeV == null) rBuf.next()
+            else if (t != null && timeOrd.compare(rTimeV, t) <= 0) {
+              curPay = InternalRow.copyValue(rPayProj(rHead).get(0, pay.dataType))
+              havePay = true
+              rBuf.next()
+            } else advancing = false
           } else advancing = false
         }
         extra.update(0, if (havePay) curPay else null)

@@ -116,11 +116,10 @@ object MlPack extends QueryPack {
     val ev = Tables.events(s, d)
       .select(col("event_id"), (Tables.eraOfTs(col("ts")) % 2).as("fold"),
         col("event_type"), col("value"))
-      .orderBy(col("event_id")).persist()
-    val n = ev.count()
+      .persist()
     def evaluate(config: Map[String, Double], frac: Double): Double = {
       val alpha = config("alpha")
-      val head = ev.limit(math.max(100, (frac * n).toInt))
+      val head = hashFraction(ev, "event_id", frac)
       val train = head.filter(col("fold") === 0)
       val test = head.filter(col("fold") === 1)
       val gm = train.groupBy(col("event_type").as("et")).agg(avg(col("value")).as("gm"))
@@ -140,6 +139,16 @@ object MlPack extends QueryPack {
         math.rint(-t.score * 1e4) / 1e4)
     }.toDF("rank", "alpha", "rmse")
   }
+
+  /** Deterministic hash-fraction sample — the scale-safe rung subset
+    * for qHyperband: a scan-local codegen'd predicate with no global
+    * sort, no single-partition GlobalLimit funnel, and no extra
+    * count() action (the orderBy+limit head form degenerates to a
+    * driver-side pull at scale). Exposed for plan-shape tests. */
+  def hashFraction(df: DataFrame, keyCol: String, frac: Double): DataFrame =
+    if (frac >= 1.0) df
+    else df.filter(pmod(xxhash64(col(keyCol)), lit(10000L))
+      < lit(math.max(1L, (frac * 10000).toLong)))
 
   /** M11/M12/F8 — PCA (the reference's reduction family) fit on a
     * deterministic head sample, transform distributed; per-component

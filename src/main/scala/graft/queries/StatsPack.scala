@@ -48,11 +48,14 @@ object StatsPack extends QueryPack {
         - avg(col("ax")).over(wj) + avg(col("ax")).over(wAll))
       .withColumn("cay", col("ay") - avg(col("ay")).over(wi)
         - avg(col("ay")).over(wj) + avg(col("ay")).over(wAll))
+    // dcor = sqrt(dcov2_xy) / (dcov2_xx * dcov2_yy)^(1/4)
+    //      = sqrt( avg(cax*cay) / sqrt(avg(cax^2) * avg(cay^2)) )
+    // (distance_func.py:62's A^1/2/(BC)^1/4, bounded by 1)
     centered.agg(
-      round(sqrt(sqrt(
-        pow(avg(col("cax") * col("cay")), 2)
-          / (sqrt(avg(col("cax") * col("cax"))) * sqrt(avg(col("cay") * col("cay"))))
-      )), 6).as("dcor"))
+      round(sqrt(
+        avg(col("cax") * col("cay"))
+          / sqrt(avg(col("cax") * col("cax")) * avg(col("cay") * col("cay")))
+      ), 6).as("dcor"))
   }
 
   /** M10-shaped additive attribution for a closed-form model: OLS
@@ -138,8 +141,8 @@ object StatsPack extends QueryPack {
         |         ay - avg(ay) OVER (PARTITION BY i) - avg(ay) OVER (PARTITION BY j)
         |           + avg(ay) OVER () AS cay
         |  FROM pairs)
-        |SELECT round(sqrt(sqrt(pow(avg(cax * cay), 2)
-        |  / (sqrt(avg(cax * cax)) * sqrt(avg(cay * cay))))), 6) AS dcor
+        |SELECT round(sqrt(avg(cax * cay)
+        |  / sqrt(avg(cax * cax) * avg(cay * cay))), 6) AS dcor
         |FROM centered""".stripMargin,
     "q_ols_contrib" ->
       """WITH li AS (SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y FROM lineitem),

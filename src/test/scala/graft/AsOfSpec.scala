@@ -47,6 +47,34 @@ class AsOfSpec extends AnyFunSuite {
     assert(viaWindow.except(viaPlan).count() == 0)
   }
 
+  test("planned as-of: string keys + string payloads (buffer-backed) and null keys") {
+    // UTF8String values read from an UnsafeProjection are backed by a
+    // reused buffer — caching them across rows without copying makes
+    // key-change detection compare the buffer to itself, so per-key
+    // state never resets. "cc" has no refs: with the bug it inherits
+    // a stale payload from an earlier key instead of null.
+    val probe = Seq(
+      (Some("aa"), 5L, 1L), (Some("aa"), 15L, 2L),
+      (Some("bb"), 12L, 3L), (Some("bb"), 30L, 4L),
+      (Some("cc"), 99L, 5L), (None: Option[String], 10L, 6L))
+      .toDF("k", "t", "id")
+    val ref = Seq(
+      ("aa", 10L, 100L, "pay_aa_10"),
+      ("bb", 10L, 101L, "pay_bb_10"), ("bb", 20L, 102L, "pay_bb_20"))
+      .toDF("k", "t", "id", "pay")
+    val planned = graft.plans.AsOfApi.asOfJoinPlanned(probe, ref, "k", "t", "id", "pay")
+    assert(planned.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val got = planned.select(col("id"), col("pay_asof")).orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq(
+      (1L, None),                 // t=5: before aa's first ref
+      (2L, Some("pay_aa_10")),
+      (3L, Some("pay_bb_10")),
+      (4L, Some("pay_bb_20")),
+      (5L, None),                 // cc: no refs -> must NOT inherit bb's
+      (6L, None)))                // null key matches nothing
+  }
+
   test("cogroup sort-merge equals the window composition on the fixture") {
     val ev = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), expr("unix_micros(ts)").as("t"),

@@ -32,6 +32,24 @@ class TextInfoSpec extends AnyFunSuite {
     assert(h == h2)
   }
 
+  test("langid predicts by argmax over all languages, not each-vs-English") {
+    // s_de=5 > s_es=3 > s_en=0: the old when-chain compared each
+    // language only against English in fixed order and mislabeled
+    // this doc "es"; argmax must say "de"
+    val docs = Seq(
+      (1L, "de", "der die und das ist el la es"),
+      (2L, "en", "the a of and is"),
+      (3L, "fr", "le les et est der"),
+      (4L, "xx", "zzz qqq www")) // no markers at all -> en fallback
+      .toDF("doc_id", "lang", "text")
+    val got = graft.queries.TextPack.langidScore(docs)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) == "de")
+    assert(got(2L) == "en")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "en")
+  }
+
   test("VI(x, x) = 0 and VI is symmetric") {
     val df = (1 to 200).map(i => (i.toDouble % 7, (i * 13 % 11).toDouble))
       .toDF("x", "y")
