@@ -61,6 +61,52 @@ object Clustering {
     scores.sum / n
   }
 
+  /** k-medoids over a precomputed distance matrix — the reference's
+    * second scanned algorithm (`feature_clustering.py:84-105`,
+    * sklearn_extra KMedoids, metric='precomputed'). PAM with a
+    * deterministic BUILD init (first medoid minimizes total distance;
+    * each next medoid maximizes cost reduction, ties by index — the
+    * deterministic stand-in for k-medoids++ seeding) and best-swap
+    * refinement to a local optimum. Labels are densely re-numbered by
+    * smallest member index, same convention as [[agglomerate]]. */
+  def kMedoids(dist: Array[Array[Double]], k: Int, maxIter: Int = 200): Array[Int] = {
+    val n = dist.length
+    require(k >= 1 && k <= n)
+    val medoids = scala.collection.mutable.ArrayBuffer[Int]()
+    medoids += (0 until n).minBy(i => (dist(i).sum, i))
+    while (medoids.size < k) {
+      val nearest = Array.tabulate(n)(j => medoids.map(dist(j)).min)
+      val cand = (0 until n).filterNot(medoids.contains)
+        .maxBy(c => ((0 until n).map(j => math.max(0.0, nearest(j) - dist(c)(j))).sum, -c))
+      medoids += cand
+    }
+    def cost(ms: Seq[Int]): Double =
+      (0 until n).map(j => ms.map(dist(j)).min).sum
+    var cur = medoids.toVector.sorted
+    var curCost = cost(cur)
+    var improved = true
+    var iter = 0
+    while (improved && iter < maxIter) {
+      improved = false
+      iter += 1
+      val swaps = for {
+        m <- cur; h <- 0 until n if !cur.contains(h)
+      } yield (cur.filterNot(_ == m) :+ h).sorted
+      if (swaps.nonEmpty) {
+        val best = swaps.minBy(ms => (cost(ms), ms.mkString(",")))
+        val bestCost = cost(best)
+        if (bestCost < curCost - 1e-12) {
+          cur = best; curCost = bestCost; improved = true
+        }
+      }
+    }
+    val labelsRaw = Array.tabulate(n)(j => cur.minBy(m => (dist(j)(m), m)))
+    val labelOf = new Array[Int](n)
+    labelsRaw.indices.groupBy(labelsRaw(_)).toSeq.sortBy(_._2.min).zipWithIndex
+      .foreach { case ((_, members), lbl) => members.foreach(i => labelOf(i) = lbl) }
+    labelOf
+  }
+
   /** W2 argmax scan over candidate cluster counts: fit each k, keep the
     * best silhouette (`feature_clustering.py:53-131`). */
   def optimalClusters(dist: Array[Array[Double]], ks: Seq[Int]): (Int, Array[Int], Double) =
@@ -68,4 +114,20 @@ object Clustering {
       val labels = agglomerate(dist, k)
       (k, labels, silhouette(dist, labels))
     }.maxBy(_._3)
+
+  /** The reference's full algorithm scan (`feature_clustering.py:
+    * 53-131` tries agglomerative AND k-medoids, silhouette-selected):
+    * every (algorithm, k) fit, the best labeling wins; ties prefer
+    * the algorithm name then smaller k, deterministically. */
+  def optimalClustersScan(dist: Array[Array[Double]],
+                          ks: Seq[Int]): (String, Int, Array[Int], Double) =
+    (for {
+      (name, fit) <- Seq[(String, (Array[Array[Double]], Int) => Array[Int])](
+        "agglomerative" -> (agglomerate(_, _)),
+        "kmedoids" -> (kMedoids(_, _)))
+      k <- ks
+    } yield {
+      val labels = fit(dist, k)
+      (name, k, labels, silhouette(dist, labels))
+    }).maxBy { case (name, k, _, sil) => (sil, name, -k) }
 }

@@ -206,6 +206,20 @@ object CorePack extends QueryPack {
       .orderBy(col("o_orderkey")).limit(500)
       .agg(round(sum(col("o_totalprice")), 0).as("sum_price"), count(lit(1)).as("n"))
 
+  /** T4 — seeded distributed random sample (`#cell-7`'s
+    * `num_x.sample(n=...)`): Bernoulli split-local sampling at
+    * fraction 0.1, seed 42, summarized per order status. Rows-only
+    * check by design — `rand(seed)` streams are engine-specific, not
+    * ANSI-portable — with the multiset/subset/determinism properties
+    * pinned by PropertySpec instead. Scale shape: the sample is a
+    * scan-local filter (no shuffle, no driver collect). */
+  def qSeededSample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 0).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
   /** F5/P8 — scalar math battery + payout clip (`utils.py:55`). */
   def qMathFuncs(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(
@@ -306,6 +320,7 @@ object CorePack extends QueryPack {
     "q_outer_join"       -> qOuterJoin,
     "q_corr_stats"       -> qCorrStats,
     "q_sample_head"      -> qSampleHead,
+    "q_seeded_sample"    -> qSeededSample,
     "q_math_funcs"       -> qMathFuncs,
     "q_rollup"           -> qRollup,
   )

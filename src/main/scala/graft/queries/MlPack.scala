@@ -57,13 +57,14 @@ object MlPack extends QueryPack {
       val (i, j, dv) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
       dist(i)(j) = dv; dist(j)(i) = dv
     }
-    val (k, labels, sil) = Clustering.optimalClusters(dist, Seq(2, 3, 4))
+    val (algo, k, labels, sil) = Clustering.optimalClustersScan(dist, Seq(2, 3, 4))
     labels.zipWithIndex.map { case (lbl, i) => (lbl.toLong, s"e_$i") }
       .toSeq.toDF("label", "feature")
       .groupBy(col("label"))
       .agg(array_join(sort_array(collect_list(col("feature"))), ",").as("members"),
         count(lit(1)).as("n"))
       .withColumn("k", lit(k.toLong))
+      .withColumn("algorithm", lit(algo))
       .withColumn("silhouette", round(lit(sil), 6))
       .orderBy(col("label"))
   }
@@ -140,6 +141,59 @@ object MlPack extends QueryPack {
     }.toDF("rank", "alpha", "rmse")
   }
 
+  /** M8 — forward selection (`feature_selection_numerai.py:157-246`,
+    * `mean_decrease_accuracy_tune`): features ranked by a univariate
+    * importance (the feat_score input), then for n = 1..7 the top-n
+    * subset is scored under 2-fold era CV and the leaderboard is
+    * sorted by held-out score — the reference's (n, spearman, qme)
+    * output shape. The "model" is the deterministic additive
+    * univariate-OLS pred = my + Σ beta_f (x_f - mx_f) fit on the fold
+    * complement (the q_cv_group_mean precedent), so the whole loop is
+    * ONE Catalyst plan and fully oracle-checkable.
+    *
+    * Scale shape: the reference scatters per-(n, fold) matrix copies
+    * to workers; here the n x folds grid is a broadcast (ranks, betas,
+    * ns are tiny), the fact is scanned once through the unpivot, and
+    * the only wide shuffle is the groupBy on (n_feats, fold, vec_id).
+    */
+  def qForwardSelect(s: SparkSession, d: String): DataFrame = {
+    val stackExpr = "stack(8, " +
+      (0 until 8).map(i => s"'e_$i', e_$i").mkString(", ") + ") AS (feat, x)"
+    // unpivot: one scan feeds every (feature, row) variant
+    val long = featureFrame(s, d)
+      .selectExpr("vec_id", "era % 2 AS fold", "target", stackExpr)
+    // feat_score: univariate |corr| ranking (the MDA-score stand-in)
+    val ranked = long.groupBy(col("feat"))
+      .agg(abs(corr(col("x"), col("target"))).as("imp"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("imp").desc, col("feat"))).cast("long"))
+      .select(col("feat"), col("rank"))
+    val folds = s.range(0, 2).select(col("id").as("f"))
+    val beta = long.join(broadcast(folds), col("fold") =!= col("f"))
+      .groupBy(col("f"), col("feat").as("bfeat"))
+      .agg((covar_samp(col("x"), col("target")) / var_samp(col("x"))).as("beta"),
+        avg(col("x")).as("mx"), avg(col("target")).as("my"))
+    val ns = s.range(1, 8).select(col("id").as("n_feats"))
+    val contrib = long
+      .join(broadcast(beta), col("fold") === col("f") && col("feat") === col("bfeat"))
+      .join(broadcast(ranked), "feat")
+      .crossJoin(broadcast(ns))
+      .filter(col("rank") <= col("n_feats"))
+    val preds = contrib
+      .groupBy(col("n_feats"), col("fold"), col("vec_id"))
+      .agg(max(col("target")).as("y"),
+        (max(col("my")) + sum(col("beta") * (col("x") - col("mx")))).as("pred"))
+    preds
+      .groupBy(col("n_feats"), col("fold"))
+      .agg(corr(col("y"), col("pred")).as("sc"),
+        avg(pow(col("y") - col("pred"), 4)).as("qme_f"))
+      .groupBy(col("n_feats"))
+      .agg(round(avg(col("sc")), 6).as("score"),
+        round(avg(col("qme_f")), 6).as("qme"))
+      .orderBy(col("score").desc, col("n_feats"))
+  }
+
   /** Deterministic hash-fraction sample — the scale-safe rung subset
     * for qHyperband: a scan-local codegen'd predicate with no global
     * sort, no single-partition GlobalLimit funnel, and no extra
@@ -165,6 +219,7 @@ object MlPack extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_forward_select"   -> qForwardSelect,
     "q_pca_reduce"       -> qPcaReduce,
     "q_hyperband"        -> qHyperband,
     "q_param_sweep"      -> qParamSweep,
@@ -175,6 +230,41 @@ object MlPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_forward_select" -> {
+      val feats = (0 until 8).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) AS e_$i").mkString(", ")
+      val cases = (0 until 8).map(i =>
+        s"WHEN 'e_$i' THEN e_$i").mkString(" ")
+      val vals = (0 until 8).map(i => s"('e_$i')").mkString(", ")
+      s"""WITH ff AS (SELECT vec_id, vec_id % 10 AS era,
+         |    CAST(label AS DOUBLE) AS target, $feats FROM embeddings),
+         |long AS (SELECT vec_id, era % 2 AS fold, target, fe.feat,
+         |    CASE fe.feat $cases END AS x
+         |  FROM ff, (VALUES $vals) fe(feat)),
+         |ranked AS (SELECT feat,
+         |    row_number() OVER (ORDER BY abs(corr(x, target)) DESC, feat) AS rank
+         |  FROM long GROUP BY feat),
+         |folds AS (SELECT unnest(generate_series(0, 1)) AS f),
+         |beta AS (SELECT f, feat AS bfeat,
+         |    covar_samp(x, target) / var_samp(x) AS beta,
+         |    avg(x) AS mx, avg(target) AS my
+         |  FROM long, folds WHERE fold != f GROUP BY 1, 2),
+         |ns AS (SELECT unnest(generate_series(1, 7)) AS n_feats),
+         |contrib AS (SELECT n_feats, l.fold, l.vec_id, l.target, b.my,
+         |    b.beta * (l.x - b.mx) AS c
+         |  FROM long l JOIN beta b ON l.fold = b.f AND l.feat = b.bfeat
+         |       JOIN ranked r ON l.feat = r.feat
+         |       CROSS JOIN ns
+         |  WHERE r.rank <= n_feats),
+         |preds AS (SELECT n_feats, fold, vec_id, max(target) AS y,
+         |    max(my) + sum(c) AS pred
+         |  FROM contrib GROUP BY 1, 2, 3),
+         |scores AS (SELECT n_feats, fold, corr(y, pred) AS sc,
+         |    avg(pow(y - pred, 4)) AS qme_f
+         |  FROM preds GROUP BY 1, 2)
+         |SELECT n_feats, round(avg(sc), 6) AS score, round(avg(qme_f), 6) AS qme
+         |FROM scores GROUP BY 1 ORDER BY score DESC, n_feats""".stripMargin
+    },
     "q_param_sweep" ->
       """WITH ev AS (SELECT CAST(date_part('day', ts) AS BIGINT) % 2 AS fold,
         |    event_type, value FROM events),

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** SURVEY §2.10 surfaced to the driver: the Structured Streaming
+  * pipeline run end-to-end as a checkable query, not just a test.
+  * The file source replays the events fixture as a stream, the
+  * watermarked tumbling-window aggregation drains to completion into
+  * a memory sink, and the sink table is returned — by construction
+  * equal to the batch twin `q_tumbling_window` (same 6-hour windows),
+  * so the identical DuckDB SQL oracle checks the streaming path.
+  */
+object StreamPack extends QueryPack {
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def qStreamTumbling(s: SparkSession, d: String): DataFrame =
+    EventStream.runOnce(s, d, s"graft_stream_q${runSeq.incrementAndGet()}")
+      .orderBy(col("wstart"))
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> qStreamTumbling,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical windows to q_tumbling_window's oracle (epoch-aligned
+    // 6-hour buckets); the streaming path must reproduce the batch
+    // answer exactly once drained
+    "q_stream_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
