@@ -62,13 +62,16 @@ def main():
         for c in g.columns:
             a, b = g[c].values, e[c].values
             if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
-                ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
+                # atol matched to the round(..., 6) convention both engines
+                # use: a 1-ulp difference at a .5 rounding boundary flips the
+                # last digit; bit-exact compare would fail spuriously
+                ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1.5e-6, equal_nan=True)
             else:
                 ok = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
             if not ok:
                 bad = None
                 try:
-                    m = ~np.isclose(a.astype(float), b.astype(float), equal_nan=True)
+                    m = ~np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1.5e-6, equal_nan=True)
                     i = int(np.argmax(m))
                     bad = f"col={c} row={i} spark={a[i]!r} duck={b[i]!r}"
                 except Exception:
