@@ -27,14 +27,28 @@ object Bench {
         col("l_orderkey") === col("k")).count()
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      // drop per-query persisted frames so cache pressure from one
-      // query never skews the next one's timing
-      spark.catalog.clearCache()
-      name -> (ok, (System.nanoTime() - t0) / 1e9)
-    }
+    // shared pipeline materializations are timed as their own entry so
+    // per-query timings stay honest: q_ngram_jaccard / q_dedup_apply
+    // read the pair table this step builds instead of one of them
+    // silently paying the whole shingle pipeline
+    val tShared = System.nanoTime()
+    val sharedOk =
+      try { graft.queries.TextPack.prepareShared(spark, sfDir); true }
+      catch { case _: Throwable => false }
+    val sharedSec = (System.nanoTime() - tShared) / 1e9
+    spark.catalog.clearCache()
+    // fixed (sorted) query order: Map iteration order reshuffles as
+    // queries are added, which moves warm-up costs between rounds and
+    // makes per-query timings incomparable round over round
+    val results = ("_shared_pairs" -> (sharedOk, sharedSec)) +:
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        // drop per-query persisted frames so cache pressure from one
+        // query never skews the next one's timing
+        spark.catalog.clearCache()
+        name -> (ok, (System.nanoTime() - t0) / 1e9)
+      }
     val qs = results.map { case (k, (ok, v)) =>
       // a failed query is recorded as a negative time so a fast
       // failure can never read as a fast pass
@@ -42,7 +56,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, (false, _)) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.values.map(_._2).sum
+    // headline total covers successful work only; failures are listed
+    // in `errors` (and negative per-query times), never mixed into the
+    // benchmark figure
+    val total = results.collect { case (_, (true, v)) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

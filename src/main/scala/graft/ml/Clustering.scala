@@ -107,6 +107,45 @@ object Clustering {
     labelOf
   }
 
+  /** Density-based clustering over a precomputed distance matrix — the
+    * deterministic stand-in for the reference's third scanned
+    * algorithm, HDBSCAN (`feature_clustering.py:108-131`, min-cluster-
+    * size scan, metric='precomputed'). Classic DBSCAN reachability:
+    * core point = >= minPts neighbors within eps (self included);
+    * clusters grow by BFS from core points in index order (ties are
+    * index-deterministic); non-reachable points are noise. Noise keeps
+    * the single label -1 — the same convention sklearn's silhouette
+    * sees from HDBSCAN's fit_predict (noise scored as one group). */
+  def dbscan(dist: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] = {
+    val n = dist.length
+    val labels = Array.fill(n)(Int.MinValue) // unvisited
+    val core = Array.tabulate(n)(i => (0 until n).count(j => dist(i)(j) <= eps) >= minPts)
+    var cid = 0
+    for (i <- 0 until n if core(i) && labels(i) == Int.MinValue) {
+      labels(i) = cid
+      val queue = scala.collection.mutable.Queue(i)
+      while (queue.nonEmpty) {
+        val p = queue.dequeue()
+        if (core(p)) {
+          for (q <- 0 until n if dist(p)(q) <= eps && labels(q) == Int.MinValue) {
+            labels(q) = cid
+            queue.enqueue(q)
+          }
+        }
+      }
+      cid += 1
+    }
+    labels.map(l => if (l == Int.MinValue) -1 else l)
+  }
+
+  /** The eps heuristic for [[dbscan]] at a given minPts: the median of
+    * every point's minPts-th-smallest distance (self included) — the
+    * standard k-distance elbow stand-in, fully deterministic. */
+  def epsFor(dist: Array[Array[Double]], minPts: Int): Double = {
+    val kd = dist.map(row => row.sorted.apply(math.min(minPts, row.length - 1)))
+    kd.sorted.apply(kd.length / 2)
+  }
+
   /** W2 argmax scan over candidate cluster counts: fit each k, keep the
     * best silhouette (`feature_clustering.py:53-131`). */
   def optimalClusters(dist: Array[Array[Double]], ks: Seq[Int]): (Int, Array[Int], Double) =
@@ -115,16 +154,25 @@ object Clustering {
       (k, labels, silhouette(dist, labels))
     }.maxBy(_._3)
 
-  /** The reference's full algorithm scan (`feature_clustering.py:
-    * 53-131` tries agglomerative AND k-medoids, silhouette-selected):
-    * every (algorithm, k) fit, the best labeling wins; ties prefer
-    * the algorithm name then smaller k, deterministically. */
+  /** Full algorithm scan — a DELIBERATE extension of the reference:
+    * `get_optimal_clusters` (`feature_clustering.py:39-132`) scans the
+    * parameter only WITHIN one caller-chosen type (singlelink /
+    * kmedoids / hdbscan) and scores mean/var of per-sample silhouettes;
+    * here all three algorithm families enter one scan scored by MEAN
+    * silhouette (mean/var is unstable as var -> 0 on near-uniform
+    * labelings), so the caller gets the best (algorithm, param) pair
+    * in one call. For the density family each k plays HDBSCAN's
+    * min-cluster-size role: minPts = k with the [[epsFor]] k-distance
+    * heuristic. Determinism: ties resolve to the lexicographically
+    * GREATEST algorithm name — concretely "kmedoids" > "density" >
+    * "agglomerative" — then the SMALLER k. */
   def optimalClustersScan(dist: Array[Array[Double]],
                           ks: Seq[Int]): (String, Int, Array[Int], Double) =
     (for {
       (name, fit) <- Seq[(String, (Array[Array[Double]], Int) => Array[Int])](
         "agglomerative" -> (agglomerate(_, _)),
-        "kmedoids" -> (kMedoids(_, _)))
+        "kmedoids" -> (kMedoids(_, _)),
+        "density" -> ((d, k) => dbscan(d, epsFor(d, k), k)))
       k <- ks
     } yield {
       val labels = fit(dist, k)

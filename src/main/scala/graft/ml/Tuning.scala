@@ -54,7 +54,18 @@ object Tuning {
     * Returns all surviving trials of the final rung, best first.
     */
   def hyperband(params: Seq[Param], maxResource: Double, eta: Int, seed: Long)
-               (evaluate: (Map[String, Double], Double) => Double): Seq[Trial] = {
+               (evaluate: (Map[String, Double], Double) => Double): Seq[Trial] =
+    hyperbandBatch(params, maxResource, eta, seed)(
+      (cs, frac) => cs.map(evaluate(_, frac)))
+
+  /** Hyperband with RUNG-batched evaluation: `evaluateBatch` scores a
+    * whole rung's configs at once (same order as given) so a Spark
+    * caller can fold them into ONE cross-joined plan / one action per
+    * rung instead of a job per (config, rung) — the scale-safe shape
+    * when each evaluation is a cluster job, not a local function.
+    * Identical control flow and results to [[hyperband]]. */
+  def hyperbandBatch(params: Seq[Param], maxResource: Double, eta: Int, seed: Long)
+                    (evaluateBatch: (Seq[Map[String, Double]], Double) => Seq[Double]): Seq[Trial] = {
     val sMax = (math.log(maxResource) / math.log(eta)).toInt
     val brackets = (sMax to 0 by -1).map { s =>
       val n0 = math.ceil((sMax + 1).toDouble / (s + 1) * math.pow(eta, s)).toInt
@@ -64,7 +75,8 @@ object Tuning {
       var trials = Seq.empty[Trial]
       var rung = 0
       while (configs.nonEmpty && rung <= s) {
-        trials = configs.map(c => Trial(c, evaluate(c, math.min(1.0, r / maxResource))))
+        val scores = evaluateBatch(configs, math.min(1.0, r / maxResource))
+        trials = configs.zip(scores).map { case (c, sc) => Trial(c, sc) }
           .sortBy(-_.score)
         val keep = math.max(1, configs.size / eta)
         configs = trials.take(keep).map(_.config)

@@ -220,6 +220,21 @@ object CorePack extends QueryPack {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 0).as("sum_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** T4's oracle-checkable twin: seeded Bernoulli sample as a
+    * key-hash predicate (md5 of seed#key, 60 bits, mod 10000 < 1000 ≙
+    * fraction 0.1) — deterministic and REPRODUCIBLE IN ANY ENGINE,
+    * unlike `rand(seed)` streams, so the sample membership itself is
+    * under the DuckDB oracle. Same scan-local no-shuffle scale shape
+    * as [[qSeededSample]]; the md5-hash trick is the shingle-hash
+    * convention the dedup oracles already use. */
+  def qHashSample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(pmod(graft.operators.TextOps.hash60(
+        concat_ws("#", lit("seed42"), col("o_orderkey"))), lit(10000L)) < 1000L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 0).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
   /** F5/P8 — scalar math battery + payout clip (`utils.py:55`). */
   def qMathFuncs(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(
@@ -321,6 +336,7 @@ object CorePack extends QueryPack {
     "q_corr_stats"       -> qCorrStats,
     "q_sample_head"      -> qSampleHead,
     "q_seeded_sample"    -> qSeededSample,
+    "q_hash_sample"      -> qHashSample,
     "q_math_funcs"       -> qMathFuncs,
     "q_rollup"           -> qRollup,
   )
@@ -451,6 +467,11 @@ object CorePack extends QueryPack {
     "q_sample_head" ->
       """SELECT round(sum(o_totalprice), 0) AS sum_price, count(*) AS n
         |FROM (SELECT o_totalprice FROM orders ORDER BY o_orderkey LIMIT 500)""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 0) AS sum_price
+        |FROM orders
+        |WHERE ('0x' || substr(md5('seed42#' || o_orderkey), 1, 15))::BIGINT % 10000 < 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_math_funcs" ->
       """SELECT round(sum(sqrt(l_quantity)), 4) AS sum_sqrt_qty,
         | round(sum(ln(l_extendedprice)), 4) AS sum_log_price,

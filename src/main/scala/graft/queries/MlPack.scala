@@ -118,23 +118,38 @@ object MlPack extends QueryPack {
       .select(col("event_id"), (Tables.eraOfTs(col("ts")) % 2).as("fold"),
         col("event_type"), col("value"))
       .persist()
-    def evaluate(config: Map[String, Double], frac: Double): Double = {
-      val alpha = config("alpha")
+    // ONE Spark action per RUNG: the rung's alpha configs become a
+    // broadcast literal relation cross-joined into a single scored
+    // plan (the q_param_sweep shape) instead of a job per config —
+    // at 100x data each rung is one scan of the fraction filter, not
+    // |configs| sequential re-scans.
+    def evaluateBatch(configs: Seq[Map[String, Double]], frac: Double): Seq[Double] = {
       val head = hashFraction(ev, "event_id", frac)
       val train = head.filter(col("fold") === 0)
       val test = head.filter(col("fold") === 1)
       val gm = train.groupBy(col("event_type").as("et")).agg(avg(col("value")).as("gm"))
       val gmean = train.agg(avg(col("value")).as("m"))
-      // single action: global mean + group means join into one plan
-      val rmse = test.join(broadcast(gm), col("event_type") === col("et"))
+      val alphas = configs.zipWithIndex
+        .map { case (c, i) => (i, c("alpha")) }.toDF("cfg", "alpha")
+      val rows = test.join(broadcast(gm), col("event_type") === col("et"))
         .crossJoin(broadcast(gmean))
+        .crossJoin(broadcast(alphas))
+        .groupBy(col("cfg"))
         .agg(sqrt(avg(pow(col("value")
-          - (col("m") + lit(alpha) * (col("gm") - col("m"))), 2))))
-        .head().getDouble(0)
-      -rmse // higher is better
+          - (col("m") + col("alpha") * (col("gm") - col("m"))), 2))).as("rmse"))
+        .collect()
+      val scoreOf = rows.flatMap(r =>
+        if (r.isNullAt(1)) None else Some(r.getInt(0) -> r.getDouble(1))).toMap
+      // a degenerate rung (train or test empty after the fraction
+      // filter → missing group / null rmse) scores worst, not a crash
+      configs.indices.map(i => scoreOf.get(i) match {
+        case Some(r) if !r.isNaN => -r // higher is better
+        case _ => Double.NegativeInfinity
+      })
     }
-    val trials = Tuning.hyperband(Seq(Tuning.Param("alpha", 0.0, 1.0)),
-      maxResource = 4, eta = 2, seed = 42)(evaluate)
+    val trials = Tuning.hyperbandBatch(Seq(Tuning.Param("alpha", 0.0, 1.0)),
+      maxResource = 4, eta = 2, seed = 42)(evaluateBatch)
+    ev.unpersist()
     trials.take(5).zipWithIndex.map { case (t, i) =>
       (i + 1L, math.rint(t.config("alpha") * 1e4) / 1e4,
         math.rint(-t.score * 1e4) / 1e4)
@@ -191,7 +206,49 @@ object MlPack extends QueryPack {
       .groupBy(col("n_feats"))
       .agg(round(avg(col("sc")), 6).as("score"),
         round(avg(col("qme_f")), 6).as("qme"))
-      .orderBy(col("score").desc, col("n_feats"))
+      // ordered by the deterministic integer key, NOT the float score:
+      // a 1-ulp cross-engine difference at a rounding boundary would
+      // flip a score-ordered leaderboard and spuriously fail the
+      // oracle's row-order hash (the score column itself still carries
+      // the ranking information)
+      .orderBy(col("n_feats"))
+  }
+
+  /** Deterministic univariate-OLS additive fitter (the q_cv_group_mean
+    * / q_forward_select model family as a CrossVal-contract fitter):
+    * per-feature beta/mean plus the target mean collected at the
+    * driver edge (one tiny agg row per fold — |feats| numbers, the
+    * legitimate collect edge), prediction a codegen'd expression. */
+  def olsFitter(feats: Seq[String], target: String)
+               (train: DataFrame): DataFrame => DataFrame = {
+    val aggs = feats.flatMap(f => Seq(
+      (covar_samp(col(f), col(target)) / var_samp(col(f))).as(s"b_$f"),
+      avg(col(f)).as(s"mx_$f"))) :+ avg(col(target)).as("my")
+    val r = train.agg(aggs.head, aggs.tail: _*).head()
+    val my = r.getAs[Double]("my")
+    test => test.withColumn("pred",
+      feats.map(f => lit(r.getAs[Double](s"b_$f"))
+        * (col(f) - lit(r.getAs[Double](s"mx_$f")))).reduce(_ + _) + lit(my))
+  }
+
+  /** M12 — `tune_reduction_dask` (`tuners.py:149-252`, `:255-373`) as a
+    * driver query: PCA component-count grid, each k fit on a
+    * deterministic head sample, the projected data scored by 2-fold
+    * era CV of the deterministic additive-OLS model (the reference
+    * tunes "any sklearn reducer + estimator"; the OLS twin keeps the
+    * whole loop deterministic). Rows-only check (PCA eigenvector
+    * sign/order is engine-specific). Leaderboard rows are keyed by k;
+    * `spearman` carries the ranking. */
+  def qReductionTune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.ml.{Reduction, Scoring}
+    val lb = Reduction.tuneReduction(featureFrame(s, d), featCols, "era",
+      ks = Seq(2, 4, 6), nFit = 500, orderCol = "vec_id", folds = 2,
+      fitterFor = pcs => olsFitter(pcs, "target"),
+      score = sc => Scoring.scores(sc, col("era"), col("pred"), col("target"),
+        9.0, col("vec_id")))
+    lb.map { case (k, sc) => (k.toLong, math.rint(sc * 1e6) / 1e6) }
+      .toDF("k", "spearman")
   }
 
   /** Deterministic hash-fraction sample — the scale-safe rung subset
@@ -221,6 +278,7 @@ object MlPack extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q_forward_select"   -> qForwardSelect,
     "q_pca_reduce"       -> qPcaReduce,
+    "q_reduction_tune"   -> qReductionTune,
     "q_hyperband"        -> qHyperband,
     "q_param_sweep"      -> qParamSweep,
     "q_cv_rf"            -> qCvRf,
@@ -263,7 +321,7 @@ object MlPack extends QueryPack {
          |    avg(pow(y - pred, 4)) AS qme_f
          |  FROM preds GROUP BY 1, 2)
          |SELECT n_feats, round(avg(sc), 6) AS score, round(avg(qme_f), 6) AS qme
-         |FROM scores GROUP BY 1 ORDER BY score DESC, n_feats""".stripMargin
+         |FROM scores GROUP BY 1 ORDER BY n_feats""".stripMargin
     },
     "q_param_sweep" ->
       """WITH ev AS (SELECT CAST(date_part('day', ts) AS BIGINT) % 2 AS fold,

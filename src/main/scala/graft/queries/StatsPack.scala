@@ -87,6 +87,28 @@ object StatsPack extends QueryPack {
       .orderBy(col("feature"))
   }
 
+  /** A12 — maximal correlation via ACE (`distance_func.py:26-35`) of
+    * quantity vs extendedprice on the same deterministic bounded head
+    * sample as q_dcor: the distributed part is producing the ordered
+    * sample; the alternating conditional-expectation smoother is
+    * driver-side on the collected pair BY DESIGN (SURVEY A12 — the
+    * reference runs ACE per feature pair on two columns). Rows-only
+    * check (the iterative smoother is not ANSI SQL); the ACE
+    * implementation itself is pinned by MaxCorrSpec. */
+  def qMaxcorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .limit(500)
+      .select(col("l_quantity").cast("double"), col("l_extendedprice").cast("double"))
+      .collect()
+    val x = rows.map(_.getDouble(0))
+    val y = rows.map(_.getDouble(1))
+    val mc = math.rint(graft.ml.MaxCorr.maxCorrelation(x, y) * 1e6) / 1e6
+    Seq((mc, math.rint((1.0 - mc) * 1e6) / 1e6, x.length.toLong))
+      .toDF("maxcorr", "maxcorr_dist", "n")
+  }
+
   /** Session windows over events (gap 30 min): Spark-native
     * `session_window`, oracle-mirrored by the gaps-and-islands SQL. */
   def qSessionWindow(s: SparkSession, d: String): DataFrame =
@@ -112,6 +134,7 @@ object StatsPack extends QueryPack {
     "q_count_distinct" -> qCountDistinct,
     "q_era_parse"      -> qEraParse,
     "q_dcor"           -> qDcor,
+    "q_maxcorr"        -> qMaxcorr,
     "q_ols_contrib"    -> qOlsContrib,
     "q_session_window" -> qSessionWindow,
   )

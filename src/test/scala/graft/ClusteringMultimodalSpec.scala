@@ -27,6 +27,26 @@ class ClusteringMultimodalSpec extends AnyFunSuite {
     assert(bestK == 2)
   }
 
+  test("dbscan: separates blobs, marks isolated points noise, deterministic") {
+    // indices 0-2 one blob, 3-5 another, 6 isolated far from both
+    val n = 7
+    val d = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 0.0
+      else if (i == 6 || j == 6) 5.0
+      else if ((i < 3) == (j < 3)) 0.1 else 1.0
+    }
+    val labels = Clustering.dbscan(d, eps = 0.2, minPts = 3)
+    assert(labels.take(3).toSet.size == 1)
+    assert(labels.slice(3, 6).toSet.size == 1)
+    assert(labels(0) != labels(3))
+    assert(labels(6) == -1) // noise
+    assert(labels.toSeq == Clustering.dbscan(d, 0.2, 3).toSeq)
+    // the scan includes the density family and stays deterministic
+    val s1 = Clustering.optimalClustersScan(d, Seq(2, 3))
+    val s2 = Clustering.optimalClustersScan(d, Seq(2, 3))
+    assert(s1._1 == s2._1 && s1._2 == s2._2 && s1._3.toSeq == s2._3.toSeq)
+  }
+
   test("decodeBatch: typed mapPartitions path equals the scalar stub") {
     val df = Seq((1L, "hello"), (2L, "a longer document body"))
       .toDF("doc_id", "text")

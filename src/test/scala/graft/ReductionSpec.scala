@@ -44,6 +44,16 @@ class ReductionSpec extends AnyFunSuite {
     assert(lb.map(_._2) == lb.map(_._2).sorted.reverse)
   }
 
+  test("q_reduction_tune: one leaderboard row per k, finite scores, deterministic") {
+    val lb = graft.queries.MlPack.qReductionTune(spark, TestSpark.sf).collect()
+    assert(lb.length == 3) // ks = 2, 4, 6
+    assert(lb.map(_.getLong(0)).toSet == Set(2L, 4L, 6L))
+    assert(lb.forall(r => !r.isNullAt(1) && !r.getDouble(1).isNaN))
+    val lb2 = graft.queries.MlPack.qReductionTune(spark, TestSpark.sf).collect()
+    assert(lb.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      lb2.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("Progress listener counts finished tasks for a job") {
     val (n, finished, failedN) = Progress.tracked(spark) {
       df.count()

@@ -42,6 +42,20 @@ class TuningSpec extends AnyFunSuite {
     assert(math.abs(trials.head.config("x") - 0.5) < 0.2)
   }
 
+  test("hyperbandBatch: identical trials to per-config hyperband") {
+    val ps = Seq(Param("x", 0, 1))
+    def sc(c: Map[String, Double], frac: Double) = -math.abs(c("x") - 0.3) * frac
+    val single = Tuning.hyperband(ps, maxResource = 9, eta = 3, seed = 5)(sc)
+    var rungSizes = List.empty[Int]
+    val batch = Tuning.hyperbandBatch(ps, maxResource = 9, eta = 3, seed = 5) {
+      (cs, frac) => rungSizes ::= cs.size; cs.map(sc(_, frac))
+    }
+    assert(batch == single)
+    // whole rungs are evaluated at once (no one-config-at-a-time calls
+    // except rungs that genuinely hold one survivor)
+    assert(rungSizes.exists(_ > 1))
+  }
+
   test("hyperband: converges toward the optimum, evaluates head-fractions") {
     val ps = Seq(Param("x", 0, 1))
     var fractions = Set.empty[Double]
