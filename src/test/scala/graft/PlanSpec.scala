@@ -38,6 +38,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_ann_cosine").contains("WindowGroupLimit"))
   }
 
+  test("LSH hot-bucket guards plan as broadcast anti-joins, not shuffle joins") {
+    // the r2 regression shape: re-joining the (~everything) keep set
+    // added two shuffles per dedup query; the guard must stay a
+    // broadcast LeftAnti against the tiny hot list
+    for (name <- Seq("q_minhash_lsh", "q_simhash_dedup")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"$name guard is not a broadcast anti-join:\n${p.take(1200)}")
+    }
+  }
+
   test("partitioned writes enable partition pruning on read") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
