@@ -64,21 +64,28 @@ object TextPack extends QueryPack {
     * base relation — with the hot-shingle idf floor applied. Joining
     * on 60-bit hashes, not strings: same counts (collision odds ~
     * |shingles|^2 / 2^61), far cheaper shuffle keys. */
-  def shingleRelation(s: SparkSession, d: String,
-                      maxDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val dsh = Tables.documents(s, d)
+  /** (doc_id, 60-bit shingle hash) before the idf floor. */
+  private def rawShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh0"))
       .select(col("doc_id"), TextOps.hash60(col("sh0")).as("sh"))
-    // The HOT set (df > maxDf) is by definition tiny or empty — at any
-    // scale only boilerplate shingles exceed the floor — so the guard
-    // is a broadcast anti-join against the hot list, never a shuffle
-    // join re-attaching the (~everything) keep set.
+
+  /** The hot-shingle idf floor. The HOT set (df > maxDf) is by
+    * definition tiny or empty — at any scale only boilerplate shingles
+    * exceed the floor — so the guard is a broadcast anti-join against
+    * the hot list, never a shuffle join re-attaching the
+    * (~everything) keep set. */
+  private def dfFloor(dsh: DataFrame, maxDf: Long): DataFrame = {
     val hot = dsh.groupBy(col("sh")).agg(count(lit(1)).as("graft_df"))
       .filter(col("graft_df") > maxDf)
       .select(col("sh"))
     dsh.join(broadcast(hot), Seq("sh"), "left_anti")
       .select(col("doc_id"), col("sh"))
   }
+
+  def shingleRelation(s: SparkSession, d: String,
+                      maxDf: Long = DefaultMaxShingleDf): DataFrame =
+    dfFloor(rawShingles(s, d), maxDf)
 
   /** Candidate near-dup pairs (a < b) with raw Jaccard `jacv`:
     * pairs exist only via a shared shingle (never all-pairs),
@@ -152,8 +159,14 @@ object TextPack extends QueryPack {
     val path = pairTableDirs.getOrElseUpdate(key, {
       val out = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
         "/graft_pairs_" + java.lang.Integer.toHexString(key.hashCode)
-      val dsh = shingleRelation(s, d).persist() // feeds both join sides
+      // cache both stages for the one materializing action: raw feeds
+      // the hot-set aggregate AND the anti-join probe (once, not
+      // twice), the guarded relation feeds sizes + both self-join
+      // sides of the pair pipeline
+      val raw = rawShingles(s, d).persist()
+      val dsh = dfFloor(raw, DefaultMaxShingleDf).persist()
       jaccardPairsFrom(dsh, minJac = 0.05).write.mode("overwrite").parquet(out)
+      raw.unpersist()
       dsh.unpersist()
       registerScratch(s, out)
       out
