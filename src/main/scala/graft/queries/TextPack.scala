@@ -15,8 +15,8 @@ import graft.operators.TextOps
   * Scale design: every pipeline is hash/shuffle-parallel — shingle
   * explode → hash → groupBy(shingle|band|bit) — and candidate
   * verification only touches pairs that share a bucket, never the
-  * all-pairs cross product (except the SimHash demo pair scan, whose
-  * scale path is banding on signature prefixes, noted below).
+  * all-pairs cross product. Hot-key guards (idf floor, bucket caps)
+  * are broadcast anti-joins against the tiny hot set.
   */
 object TextPack extends QueryPack {
 
