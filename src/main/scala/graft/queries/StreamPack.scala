@@ -21,8 +21,16 @@ object StreamPack extends QueryPack {
     EventStream.runOnce(s, d, s"graft_stream_q${runSeq.incrementAndGet()}")
       .orderBy(col("wstart"))
 
+  /** Streaming exact dedup drained to completion: per-lang distinct
+    * document counts, checked by the same batch-distinct SQL oracle —
+    * the streaming path must reproduce the batch answer exactly. */
+  def qStreamDedup(s: SparkSession, d: String): DataFrame =
+    EventStream.runDedupOnce(s, d, s"graft_stream_d${runSeq.incrementAndGet()}")
+      .orderBy(col("lang"))
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
+    "q_stream_dedup"    -> qStreamDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -33,5 +41,8 @@ object StreamPack extends QueryPack {
       """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
         | count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT lang, count(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

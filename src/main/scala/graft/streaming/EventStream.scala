@@ -11,35 +11,71 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
+  /** The file stream source requires a directory; the fixtures are
+    * single files, so stage each behind a symlink in a temp dir (in
+    * production the source is already a directory of arriving files). */
+  private def stagedStreamPath(path: String): String = {
+    val src = new java.io.File(path)
+    if (src.isFile) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve(src.getName), src.toPath.toAbsolutePath)
+      tmp.toString
+    } else path
+  }
+
   /** Streaming plan over the events fixture directory. The file source
     * replays the parquet as a stream; schema comes from a batch peek
     * (streaming sources need an explicit schema). */
   def windowedAgg(spark: SparkSession, dir: String,
                   window_ : String = "6 hours",
-                  watermark: String = "1 hour"): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // the file stream source requires a directory; the fixture is a
-    // single file, so stage it behind a symlink in a temp dir (in
-    // production the source is already a directory of arriving files)
-    val src = new java.io.File(path)
-    val streamPath =
-      if (src.isFile) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.createSymbolicLink(
-          tmp.resolve("events.parquet"), src.toPath.toAbsolutePath)
-        tmp.toString
-      } else path
-    val raw = spark.readStream.schema(schema).parquet(streamPath)
-    val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    events
+                  watermark: String = "1 hour"): DataFrame =
+    windowedSource(spark, dir)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").cast("long").as("wstart"), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup (the north-star dedup family as a STREAM
+    * op): content-hash `dropDuplicates` over a document stream →
+    * per-language distinct counts. The dedup key includes `lang` so
+    * the result is independent of stream arrival order. At 100 TB the
+    * dedup state is bounded with `dropDuplicatesWithinWatermark` (the
+    * hash state otherwise grows with the corpus); the drain-once
+    * harness form keeps full state, which the fixture bounds. */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(stagedStreamPath(path))
+      .select(col("lang"), sha2(col("text"), 256).as("h"))
+      .dropDuplicates("lang", "h")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_distinct"))
+  }
+
+  /** Drain [[dedupCounts]] synchronously into a memory sink. */
+  def runDedupOnce(spark: SparkSession, dir: String,
+                   name: String = "graft_stream_dedup"): DataFrame =
+    drain(spark, dedupCounts(spark, dir), name)
+
+  /** Start → processAllAvailable → stop with a bounded state-partition
+    * count: a stateful streaming query materializes one state store
+    * per shuffle partition at START time, so a 32-partition session
+    * pays 32 store inits + maintenance threads for a fixture-sized
+    * stream — the dominant (and noisy) cost of the harness queries.
+    * The partition count is pinned low for the drain and restored
+    * after; results are unaffected (same aggregation, fewer state
+    * shards). On a real cluster the session default applies. */
+  private def drain(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = df.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
   }
 
   case class UserTotals(user_id: Long, n_events: Long, total: Double)
@@ -73,15 +109,7 @@ object EventStream {
   private def windowedSource(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val src = new java.io.File(path)
-    val streamPath =
-      if (src.isFile) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.createSymbolicLink(
-          tmp.resolve("events.parquet"), src.toPath.toAbsolutePath)
-        tmp.toString
-      } else path
-    val raw = spark.readStream.schema(schema).parquet(streamPath)
+    val raw = spark.readStream.schema(schema).parquet(stagedStreamPath(path))
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
@@ -89,12 +117,6 @@ object EventStream {
 
   /** Drain the stream synchronously into a memory sink and return the
     * completed result (test/driver harness helper). */
-  def runOnce(spark: SparkSession, dir: String, name: String = "graft_stream"): DataFrame = {
-    val q = windowedAgg(spark, dir)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-  }
+  def runOnce(spark: SparkSession, dir: String, name: String = "graft_stream"): DataFrame =
+    drain(spark, windowedAgg(spark, dir), name)
 }
