@@ -22,12 +22,21 @@ object Ivf {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Corpus -> (vec_id, cluster, v, nrm) posting relation + centroids. */
+  /** Corpus -> (vec_id, cluster, v, nrm) posting relation + centroids.
+    * The quantizer trains on a deterministic ~10% hash-sample of the
+    * corpus (floored so tiny fixtures keep >= 8k rows' worth of
+    * fraction) with bounded iterations — the standard IVF practice at
+    * scale: centroid quality converges on a sample long before a full
+    * corpus pass pays for itself, and ASSIGNMENT still covers every
+    * vector. */
   def build(embeddings: DataFrame, k: Int, seed: Long): (DataFrame, Array[Array[Double]]) = {
     val vecs = embeddings
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val train = vecs.filter(
+      pmod(xxhash64(col("vec_id"), lit(seed)), lit(10L)) === 0L)
+    val fitOn = if (train.limit(8 * k).count() >= 8L * k) train else vecs
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cluster").fit(vecs)
+      .setMaxIter(10).setPredictionCol("cluster").fit(fitOn)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("cluster"),
         vector_to_array(col("features")).as("v"))
