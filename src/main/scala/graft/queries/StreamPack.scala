@@ -28,9 +28,27 @@ object StreamPack extends QueryPack {
     EventStream.runDedupOnce(s, d, s"graft_stream_d${runSeq.incrementAndGet()}")
       .orderBy(col("lang"))
 
+  /** Custom streaming state (mapGroupsWithState) driver-checked: the
+    * update-mode stream of per-user running totals is reduced to each
+    * key's FINAL state (max-n_events row — n_events is strictly
+    * increasing per key), which must equal the batch groupBy exactly.
+    * Total rounded at the edge only; state accumulates raw doubles. */
+  def qStreamUserTotals(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val updates = EventStream.runUserTotalsOnce(
+      s, d, s"graft_stream_u${runSeq.incrementAndGet()}")
+    updates
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), round(col("total"), 2).as("total"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_stream_tumbling" -> qStreamTumbling,
-    "q_stream_dedup"    -> qStreamDedup,
+    "q_stream_tumbling"    -> qStreamTumbling,
+    "q_stream_dedup"       -> qStreamDedup,
+    "q_stream_user_totals" -> qStreamUserTotals,
   )
 
   val oracles: Map[String, String] = Map(
@@ -44,5 +62,9 @@ object StreamPack extends QueryPack {
     "q_stream_dedup" ->
       """SELECT lang, count(DISTINCT text) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_user_totals" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
+        | round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

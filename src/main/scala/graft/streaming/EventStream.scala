@@ -57,6 +57,25 @@ object EventStream {
                    name: String = "graft_stream_dedup"): DataFrame =
     drain(spark, dedupCounts(spark, dir), name)
 
+  /** Drain [[runningUserTotals]] in UPDATE mode: the sink accumulates
+    * every per-key state update; the caller reduces to final state
+    * (n_events is strictly increasing per key, so the max-n_events row
+    * IS the final state). */
+  def runUserTotalsOnce(spark: SparkSession, dir: String,
+                        name: String = "graft_stream_totals"): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = runningUserTotals(spark, dir).toDF()
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
+  }
+
   /** Start → processAllAvailable → stop with a bounded state-partition
     * count: a stateful streaming query materializes one state store
     * per shuffle partition at START time, so a 32-partition session
