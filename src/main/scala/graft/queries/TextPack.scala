@@ -157,8 +157,12 @@ object TextPack extends QueryPack {
   private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val key = d + "@" + docsFingerprint(s, d)
     val path = pairTableDirs.getOrElseUpdate(key, {
+      // full md5 of the key, not a 32-bit hashCode: two data dirs
+      // colliding would silently cross-serve each other's pair table
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val out = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        "/graft_pairs_" + java.lang.Integer.toHexString(key.hashCode)
+        "/graft_pairs_" + digest
       // cache both stages for the one materializing action: raw feeds
       // the hot-set aggregate AND the anti-join probe (once, not
       // twice), the guarded relation feeds sizes + both self-join
