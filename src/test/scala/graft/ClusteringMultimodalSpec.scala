@@ -47,6 +47,18 @@ class ClusteringMultimodalSpec extends AnyFunSuite {
     assert(s1._1 == s2._1 && s1._2 == s2._2 && s1._3.toSeq == s2._3.toSeq)
   }
 
+  test("dbscan/epsFor degenerate inputs: identical points, tiny n") {
+    // all points identical -> every point core -> one cluster, no noise
+    val same = Array.fill(4, 4)(0.0)
+    assert(Clustering.dbscan(same, eps = 0.1, minPts = 2).toSet == Set(0))
+    assert(Clustering.epsFor(same, 2) == 0.0)
+    // minPts beyond n: nobody is core -> all noise
+    val d2 = Array(Array(0.0, 1.0), Array(1.0, 0.0))
+    assert(Clustering.dbscan(d2, eps = 0.1, minPts = 5).toSet == Set(-1))
+    // epsFor index clamps at n-1
+    assert(Clustering.epsFor(d2, 5) == 1.0)
+  }
+
   test("decodeBatch: typed mapPartitions path equals the scalar stub") {
     val df = Seq((1L, "hello"), (2L, "a longer document body"))
       .toDF("doc_id", "text")
