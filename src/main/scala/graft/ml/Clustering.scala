@@ -138,9 +138,10 @@ object Clustering {
     labels.map(l => if (l == Int.MinValue) -1 else l)
   }
 
-  /** The eps heuristic for [[dbscan]] at a given minPts: the median of
-    * every point's minPts-th-smallest distance (self included) — the
-    * standard k-distance elbow stand-in, fully deterministic. */
+  /** The eps heuristic for [[dbscan]] at a given minPts: the median
+    * over points of the distance to each point's minPts-th nearest
+    * OTHER point (index minPts of the sorted row, self at index 0) —
+    * the standard k-distance elbow stand-in, fully deterministic. */
   def epsFor(dist: Array[Array[Double]], minPts: Int): Double = {
     val kd = dist.map(row => row.sorted.apply(math.min(minPts, row.length - 1)))
     kd.sorted.apply(kd.length / 2)

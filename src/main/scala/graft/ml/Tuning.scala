@@ -76,6 +76,8 @@ object Tuning {
       var rung = 0
       while (configs.nonEmpty && rung <= s) {
         val scores = evaluateBatch(configs, math.min(1.0, r / maxResource))
+        require(scores.length == configs.length,
+          s"evaluateBatch returned ${scores.length} scores for ${configs.length} configs")
         trials = configs.zip(scores).map { case (c, sc) => Trial(c, sc) }
           .sortBy(-_.score)
         val keep = math.max(1, configs.size / eta)

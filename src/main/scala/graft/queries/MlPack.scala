@@ -225,10 +225,18 @@ object MlPack extends QueryPack {
       (covar_samp(col(f), col(target)) / var_samp(col(f))).as(s"b_$f"),
       avg(col(f)).as(s"mx_$f"))) :+ avg(col(target)).as("my")
     val r = train.agg(aggs.head, aggs.tail: _*).head()
-    val my = r.getAs[Double]("my")
+    // a zero-variance (constant) feature makes covar_samp/var_samp
+    // NULL; treat the null beta as an explicit 0.0 (the feature
+    // carries no signal) instead of relying on getAs[Double]'s silent
+    // null-unboxing
+    def num(name: String): Double = {
+      val v = r.getAs[java.lang.Double](name)
+      if (v == null) 0.0 else v.doubleValue()
+    }
+    val my = num("my")
     test => test.withColumn("pred",
-      feats.map(f => lit(r.getAs[Double](s"b_$f"))
-        * (col(f) - lit(r.getAs[Double](s"mx_$f")))).reduce(_ + _) + lit(my))
+      feats.map(f => lit(num(s"b_$f"))
+        * (col(f) - lit(num(s"mx_$f")))).reduce(_ + _) + lit(my))
   }
 
   /** M12 — `tune_reduction_dask` (`tuners.py:149-252`, `:255-373`) as a
@@ -247,7 +255,11 @@ object MlPack extends QueryPack {
       fitterFor = pcs => olsFitter(pcs, "target"),
       score = sc => Scoring.scores(sc, col("era"), col("pred"), col("target"),
         9.0, col("vec_id")))
-    lb.map { case (k, sc) => (k.toLong, math.rint(sc * 1e6) / 1e6) }
+    // sort by k, not tuneReduction's score-descending order: raw
+    // double score ties would make row order float-boundary-unstable
+    // (the q_forward_select precedent)
+    lb.sortBy(_._1)
+      .map { case (k, sc) => (k.toLong, math.rint(sc * 1e6) / 1e6) }
       .toDF("k", "spearman")
   }
 

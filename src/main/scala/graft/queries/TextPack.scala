@@ -156,13 +156,16 @@ object TextPack extends QueryPack {
     * as its own line item via [[prepareShared]]. */
   private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val key = d + "@" + docsFingerprint(s, d)
-    val path = pairTableDirs.getOrElseUpdate(key, {
+    def materialize(): String = {
       // full md5 of the key, not a 32-bit hashCode: two data dirs
-      // colliding would silently cross-serve each other's pair table
+      // colliding would silently cross-serve each other's pair table;
+      // the applicationId nonce keeps two JVMs on the same checkout
+      // (e.g. sbt test and Bench in CI) from overwriting or
+      // shutdown-hook-deleting each other's table mid-run
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val out = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        "/graft_pairs_" + digest
+        "/graft_pairs_" + digest + "_" + s.sparkContext.applicationId
       // cache both stages for the one materializing action: raw feeds
       // the hot-set aggregate AND the anti-join probe (once, not
       // twice), the guarded relation feeds sizes + both self-join
@@ -174,8 +177,18 @@ object TextPack extends QueryPack {
       dsh.unpersist()
       registerScratch(s, out)
       out
-    })
-    s.read.parquet(path)
+    }
+    val path = pairTableDirs.getOrElseUpdate(key, materialize())
+    // belt-and-braces re-check: if anything outside this JVM removed
+    // the memoized table (warehouse wipe, external cleanup), drop the
+    // stale memo and re-materialize instead of failing mid-read
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = if (fs.exists(p)) path else {
+      pairTableDirs.remove(key)
+      pairTableDirs.getOrElseUpdate(key, materialize())
+    }
+    s.read.parquet(live)
   }
 
   /** Force the shared candidate-pair table for `d` to exist. Bench
