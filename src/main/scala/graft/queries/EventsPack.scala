@@ -136,7 +136,45 @@ object EventsPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Range join (engine-new, prompt §custom-operators): every error
+    * event matched into the 2-hour window opened by each purchase
+    * event, counted per window. Built on the bucketized
+    * `RangeJoin.pointInInterval` — bin equi-join + residual filter,
+    * never a nested-loop theta join (plan shape pinned in PlanSpec).
+    * The axis is epoch micros, matching DuckDB's epoch_us. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val twoHoursUs = 7200000000L
+    val points = ev.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("p"), col("value"))
+    val intervals = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("win_id"), unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + twoHoursUs).as("hi"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, "p", intervals, "lo", "hi", binWidth = twoHoursUs)
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("win_id"))
+  }
+
+  /** Band self-join (engine-new): unordered purchase-event pairs whose
+    * `value`s differ by at most 0.05, aggregated per day of the lower-
+    * id event. `RangeJoin.bandPairs` bins at delta width so the
+    * replicate factor is a constant 3x regardless of data size. */
+  def qBandJoin(s: SparkSession, d: String): DataFrame = {
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("value"))
+    graft.operators.RangeJoin.bandPairs(purchases, "event_id", "value", 0.05)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(abs(col("value") - col("value_b"))), 4).as("avg_gap"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_range_join"     -> qRangeJoin,
+    "q_band_join"      -> qBandJoin,
     "q_lag_lead"       -> qLagLead,
     "q_running_sum"    -> qRunningSum,
     "q_cv_summary"     -> qCvSummary,
@@ -150,6 +188,24 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS lo
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+        |      FROM events WHERE event_type = 'error')
+        |SELECT p.event_id AS win_id, count(*) AS n,
+        | round(sum(e.value), 2) AS sum_value
+        |FROM p JOIN e ON e.t >= p.lo AND e.t < p.lo + 7200000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_band_join" ->
+      """WITH x AS (SELECT event_id, ts, value FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT CAST(date_trunc('day', a.ts) AS DATE) AS d,
+        | count(*) AS n_pairs,
+        | round(avg(abs(a.value - b.value)), 4) AS avg_gap
+        |FROM x a JOIN x b
+        |  ON a.event_id < b.event_id AND abs(a.value - b.value) <= 0.05
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lag_lead" ->
       """SELECT event_id, user_id,
         | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta_prev,
