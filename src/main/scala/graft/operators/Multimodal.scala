@@ -39,4 +39,88 @@ object Multimodal {
       .as[MediaPayload]
       .mapPartitions(_.map(decodeMeta))
   }
+
+  case class ResizedMeta(doc_id: Long, out_len: Long, out_width: Long,
+                         out_height: Long)
+
+  /** STUB resize: keep every `factor`-th byte of the payload (real
+    * impl: bilinear downscale); metadata recomputed from the ACTUAL
+    * resized buffer so the query exercises the full
+    * transform-then-measure path, not arithmetic shortcuts. */
+  def resizeStub(m: MediaPayload, factor: Int): ResizedMeta = {
+    val out = m.payload.indices.collect {
+      case i if i % factor == 0 => m.payload(i)
+    }
+    val len = out.length.toLong
+    ResizedMeta(m.doc_id, len, 16 + len % 320, 16 + (len * 5) % 240)
+  }
+
+  /** Batched resize kernel — same partition-local shape as
+    * [[decodeBatch]]. */
+  def resizeBatch(df: DataFrame, factor: Int): Dataset[ResizedMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[MediaPayload]
+      .mapPartitions(_.map(resizeStub(_, factor)))
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_off: Long,
+                      frame_sig: Long)
+
+  /** STUB frame sampling: the payload's [[decodeMeta]] frame count,
+    * sampled every `stride`-th frame; per frame the kernel emits the
+    * byte offset it would seek to and a deterministic signature (real
+    * impl: decode the frame, emit a thumbnail/phash). One input row
+    * explodes to ceil(n_frames/stride) output rows partition-locally —
+    * the flatMap shape a video pipeline needs. */
+  def frameSample(m: MediaPayload, stride: Int): Iterator[FrameRow] = {
+    val meta = decodeMeta(m)
+    val first = if (m.payload.nonEmpty) (m.payload(0) & 0xffL) else 0L
+    (0L until meta.n_frames by stride.toLong).iterator.map { idx =>
+      FrameRow(m.doc_id, idx, idx * meta.byte_len / meta.n_frames,
+        (first * 31 + idx * 7) % 256)
+    }
+  }
+
+  def frameSampleBatch(df: DataFrame, stride: Int): Dataset[FrameRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[MediaPayload]
+      .mapPartitions(_.flatMap(frameSample(_, stride)))
+  }
+
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, n_alpha: Long,
+                           n_digit: Long, n_space: Long, n_other: Long)
+
+  /** STUB feature extraction: decode the payload as UTF-8 and count
+    * ASCII character classes (real impl: a vision/audio embedding
+    * model over the decoded buffer). Classes are ASCII-explicit —
+    * Unicode letters like CJK land in `n_other` — so any engine
+    * recomputes them identically. */
+  def extractFeatures(m: MediaPayload): MediaFeatures = {
+    val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+    var alpha = 0L; var digit = 0L; var space = 0L; var other = 0L
+    // iterate CODEPOINTS, not UTF-16 units, so counts match any
+    // engine's codepoint-based length() semantics
+    var i = 0
+    while (i < s.length) {
+      val c = s.codePointAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
+      else if (c >= '0' && c <= '9') digit += 1
+      else if (c == ' ') space += 1
+      else other += 1
+      i += Character.charCount(c)
+    }
+    MediaFeatures(m.doc_id, m.payload.length.toLong, alpha, digit, space, other)
+  }
+
+  def extractFeaturesBatch(df: DataFrame): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[MediaPayload]
+      .mapPartitions(_.map(extractFeatures))
+  }
 }

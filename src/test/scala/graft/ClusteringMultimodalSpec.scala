@@ -68,4 +68,30 @@ class ClusteringMultimodalSpec extends AnyFunSuite {
       Multimodal.MediaPayload(1L, "hello".getBytes("UTF-8"))))
     assert(got(0).byte_len == 5 && got(0).width == 21 && got(0).n_frames == 1 + 'h' % 8)
   }
+
+  test("resizeStub keeps ceil(len/factor) bytes and measures the result") {
+    val m = Multimodal.MediaPayload(7L, Array.tabulate(11)(_.toByte))
+    val r = Multimodal.resizeStub(m, 2)
+    assert(r.out_len == 6) // indices 0,2,4,6,8,10
+    assert(r.out_width == 16 + 6 % 320 && r.out_height == 16 + 30 % 240)
+    assert(Multimodal.resizeStub(Multimodal.MediaPayload(8L, Array.empty), 2)
+      .out_len == 0)
+  }
+
+  test("frameSample explodes to every stride-th frame with monotone offsets") {
+    val m = Multimodal.MediaPayload(3L, "xabcdefgh".getBytes("UTF-8"))
+    val frames = Multimodal.frameSample(m, 2).toSeq
+    val nFrames = 1 + ('x' & 0xffL) % 8
+    assert(frames.map(_.frame_idx) == (0L until nFrames by 2L).toSeq)
+    assert(frames.map(_.frame_off) == frames.map(_.frame_off).sorted)
+    assert(frames.forall(f => f.frame_sig >= 0 && f.frame_sig < 256))
+  }
+
+  test("extractFeatures counts codepoints by ASCII class") {
+    val f = Multimodal.extractFeatures(
+      Multimodal.MediaPayload(9L, "ab 12 的!".getBytes("UTF-8")))
+    assert(f.n_alpha == 2 && f.n_digit == 2 && f.n_space == 2)
+    assert(f.n_other == 2) // CJK char + '!' are single codepoints
+    assert(f.n_bytes == "ab 12 的!".getBytes("UTF-8").length)
+  }
 }
