@@ -45,10 +45,23 @@ object StreamPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming session windows reduced to the batch summary: the
+    * complete-mode drain leaves the final per-user session set in the
+    * sink; summarizing it must reproduce the batch gaps-and-islands
+    * answer exactly (identical oracle to `q_session_window`). */
+  def qStreamSession(s: SparkSession, d: String): DataFrame =
+    EventStream.runSessionsOnce(
+        s, d, s"graft_stream_s${runSeq.incrementAndGet()}")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling"    -> qStreamTumbling,
     "q_stream_dedup"       -> qStreamDedup,
     "q_stream_user_totals" -> qStreamUserTotals,
+    "q_stream_session"     -> qStreamSession,
   )
 
   val oracles: Map[String, String] = Map(
@@ -66,5 +79,20 @@ object StreamPack extends QueryPack {
       """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
         | round(sum(value), 2) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical to batch q_session_window's gaps-and-islands oracle:
+    // the streaming path must reproduce the batch sessions exactly
+    "q_stream_session" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS es, event_id FROM events),
+        |f AS (SELECT user_id, es, event_id,
+        |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+        |      >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id) AS sid
+        |  FROM f),
+        |sess AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+        |  max(n) AS max_session_events
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -97,6 +97,30 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming session windows (the gap-merge analogue of the batch
+    * gaps-and-islands query): per-user sessions with a 30-minute gap,
+    * watermarked so late events beyond an hour open new sessions
+    * instead of unbounded state growth. Emitted with the session
+    * bounds as epoch micros so the caller can reduce update-mode
+    * output to final sessions. */
+  def sessionCounts(spark: SparkSession, dir: String,
+                    gap: String = "30 minutes"): DataFrame =
+    windowedSource(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("sw.start").cast("long").as("ss"),
+        col("sw.end").cast("long").as("se"), col("n"))
+
+  /** Drain [[sessionCounts]] in COMPLETE mode (Spark supports
+    * append/complete for session-window aggregations, not update):
+    * the sink holds the full current session set each batch, so after
+    * the drain it IS the final session relation. */
+  def runSessionsOnce(spark: SparkSession, dir: String,
+                      name: String = "graft_stream_sess"): DataFrame =
+    drain(spark, sessionCounts(spark, dir), name)
+
   case class UserTotals(user_id: Long, n_events: Long, total: Double)
 
   /** Stateful streaming (custom per-key state via mapGroupsWithState):
