@@ -130,7 +130,39 @@ object StatsPack extends QueryPack {
       countDistinct(col("l_suppkey")).as("n_supp"),
       countDistinct(col("l_orderkey")).as("n_orders"))
 
+  /** Distributed-sketch distinct counting (HLL++): at 100 TB exact
+    * count-distinct shuffles every distinct key; the sketch is a
+    * constant-size mergeable state per partition. Spark's HLL++ is
+    * deterministic for a given dataset, so the query pins the sketch's
+    * error CONTRACT (within 10% of exact — observed <4% on the
+    * fixtures, pinned tighter in SketchSpec) as an oracle-checkable
+    * boolean next to the exact answer. */
+  def qSketchDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact"))
+          <= col("n_exact").cast("double") * 0.1).as("approx_ok"))
+      .orderBy(col("event_type"))
+
+  /** Quantile sketch (Greenwald-Khanna via approx_percentile at
+    * accuracy 100): same contract pattern — exact median emitted,
+    * sketch pinned within 5% relative error. */
+  def qSketchQuantile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("exact_med"),
+        expr("approx_percentile(value, 0.5, 100)").as("approx_med"))
+      .select(col("event_type"), round(col("exact_med"), 2).as("median"),
+        (abs(col("approx_med") - col("exact_med"))
+          <= greatest(col("exact_med"), lit(1.0)) * 0.05).as("approx_ok"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
+    "q_sketch_distinct" -> qSketchDistinct,
+    "q_sketch_quantile" -> qSketchQuantile,
     "q_count_distinct" -> qCountDistinct,
     "q_era_parse"      -> qEraParse,
     "q_dcor"           -> qDcor,
@@ -140,6 +172,16 @@ object StatsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // the sketch side is engine-internal; the CONTRACT (exact value +
+    // sketch-within-tolerance boolean) is what both engines agree on
+    "q_sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sketch_quantile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 2) AS median,
+        | TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_count_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supp,
