@@ -64,9 +64,23 @@ object TextPack extends QueryPack {
     * base relation — with the hot-shingle idf floor applied. Joining
     * on 60-bit hashes, not strings: same counts (collision odds ~
     * |shingles|^2 / 2^61), far cheaper shuffle keys. */
+  /** The documents scan re-spread across the session's shuffle
+    * parallelism for COMPUTE-heavy kernels (shingling, signature
+    * hashing): a small fixture is one parquet file = one scan task,
+    * which serializes minutes of per-row md5/shingle work onto a
+    * single core. The repartition costs one tiny shuffle of raw text
+    * and buys full parallelism; at 100 TB the scan already carries
+    * thousands of row-group tasks, where this becomes a cheap
+    * rebalance rather than a behavior change (explicit numPartitions
+    * is honored, not AQE-coalesced). Row-local and integer-agg
+    * consumers only — results are partitioning-independent. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** (doc_id, 60-bit shingle hash) before the idf floor. */
   private def rawShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docsSpread(s, d)
       .select(col("doc_id"), explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh0"))
       .select(col("doc_id"), TextOps.hash60(col("sh0")).as("sh"))
 
@@ -222,7 +236,7 @@ object TextPack extends QueryPack {
   def minhashCandidates(s: SparkSession, d: String,
                         maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val p = 2147483647L
-    val dsh = Tables.documents(s, d)
+    val dsh = docsSpread(s, d)
       .select(col("doc_id"), explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
       .select(col("doc_id"), (TextOps.hash60(col("sh")) % p).as("h"))
     // 16 min-hash columns in ONE partial+final agg (no row explosion:
@@ -277,7 +291,7 @@ object TextPack extends QueryPack {
     * LSH dedup makes — the dropped buckets are degenerate content). */
   def simhashPairs(s: SparkSession, d: String,
                    maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val wdf = Tables.documents(s, d)
+    val wdf = docsSpread(s, d)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       .select(col("doc_id"), TextOps.hash60(col("w")).as("hv"))
     // 48 bit-vote sums pivoted into columns: one partial+final agg over
@@ -383,7 +397,7 @@ object TextPack extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val nd = docs.agg(count(lit(1)).as("nd"))
-    val tf = docs
+    val tf = docsSpread(s, d)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val scored = tf
