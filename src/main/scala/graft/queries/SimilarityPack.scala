@@ -23,6 +23,14 @@ object SimilarityPack extends QueryPack {
 
   private def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
+  /** Embeddings re-spread across shuffle parallelism before the
+    * posexplode kernels (64x row explosion + per-component arithmetic)
+    * — same rationale as `TextPack.docsSpread`: compute-bound stages
+    * must not inherit a 1-file scan's single task. */
+  private def embSpread(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. Ranking
     * happens on the ROUNDED cosine with a vec_id tie-break so the
     * selection is engine-stable. */
@@ -48,7 +56,7 @@ object SimilarityPack extends QueryPack {
     * Emits bucket occupancy (the partition histogram a planner would
     * use to size probes). */
   def qAnnLshBuckets(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = embSpread(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
         col("x").cast("double").as("x"))
@@ -70,7 +78,7 @@ object SimilarityPack extends QueryPack {
     * embedding near-dups (max pairwise cosine ~0.51), so the threshold
     * sits below that to exercise the verify stage. */
   def qEmbedNeardup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = embSpread(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
         col("x").cast("double").as("x"))
