@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
   }
 }

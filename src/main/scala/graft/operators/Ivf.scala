@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_product(a, b)
 
   /** Corpus -> (vec_id, cluster, v, nrm) posting relation + centroids.
     * The quantizer trains on a deterministic ~10% hash-sample of the

@@ -18,8 +18,11 @@ import graft.Tables
   */
 object SimilarityPack extends QueryPack {
 
+  // native codegen kernel (one fused loop, no per-row allocation);
+  // bit-identical to the aggregate(zip_with(...)) composition it
+  // replaced — DotProductSpec pins the equality
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_product(a, b)
 
   private def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
