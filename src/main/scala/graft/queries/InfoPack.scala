@@ -49,13 +49,15 @@ object InfoPack extends QueryPack {
       .orderBy(col("pa"), col("pb"))
   }
 
-  /** A6-adjacent — L2 norm per embedding vector via a codegen'd array
-    * fold (no shuffle at all: scan → project). */
+  /** A6-adjacent — L2 norm per embedding vector via the native
+    * dot_product codegen kernel (no shuffle at all: scan → project;
+    * float elements widen per-element exactly like the array-fold
+    * form this replaced, same index-order summation). */
   def qEmbedNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        round(sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))), 5).as("norm"))
+        round(sqrt(graft.functions.DotProduct.dot_product(
+          col("embedding"), col("embedding"))), 5).as("norm"))
       .orderBy(col("vec_id"))
 
   /** A6 — per-component mean |x| (`feature_selection_numerai.py:286`
