@@ -86,6 +86,21 @@ object EventsPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** The same as-of semantics through the FULL custom Catalyst path —
+    * `AsOfJoinNode` logical node, `AsOfStrategy` planner rule,
+    * `AsOfJoinExec` physical operator (required distribution/ordering
+    * + streaming two-pointer merge), `PushFilterThroughAsOf` optimizer
+    * rule — driver-checked by the identical oracle as the
+    * composition-based `q_asof_join`. */
+  def qAsofCustom(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+    graft.plans.AsOfApi
+      .asOfJoinPlanned(ev, signups, "user_id", "ts", "event_id", "event_id")
+      .select(col("event_id"), col("event_id_asof"))
+      .orderBy(col("event_id"))
+  }
+
   /** A3/A4 summary over the relational CV's per-fold scores
     * (`tuners.py:144-145`: mean + quartile CI bounds), through the
     * CrossVal.summarize macro shape. */
@@ -180,6 +195,7 @@ object EventsPack extends QueryPack {
     "q_cv_summary"     -> qCvSummary,
     "q_sliding_window" -> qSlidingWindow,
     "q_asof_join"      -> qAsofJoin,
+    "q_asof_custom"    -> qAsofCustom,
     "q_json_extract"   -> qJsonExtract,
     "q_date_agg"       -> qDateAgg,
     "q_tumbling_window" -> qTumblingWindow,
@@ -244,6 +260,20 @@ object EventsPack extends QueryPack {
         |SELECT wstart, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_join" ->
+      """WITH sign AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
+        |u AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 0 AS tag, event_id, event_id AS ref FROM sign
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS t, 1 AS tag, event_id, NULL AS ref FROM events),
+        |w AS (SELECT user_id, tag, event_id,
+        |    last_value(ref IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, tag, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_id_asof
+        |  FROM u)
+        |SELECT event_id, event_id_asof FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    // identical oracle as q_asof_join: the custom physical operator
+    // must reproduce the composition's answer exactly
+    "q_asof_custom" ->
       """WITH sign AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
         |u AS (
         |  SELECT user_id, epoch_us(ts) AS t, 0 AS tag, event_id, event_id AS ref FROM sign
