@@ -39,6 +39,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Re-spread a scan across the session's shuffle parallelism before
+    * a COMPUTE-heavy kernel (shingling, signature hashing, array
+    * explosion): scan tasks follow file layout, and a small fixture is
+    * one parquet file = one task, which serializes the per-row work
+    * onto a single core. The repartition costs one tiny shuffle and
+    * buys full parallelism; at 100 TB the same call is a cheap
+    * rebalance against row-group skew (explicit numPartitions is
+    * honored, not AQE-coalesced). Only safe for row-local consumers
+    * and aggregations whose per-key inputs stay within one row —
+    * which is how the text/embedding kernels use it. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** The reference's central grouping key is an integer `era` time bucket
     * (utils.py:18, metrics.py:5). On the fixtures the analogue is a
     * month bucket derived from a date column (FIXTURES.md §B mapping).

@@ -48,6 +48,7 @@ object Multimodal {
     * resized buffer so the query exercises the full
     * transform-then-measure path, not arithmetic shortcuts. */
   def resizeStub(m: MediaPayload, factor: Int): ResizedMeta = {
+    require(factor > 0, s"factor must be positive, got $factor")
     val out = m.payload.indices.collect {
       case i if i % factor == 0 => m.payload(i)
     }
@@ -58,6 +59,7 @@ object Multimodal {
   /** Batched resize kernel — same partition-local shape as
     * [[decodeBatch]]. */
   def resizeBatch(df: DataFrame, factor: Int): Dataset[ResizedMeta] = {
+    require(factor > 0, s"factor must be positive, got $factor")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload"))
@@ -75,6 +77,7 @@ object Multimodal {
     * explodes to ceil(n_frames/stride) output rows partition-locally —
     * the flatMap shape a video pipeline needs. */
   def frameSample(m: MediaPayload, stride: Int): Iterator[FrameRow] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     val meta = decodeMeta(m)
     val first = if (m.payload.nonEmpty) (m.payload(0) & 0xffL) else 0L
     (0L until meta.n_frames by stride.toLong).iterator.map { idx =>
@@ -84,6 +87,7 @@ object Multimodal {
   }
 
   def frameSampleBatch(df: DataFrame, stride: Int): Dataset[FrameRow] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload"))

@@ -52,12 +52,24 @@ object MultimodalPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // `fb` is the first UTF-8 BYTE of the payload (what the kernel
+    // reads), derived from the first codepoint via the UTF-8
+    // leading-byte formula — ascii() alone would diverge on any doc
+    // starting with a non-ASCII char (e.g. CJK text)
     "q_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      """WITH m AS (SELECT doc_id, text, ascii(substr(text, 1, 1)) AS cp
+        |           FROM documents),
+        |fbm AS (SELECT doc_id, text,
+        |    CASE WHEN cp < 128 THEN cp
+        |         WHEN cp < 2048 THEN 192 + cp // 64
+        |         WHEN cp < 65536 THEN 224 + cp // 4096
+        |         ELSE 240 + cp // 262144 END AS fb
+        |  FROM m)
+        |SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         | CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
         | CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
-        | CAST(1 + ascii(substr(text, 1, 1)) % 8 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        | CAST(1 + fb % 8 AS BIGINT) AS n_frames
+        |FROM fbm ORDER BY doc_id""".stripMargin,
     "q_media_resize" ->
       """SELECT doc_id,
         | CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS out_len,
@@ -65,11 +77,19 @@ object MultimodalPack extends QueryPack {
         | CAST(16 + (((octet_length(encode(text)) + 1) // 2) * 5) % 240 AS BIGINT) AS out_height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
-      """WITH m AS (SELECT doc_id,
+      """WITH cpm AS (SELECT doc_id, text, ascii(substr(text, 1, 1)) AS cp
+        |             FROM documents),
+        |fbm AS (SELECT doc_id, text,
+        |    CASE WHEN cp < 128 THEN cp
+        |         WHEN cp < 2048 THEN 192 + cp // 64
+        |         WHEN cp < 65536 THEN 224 + cp // 4096
+        |         ELSE 240 + cp // 262144 END AS fb
+        |  FROM cpm),
+        |m AS (SELECT doc_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |    CAST(1 + ascii(substr(text, 1, 1)) % 8 AS BIGINT) AS n_frames,
-        |    CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first
-        |  FROM documents)
+        |    CAST(1 + fb % 8 AS BIGINT) AS n_frames,
+        |    CAST(fb AS BIGINT) AS first
+        |  FROM fbm)
         |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
         | CAST(idx * byte_len // n_frames AS BIGINT) AS frame_off,
         | CAST((first * 31 + idx * 7) % 256 AS BIGINT) AS frame_sig

@@ -26,13 +26,11 @@ object SimilarityPack extends QueryPack {
 
   private def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Embeddings re-spread across shuffle parallelism before the
-    * posexplode kernels (64x row explosion + per-component arithmetic)
-    * — same rationale as `TextPack.docsSpread`: compute-bound stages
-    * must not inherit a 1-file scan's single task. */
+  /** Embeddings re-spread before the posexplode kernels (64x row
+    * explosion + per-component arithmetic) — see
+    * [[graft.Tables.spread]] for the rationale and safety rules. */
   private def embSpread(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    Tables.spread(s, Tables.embeddings(s, d))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. Ranking
     * happens on the ROUNDED cosine with a vec_id tie-break so the

@@ -156,8 +156,11 @@ object StatsPack extends QueryPack {
       .agg(expr("percentile(value, 0.5)").as("exact_med"),
         expr("approx_percentile(value, 0.5, 100)").as("approx_med"))
       .select(col("event_type"), round(col("exact_med"), 2).as("median"),
+        // relative to |median| (an unsigned magnitude — a negative
+        // median must not collapse the tolerance to 0.05 absolute),
+        // floored at 1.0 so near-zero medians keep a sane bound
         (abs(col("approx_med") - col("exact_med"))
-          <= greatest(col("exact_med"), lit(1.0)) * 0.05).as("approx_ok"))
+          <= greatest(abs(col("exact_med")), lit(1.0)) * 0.05).as("approx_ok"))
       .orderBy(col("event_type"))
 
   val queries: Map[String, Q] = Map(
@@ -230,7 +233,7 @@ object StatsPack extends QueryPack {
       """WITH e AS (SELECT user_id, epoch_us(ts) AS es, event_id FROM events),
         |f AS (SELECT user_id, es, event_id,
         |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
-        |      >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM e),
         |g AS (SELECT user_id,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id) AS sid

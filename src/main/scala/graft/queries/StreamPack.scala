@@ -85,7 +85,7 @@ object StreamPack extends QueryPack {
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS es, event_id FROM events),
         |f AS (SELECT user_id, es, event_id,
         |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
-        |      >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM e),
         |g AS (SELECT user_id,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id) AS sid

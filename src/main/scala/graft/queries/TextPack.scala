@@ -64,19 +64,10 @@ object TextPack extends QueryPack {
     * base relation — with the hot-shingle idf floor applied. Joining
     * on 60-bit hashes, not strings: same counts (collision odds ~
     * |shingles|^2 / 2^61), far cheaper shuffle keys. */
-  /** The documents scan re-spread across the session's shuffle
-    * parallelism for COMPUTE-heavy kernels (shingling, signature
-    * hashing): a small fixture is one parquet file = one scan task,
-    * which serializes minutes of per-row md5/shingle work onto a
-    * single core. The repartition costs one tiny shuffle of raw text
-    * and buys full parallelism; at 100 TB the scan already carries
-    * thousands of row-group tasks, where this becomes a cheap
-    * rebalance rather than a behavior change (explicit numPartitions
-    * is honored, not AQE-coalesced). Row-local and integer-agg
-    * consumers only — results are partitioning-independent. */
+  /** The documents scan re-spread for compute-heavy kernels — see
+    * [[graft.Tables.spread]] for the rationale and safety rules. */
   private def docsSpread(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    Tables.spread(s, Tables.documents(s, d))
 
   /** (doc_id, 60-bit shingle hash) before the idf floor. */
   private def rawShingles(s: SparkSession, d: String): DataFrame =

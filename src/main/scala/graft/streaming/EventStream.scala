@@ -100,9 +100,11 @@ object EventStream {
   /** Streaming session windows (the gap-merge analogue of the batch
     * gaps-and-islands query): per-user sessions with a 30-minute gap,
     * watermarked so late events beyond an hour open new sessions
-    * instead of unbounded state growth. Emitted with the session
-    * bounds as epoch micros so the caller can reduce update-mode
-    * output to final sessions. */
+    * instead of unbounded state growth. Session bounds are emitted as
+    * epoch SECONDS (`cast(timestamp as long)`); the complete-mode
+    * drain in [[runSessionsOnce]] leaves the final session set in the
+    * sink, so no update reduction is needed (Spark rejects update
+    * mode for session-window aggregations). */
   def sessionCounts(spark: SparkSession, dir: String,
                     gap: String = "30 minutes"): DataFrame =
     windowedSource(spark, dir)

@@ -23,12 +23,14 @@ class RangeJoinSpec extends AnyFunSuite {
       (1L, 0L, 100L), (2L, 10L, 11L), (3L, 25L, 25L), (4L, 50L, 20L),
       (5L, 99L, 102L), (6L, -5L, 1L))
       .toDF("iid", "lo", "hi")
+    // sorted Seq, not Set: a regression that emits a matching pair
+    // twice must fail, not be hidden by set dedup
     for (w <- Seq(1L, 3L, 7L, 100L, 1000L)) {
       val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", w)
-        .select("pid", "iid").as[(Long, Long)].collect().toSet
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
       val want = points.join(intervals,
           col("p") >= col("lo") && col("p") < col("hi"))
-        .select("pid", "iid").as[(Long, Long)].collect().toSet
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
       assert(got == want, s"binWidth=$w")
     }
   }
@@ -38,14 +40,15 @@ class RangeJoinSpec extends AnyFunSuite {
       (5L, 10.0), (6L, 10.05), (7L, -0.07), (8L, 0.0))
       .toDF("id", "x")
     val got = RangeJoin.bandPairs(df, "id", "x", 0.05)
-      .select("id", "id_b").as[(Long, Long)].collect().toSet
+      .select("id", "id_b").as[(Long, Long)].collect().toSeq.sorted
     val b = df.toDF("id_b", "x_b")
     val want = df.join(b,
         col("id") < col("id_b") && abs(col("x") - col("x_b")) <= 0.05)
-      .select("id", "id_b").as[(Long, Long)].collect().toSet
+      .select("id", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    // Seq equality (not Set): pins both membership AND exactly-once
+    // emission — the identical x=0.0 pair (1,8) appears once
     assert(got == want)
-    // the duplicate x=0.0 pair (1,8) must appear exactly once
-    assert(got.contains((1L, 8L)))
+    assert(got.count(_ == (1L, 8L)) == 1)
   }
 
   test("range join plans as an equi-join on the bin, never a nested loop") {

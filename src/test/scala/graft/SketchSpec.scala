@@ -26,7 +26,7 @@ class SketchSpec extends AnyFunSuite {
       .groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.5)").as("ex"),
         expr("approx_percentile(value, 0.5, 100)").as("ap"))
-      .select((abs(col("ap") - col("ex")) / greatest(col("ex"), lit(1.0))).as("rel"))
+      .select((abs(col("ap") - col("ex")) / greatest(abs(col("ex")), lit(1.0))).as("rel"))
       .as[Double].collect()
     assert(errs.nonEmpty && errs.forall(_ <= 0.02), errs.mkString(","))
   }
