@@ -436,9 +436,24 @@ object TextPack extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** Transitive dedup closure: near-dup pairs (Jaccard >= 0.5, the
+    * same edge set q_dedup_apply drops from) clustered into connected
+    * components via relational min-label propagation — a~b, b~c means
+    * {a,b,c} is ONE cluster with one representative, which pairwise
+    * dropping cannot express. Output: every clustered doc with its
+    * component representative (= min doc_id). */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = sharedJaccardPairs(s, d).filter(col("jacv") >= 0.5)
+      .select(col("a"), col("b"))
+    graft.operators.ConnectedComponents.labels(edges)
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count"   -> qTokenCount,
     "q_dedup_apply"   -> qDedupApply,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_tfidf_top"     -> qTfidfTop,
     "q_dedup_exact"   -> qDedupExact,
     "q_text_quality"  -> qTextQuality,
@@ -472,6 +487,31 @@ object TextPack extends QueryPack {
         |  WHERE c*1.0/(sa.n+sb.n-c) >= 0.5)
         |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same >=0.5 pair set as q_dedup_apply, closed transitively with a
+    // recursive CTE: rep = min doc_id reachable in the near-dup graph
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT AS sh FROM tri),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT a, b
+        |  FROM common JOIN sizes sa ON a=sa.doc_id JOIN sizes sb ON b=sb.doc_id
+        |  WHERE c*1.0/(sa.n+sb.n-c) >= 0.5),
+        |edges AS (SELECT a AS v, b AS u FROM pairs
+        |          UNION ALL SELECT b AS v, a AS u FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT v, v FROM edges
+        |  UNION
+        |  SELECT e.v, r.r FROM edges e JOIN reach r ON e.u = r.v)
+        |SELECT v AS doc_id, min(r) AS cluster_rep FROM reach
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tfidf_top" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

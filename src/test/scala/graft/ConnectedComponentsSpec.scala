@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+
+/** Min-label propagation must compute exact component minima on
+  * adversarial shapes (chains that need multiple rounds, merges
+  * through a late edge, parallel components) and refuse to return a
+  * partial closure when capped below the diameter.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+    ConnectedComponents.labels(edges.toDF("a", "b"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, triangle, and disjoint components resolve to their minima") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val got = run(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("late bridge merges two components; matches brute-force BFS") {
+    val edges = Seq((1L, 5L), (5L, 9L), (2L, 6L), (6L, 9L), (3L, 7L),
+      (100L, 101L), (4L, 8L), (8L, 7L), (9L, 7L))
+    val got = run(edges)
+    // brute force: repeated relaxation over the symmetric edge list
+    val sym = edges ++ edges.map(_.swap)
+    val nodes = sym.map(_._1).distinct
+    var lab = nodes.map(v => v -> v).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((v, u) <- sym) if (lab(u) < lab(v)) { lab += v -> lab(u); changed = true }
+    }
+    assert(got == lab)
+  }
+
+  test("empty edge list yields an empty labelling") {
+    assert(run(Seq.empty).isEmpty)
+  }
+
+  test("refuses a partial closure when capped below the diameter") {
+    val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalStateException] { run(chain, maxIter = 2) }
+  }
+}
