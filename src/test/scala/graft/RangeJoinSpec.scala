@@ -51,6 +51,30 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.count(_ == (1L, 8L)) == 1)
   }
 
+  test("property: random intervals/points equal the naive theta join") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      pts <- Gen.listOfN(40, Gen.choose(-500L, 500L))
+      ivs <- Gen.listOfN(15, Gen.zip(Gen.choose(-500L, 500L), Gen.choose(0L, 300L)))
+      w <- Gen.oneOf(1L, 13L, 50L, 400L)
+    } yield (pts, ivs, w)
+    for (i <- 0 until 6) {
+      val (pts, ivs, w) = gen.apply(Gen.Parameters.default, Seed(77L + i)).get
+      val points = pts.zipWithIndex.map { case (p, k) => (k.toLong, p) }
+        .toDF("pid", "p")
+      // hi = lo + len; len 0 makes empty intervals part of the space
+      val intervals = ivs.zipWithIndex.map { case ((lo, len), k) =>
+        (k.toLong, lo, lo + len) }.toDF("iid", "lo", "hi")
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+      val want = points.join(intervals,
+          col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"seed=${77 + i} binWidth=$w")
+    }
+  }
+
   test("range join plans as an equi-join on the bin, never a nested loop") {
     for (name <- Seq("q_range_join", "q_band_join")) {
       val p = SparkEntry.queries(name)(spark, TestSpark.sf)
