@@ -187,7 +187,31 @@ object EventsPack extends QueryPack {
       .orderBy(col("d"))
   }
 
+  /** Stratified deterministic sample (T4 at pipeline realism): each
+    * event_type stratum keeps its own Bernoulli fraction — rare
+    * strata oversampled, dominant strata thinned — selected by the
+    * engine-portable md5 hash trick (same key hashes identically in
+    * any engine, so the EXACT sampled multiset is oracle-checkable,
+    * unlike rand()-based sampling). Scan-local predicate: no shuffle
+    * until the audit aggregation. */
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val per10k = Map("click" -> 500L, "view" -> 200L, "purchase" -> 2000L,
+      "signup" -> 5000L, "error" -> 1000L)
+    val h = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10000L
+    val thresh = per10k.foldLeft(lit(0L)) { case (acc, (t, f)) =>
+      when(col("event_type") === t, lit(f)).otherwise(acc)
+    }
+    Tables.events(s, d)
+      .filter(h < thresh)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stratified_sample" -> qStratifiedSample,
     "q_range_join"     -> qRangeJoin,
     "q_band_join"      -> qBandJoin,
     "q_lag_lead"       -> qLagLead,
@@ -204,6 +228,18 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      """WITH s AS (SELECT event_type, value,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS h
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_sampled,
+        | round(sum(value), 2) AS sum_value
+        |FROM s
+        |WHERE h < CASE event_type
+        |  WHEN 'click' THEN 500 WHEN 'view' THEN 200
+        |  WHEN 'purchase' THEN 2000 WHEN 'signup' THEN 5000
+        |  WHEN 'error' THEN 1000 ELSE 0 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join" ->
       """WITH p AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS lo
         |           FROM events WHERE event_type = 'purchase'),
