@@ -258,6 +258,17 @@ object CorePack extends QueryPack {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** CUBE over (order priority, return flag): the full grouping-sets
+    * lattice (both margins + grand total), completing the rollup
+    * family — one Expand + hash agg, no per-set re-scan. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .cube(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 0).as("qty"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first)
+
   /** TPC-H Q3-shaped: shipping-priority top-10 — segment filter on the
     * dim side, date split across orders/lineitem, grouped revenue,
     * distributed top-k. */
@@ -339,6 +350,7 @@ object CorePack extends QueryPack {
     "q_hash_sample"      -> qHashSample,
     "q_math_funcs"       -> qMathFuncs,
     "q_rollup"           -> qRollup,
+    "q_cube"             -> qCube,
   )
 
   val oracles: Map[String, String] = Map(
@@ -487,5 +499,11 @@ object CorePack extends QueryPack {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderpriority, l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 0) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY CUBE(o_orderpriority, l_returnflag)
+        |ORDER BY o_orderpriority NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin,
   )
 }
