@@ -149,6 +149,14 @@ object EventStream {
       }
   }
 
+  /** Public accessor for the schema'd events stream — lets tests and
+    * custom pipelines compose their own streaming ops (e.g. the
+    * watermark-BOUNDED dedup `dropDuplicatesWithinWatermark`, whose
+    * state stays finite at 100 TB where plain dropDuplicates grows
+    * with the corpus; pinned by EngineSpec). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    windowedSource(spark, dir)
+
   /** The schema'd streaming source with ts normalized (shared by the
     * windowed and stateful queries). */
   private def windowedSource(spark: SparkSession, dir: String): DataFrame = {

@@ -63,4 +63,25 @@ class EngineSpec extends AnyFunSuite {
       .select("wstart", "n", "sum_value").orderBy("wstart").collect()
     assert(stream.toSeq == batch.toSeq)
   }
+
+  test("dropDuplicatesWithinWatermark dedups in-window with bounded state") {
+    // duplicate the source by unioning two reads of the same stream;
+    // the watermark-bounded dedup (finite state at 100 TB, unlike
+    // plain dropDuplicates whose key state grows with the corpus)
+    // must collapse the union back to the batch row count
+    val dup = EventStream.eventsStream(spark, TestSpark.sf)
+      .union(EventStream.eventsStream(spark, TestSpark.sf))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = dup.writeStream.outputMode("append")
+        .format("memory").queryName("graft_wm_dedup_test").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
+    val got = spark.table("graft_wm_dedup_test").count()
+    assert(got == Tables.events(spark, TestSpark.sf).count())
+  }
 }
