@@ -70,4 +70,12 @@ class PlanSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(got == graft.functions.RollingHash.hash("hello world".getBytes("UTF-8")))
   }
+
+  test("cube plans as one Expand pass, not per-grouping-set rescans") {
+    val p = plan("q_cube")
+    assert(p.contains("Expand"), p.take(600))
+    // each input table is scanned exactly once; the lattice comes from
+    // Expand row replication, not repeated scans
+    assert("FileScan parquet".r.findAllMatchIn(p).size == 2, p.take(1200))
+  }
 }
