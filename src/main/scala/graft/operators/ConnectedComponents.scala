@@ -22,7 +22,13 @@ object ConnectedComponents {
   /** (a, b) edge list -> (id, rep) for every node appearing in an
     * edge, rep = min node id of its component. Throws if the graph
     * has not converged within `maxIter` rounds (a silent partial
-    * closure would under-merge clusters). */
+    * closure would under-merge clusters).
+    *
+    * The returned relation is PERSISTED (each round materializes on
+    * the previous one; an unpersisted result would re-run the whole
+    * propagation with exponentially nested lineage on every action) —
+    * callers that keep the session alive should `unpersist()` it when
+    * done; harness runs clear the cache per query. */
   def labels(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val sym = edges.select(col("a").as("v"), col("b").as("u"))
@@ -48,6 +54,7 @@ object ConnectedComponents {
         if (changed == 0) return lab.select(col("v").as("id"), col("l").as("rep"))
         round += 1
       }
+      lab.unpersist()
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
     } finally sym.unpersist()

@@ -197,8 +197,7 @@ object EventsPack extends QueryPack {
   def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
     val per10k = Map("click" -> 500L, "view" -> 200L, "purchase" -> 2000L,
       "signup" -> 5000L, "error" -> 1000L)
-    val h = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 10000L
+    val h = graft.operators.TextOps.hash60(col("event_id").cast("string")) % 10000L
     val thresh = per10k.foldLeft(lit(0L)) { case (acc, (t, f)) =>
       when(col("event_type") === t, lit(f)).otherwise(acc)
     }

@@ -30,7 +30,7 @@ object EventStream {
   def windowedAgg(spark: SparkSession, dir: String,
                   window_ : String = "6 hours",
                   watermark: String = "1 hour"): DataFrame =
-    windowedSource(spark, dir)
+    eventsStream(spark, dir)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -107,7 +107,7 @@ object EventStream {
     * mode for session-window aggregations). */
   def sessionCounts(spark: SparkSession, dir: String,
                     gap: String = "30 minutes"): DataFrame =
-    windowedSource(spark, dir)
+    eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n"))
@@ -133,7 +133,7 @@ object EventStream {
   def runningUserTotals(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[UserTotals] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val base = windowedSource(spark, dir)
+    val base = eventsStream(spark, dir)
       .select(col("user_id").cast("long").as("user_id"), col("value"))
       .as[(Long, Double)]
     base.groupByKey(_._1)
@@ -149,17 +149,13 @@ object EventStream {
       }
   }
 
-  /** Public accessor for the schema'd events stream — lets tests and
-    * custom pipelines compose their own streaming ops (e.g. the
+  /** The schema'd events stream with ts normalized — shared by the
+    * windowed/stateful queries, and public so tests and custom
+    * pipelines can compose their own streaming ops (e.g. the
     * watermark-BOUNDED dedup `dropDuplicatesWithinWatermark`, whose
     * state stays finite at 100 TB where plain dropDuplicates grows
     * with the corpus; pinned by EngineSpec). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    windowedSource(spark, dir)
-
-  /** The schema'd streaming source with ts normalized (shared by the
-    * windowed and stateful queries). */
-  private def windowedSource(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(stagedStreamPath(path))
