@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hash60"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash60"),
+      (children: Seq[Expression]) => ShingleHash(children(0),
+        children(1).eval().asInstanceOf[Number].intValue)))
   }
 }

@@ -69,11 +69,15 @@ object TextPack extends QueryPack {
   private def docsSpread(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.documents(s, d))
 
-  /** (doc_id, 60-bit shingle hash) before the idf floor. */
+  /** (doc_id, 60-bit shingle hash) before the idf floor. The fused
+    * native kernel hashes every 3-word window in one pass
+    * (ShingleHashSpec pins equality with the HOF composition);
+    * distinct runs on the HASHES, matching the oracle's
+    * `SELECT DISTINCT doc_id, hash` exactly. */
   private def rawShingles(s: SparkSession, d: String): DataFrame =
     docsSpread(s, d)
-      .select(col("doc_id"), explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh0"))
-      .select(col("doc_id"), TextOps.hash60(col("sh0")).as("sh"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
 
   /** The hot-shingle idf floor. The HOT set (df > maxDf) is by
     * definition tiny or empty — at any scale only boilerplate shingles
@@ -228,8 +232,9 @@ object TextPack extends QueryPack {
                         maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val p = 2147483647L
     val dsh = docsSpread(s, d)
-      .select(col("doc_id"), explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
-      .select(col("doc_id"), (TextOps.hash60(col("sh")) % p).as("h"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), (col("sh") % p).as("h"))
     // 16 min-hash columns in ONE partial+final agg (no row explosion:
     // the hash-family index is pivoted into columns, not rows).
     val minCols = (0 until 16).map(j =>

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleHash.shingle_hash60
+import graft.operators.TextOps
+
+/** The fused shingle-hash kernel must equal the
+  * hash60(concat_ws(slice(split(...)))) composition element-for-
+  * element on adversarial inputs — consecutive spaces (empty words),
+  * leading/trailing spaces, short docs, unicode — and on the real
+  * corpus.
+  */
+class ShingleHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def viaComposition(c: org.apache.spark.sql.Column) =
+    transform(TextOps.shingles(c, 3), sh => TextOps.hash60(sh))
+
+  test("equals the composition on adversarial strings") {
+    val docs = Seq(
+      "a b c d e",
+      "one two",            // fewer than n words -> empty
+      "x",
+      "",
+      "a  b c",             // consecutive spaces: empty word in window
+      " a b c",             // leading space
+      "a b c ",             // trailing space
+      "的 是 了 在 和",       // multi-byte words
+      "same same same same")
+      .toDF("text")
+    val both = docs.select(
+      shingle_hash60(col("text"), 3).as("fused"),
+      viaComposition(col("text")).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    for ((f, h) <- both) assert(f == h)
+  }
+
+  test("equals the composition on every fixture document") {
+    val mismatches = Tables.documents(spark, TestSpark.sf)
+      .select(shingle_hash60(col("text"), 3).as("fused"),
+        viaComposition(col("text")).as("hof"))
+      .filter(col("fused") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("SQL-callable as shingle_hash60() (the GraftExtensions injectFunction path)") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hash60",
+      exprs => graft.functions.ShingleHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue), "scala_udf")
+    val got = spark.sql("SELECT shingle_hash60('a b c d', 3) AS sh")
+      .as[Seq[Long]].head()
+    assert(got.length == 2)
+  }
+
+  test("hash60 value parity: first 15 md5 hex nibbles as a long") {
+    val got = Seq("hello world test").toDF("t")
+      .select(shingle_hash60(col("t"), 3)).as[Seq[Long]].head().head
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world test".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    assert(got == java.lang.Long.parseLong(hex, 16))
+  }
+}
