@@ -49,18 +49,42 @@ object Bench {
         spark.catalog.clearCache()
         name -> (ok, (System.nanoTime() - t0) / 1e9)
       }
-    val qs = results.map { case (k, (ok, v)) =>
-      // a failed query is recorded as a negative time so a fast
-      // failure can never read as a fast pass
-      s"\"" + k + "\":" + (if (ok) v else -v)
-    }.mkString("{", ",", "}")
+    // a failed query is recorded as a negative time so a fast
+    // failure can never read as a fast pass
+    def entry(k: String, ok: Boolean, v: Double): String =
+      s"\"" + k + "\":" + f"${if (ok) v else -v}%.3f"
+    val qs = results.map { case (k, (ok, v)) => entry(k, ok, v) }
+      .mkString("{", ",", "}")
     val errs = results.collect { case (k, (false, _)) => s"\"$k\"" }
       .mkString("[", ",", "]")
     // headline total covers successful work only; failures are listed
     // in `errors` (and negative per-query times), never mixed into the
     // benchmark figure
     val total = results.collect { case (_, (true, v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file: the harness keeps only the
+    // final ~2000 bytes of the log, and ~90 query entries (~2.5 KB)
+    // have never fit, so no round's bench line has parsed. The stdout
+    // line carries the headline plus as many of the SLOWEST queries as
+    // fit a byte budget that keeps the whole line inside the tail
+    // (slowest-first because those are the ones perf review needs).
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","errors":$errs,"detail":"BENCH_DETAIL.json""""
+    val detail = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // cwd not writable: stdout line still stands alone
+    val budget = 1600 - head.length
+    val slowFirst = results.sortBy { case (_, (_, v)) => -v }
+      .map { case (k, (ok, v)) => entry(k, ok, v) }
+    val kept = new StringBuilder
+    var keptN = 0
+    slowFirst.foreach { e =>
+      if (kept.length + e.length + 1 <= budget) {
+        if (keptN > 0) kept.append(',')
+        kept.append(e); keptN += 1
+      }
+    }
+    println(head + s""","queries_omitted":${results.length - keptN},"queries":{$kept}}""")
     spark.stop()
   }
 }
