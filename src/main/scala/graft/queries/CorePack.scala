@@ -254,7 +254,8 @@ object CorePack extends QueryPack {
     sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_sup"), round(sum(col("s_acctbal")), 0).as("bal"))
+      .agg(count(lit(1)).as("n_sup"),
+        round(sum(col("s_acctbal").cast("decimal(18,2)")), 0).cast("double").as("bal"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
@@ -323,6 +324,86 @@ object CorePack extends QueryPack {
     autos.intersect(buyers).orderBy(col("c_custkey"))
   }
 
+  /** A8-adjacent — GROUPING SETS beyond rollup/cube: the two marginal
+    * aggregations ((r_name), (n_name)) in ONE pass over the join (a
+    * single Expand + hash agg, not two scans unioned). */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_sup"),
+        round(sum(col("s_acctbal").cast("decimal(18,2)")), 0).cast("double").as("bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** F6-adjacent — pivot (long → wide): order counts per status with
+    * one column per priority. Pivot values are EXPLICIT so the plan is
+    * a single pass (no values-discovery job) and the output schema is
+    * static — the shape that survives at 100 TB. */
+  def qPivot(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val renames = prios.zipWithIndex.map { case (p, i) => (p, s"p${i + 1}") }
+    renames.foldLeft(
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+      .na.fill(0, renames.map(_._2))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** F7-adjacent — unpivot/melt (wide → long), the inverse of
+    * [[qPivot]]: per-status metrics melted to (status, metric, value)
+    * rows via the native Unpivot node (one Expand, no self-union). */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(sum(col("o_totalprice")), 0).as("sum_price"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        count(lit(1)).cast("double").as("n_orders"))
+      .unpivot(Array(col("o_orderstatus")),
+        Array(col("sum_price"), col("avg_price"), col("n_orders")),
+        "metric", "value")
+      .orderBy(col("o_orderstatus"), col("metric"))
+
+  /** W1-adjacent — ntile deciles per era (standard first-buckets-get-
+    * the-remainder semantics), summarized per (era, decile) so the
+    * output stays bounded at any SF. Tie order pinned by (value,
+    * event_id). */
+  def qNtile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), Tables.eraOfTs(col("ts")).as("era"), col("value"))
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy(col("era")).orderBy(col("value"), col("event_id"))).cast("long"))
+      .groupBy(col("era"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+      .orderBy(col("era"), col("decile"))
+
+  /** Skew-mitigation pattern — SALTED shuffle join
+    * ([[graft.operators.SkewJoin]]): the fact side gets a salt in
+    * [0, S), the dim side is replicated S ways, and the join runs on
+    * (key, salt) so one hot key spreads over S reducers instead of
+    * melting one. The salt never changes the result (every (key, salt)
+    * slice of the dim exists), so the plain join IS the oracle. Forced
+    * to a shuffled hash join — broadcasting would bypass the very skew
+    * path being exercised. */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.supplier(s, d)
+      .withColumnRenamed("s_nationkey", "nationkey")
+    val dim = Tables.nation(s, d)
+      .withColumnRenamed("n_nationkey", "nationkey")
+      .hint("shuffle_hash")
+    graft.operators.SkewJoin.saltedJoin(fact, dim, "nationkey", salt = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_sup"),
+        round(sum(col("s_acctbal").cast("decimal(18,2)")), 0).cast("double").as("bal"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q3_shipping_priority" -> q3ShippingPriority,
     "q_exists_correlated"  -> qExistsCorrelated,
@@ -351,6 +432,11 @@ object CorePack extends QueryPack {
     "q_math_funcs"       -> qMathFuncs,
     "q_rollup"           -> qRollup,
     "q_cube"             -> qCube,
+    "q_grouping_sets"    -> qGroupingSets,
+    "q_pivot"            -> qPivot,
+    "q_unpivot"          -> qUnpivot,
+    "q_ntile"            -> qNtile,
+    "q_salted_join"      -> qSaltedJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -494,7 +580,7 @@ object CorePack extends QueryPack {
         | round(avg(least(1.0, greatest(-1.0, ((l_quantity - 25.0) / 100.0) / 0.2))), 6) AS avg_payout
         |FROM lineitem""".stripMargin,
     "q_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_sup, round(sum(s_acctbal), 0) AS bal
+      """SELECT r_name, n_name, count(*) AS n_sup, round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 0)::DOUBLE AS bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
@@ -505,5 +591,39 @@ object CorePack extends QueryPack {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY CUBE(o_orderpriority, l_returnflag)
         |ORDER BY o_orderpriority NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_sup, round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 0)::DOUBLE AS bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name))
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        | count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        | count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        | count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        | count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        | count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (SELECT o_orderstatus, round(sum(o_totalprice), 0) AS sum_price,
+        |  round(avg(o_totalprice), 4) AS avg_price, CAST(count(*) AS DOUBLE) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM w
+        |UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM w
+        |UNION ALL SELECT o_orderstatus, 'n_orders', n_orders FROM w
+        |ORDER BY 1, 2""".stripMargin,
+    "q_ntile" ->
+      """WITH t AS (SELECT CAST(date_part('day', ts) AS BIGINT) AS era, value,
+        |  CAST(ntile(10) OVER (PARTITION BY date_part('day', ts)
+        |    ORDER BY value, event_id) AS BIGINT) AS decile
+        |  FROM events)
+        |SELECT era, decile, count(*) AS n, round(min(value), 6) AS lo,
+        | round(max(value), 6) AS hi
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_salted_join" ->
+      """SELECT n_name, count(*) AS n_sup, round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 0)::DOUBLE AS bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

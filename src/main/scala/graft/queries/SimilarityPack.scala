@@ -125,11 +125,31 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4x
+    * memory/IO compression a 100 TB vector store applies before ANN
+    * (scale = 127/max|x| per vector, q = floor(x*scale + 0.5), all
+    * arithmetic deterministic so the oracle reproduces it exactly).
+    * Reports per-vector scale and the dequantization squared error.
+    * Scan-local: no shuffle at any scale. */
+  def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("sc", lit(127.0) / col("max_abs"))
+      .withColumn("sse", aggregate(col("v"), lit(0.0), (acc, x) => {
+        val dq = x - floor(x * col("sc") + lit(0.5)) / col("sc")
+        acc + dq * dq
+      }))
+      .select(col("vec_id"), round(col("max_abs"), 6).as("max_abs"),
+        round(col("sc"), 6).as("scale"), round(col("sse"), 6).as("sse"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, Q] = Map(
     "q_ann_cosine"      -> qAnnCosine,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_ann_ivf"         -> qAnnIvf,
+    "q_embed_quantize"  -> qEmbedQuantize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,5 +194,15 @@ object SimilarityPack extends QueryPack {
         |    CAST(sum(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
         |    FROM dots GROUP BY 1)
         |SELECT bucket, count(*) AS n FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS max_abs,
+        |    127.0 / list_max(list_transform(v, x -> abs(x))) AS sc
+        |  FROM t)
+        |SELECT vec_id, round(max_abs, 6) AS max_abs, round(sc, 6) AS scale,
+        | round(list_sum(list_transform(v,
+        |   x -> (x - floor(x*sc + 0.5)/sc) * (x - floor(x*sc + 0.5)/sc))), 6) AS sse
+        |FROM s ORDER BY vec_id""".stripMargin,
   )
 }

@@ -272,6 +272,53 @@ object TextPack extends QueryPack {
       .orderBy(col("a"), col("b"))
   }
 
+  /** MinHash Jaccard ESTIMATION on the LSH candidate pairs: the
+    * fraction of the 16 minhash components two docs share is an
+    * unbiased estimate of their Jaccard similarity — the cheap scorer
+    * a 100 TB dedup runs INSTEAD of exact shingle-intersection
+    * (signatures are 128 bytes/doc; the shingle sets they stand in for
+    * are unbounded). Candidates come from the same banded equi-join as
+    * [[qMinhashLsh]]; the signature table is computed once, persisted,
+    * and joined back doc-keyed to both pair sides (at scale it is the
+    * materialized signature store every LSH system keeps anyway). */
+  def qMinhashEst(s: SparkSession, d: String): DataFrame = {
+    val p = 2147483647L
+    val dsh = docsSpread(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), (col("sh") % p).as("h"))
+    val minCols = (0 until 16).map(j =>
+      min((col("h") * (2 * j + 1)) % p).as(s"mh_$j"))
+    val base = dsh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .persist() // feeds the band join AND both signature probes
+    val bandCols = (0 until 8).map(b =>
+      concat_ws(",", col(s"mh_${2 * b}").cast("string"),
+        col(s"mh_${2 * b + 1}").cast("string")).as(s"sg_$b"))
+    val stackExpr = "stack(8, " +
+      (0 until 8).map(b => s"$b, sg_$b").mkString(", ") + ") AS (band, sg)"
+    val stacked = base.select((col("doc_id") +: bandCols): _*)
+      .selectExpr("doc_id", stackExpr)
+    val pairs = stacked.select(col("doc_id").as("a"), col("band"), col("sg"))
+      .join(stacked.select(col("doc_id").as("b"), col("band").as("band_r"),
+          col("sg").as("sg_r")),
+        col("band") === col("band_r") && col("sg") === col("sg_r")
+          && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sig = base.select(col("doc_id"),
+      array((0 until 16).map(j => col(s"mh_$j")): _*).as("sig"))
+    pairs
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
+      .withColumn("n_match", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), _ + _))
+      .select(col("a"), col("b"), col("n_match"),
+        round(col("n_match") / 16.0, 4).as("jaccard_est"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** SimHash near-dup: 48-bit signature from word-hash bit votes,
     * pairs with Hamming distance <= 3, found by banding the 48 bits
     * into 4 bands of 12 — by pigeonhole any pair within distance 3
@@ -464,6 +511,7 @@ object TextPack extends QueryPack {
     "q_text_quality"  -> qTextQuality,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_lsh"   -> qMinhashLsh,
+    "q_minhash_est"   -> qMinhashEst,
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
     "q_langid"        -> qLangid,
@@ -574,6 +622,30 @@ object TextPack extends QueryPack {
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM sig x JOIN sig y ON x.band=y.band AND x.sg=y.sg AND x.doc_id<y.doc_id)
         |SELECT a, b FROM cand ORDER BY 1, 2""".stripMargin,
+    // same signature pipeline as q_minhash_lsh, finished with the
+    // per-component match fraction instead of just the pair list
+    "q_minhash_est" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT % 2147483647 AS h FROM tri),
+        |js AS (SELECT unnest(generate_series(0,15)) AS j),
+        |minh AS (SELECT doc_id, j, j // 2 AS band,
+        |    min((h * (2*j+1)) % 2147483647) AS mh FROM dsh, js GROUP BY 1,2,3),
+        |sig AS (SELECT doc_id, band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sg FROM minh GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM sig x JOIN sig y ON x.band=y.band AND x.sg=y.sg AND x.doc_id<y.doc_id)
+        |SELECT c.a, c.b,
+        | CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        | round(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0, 4) AS jaccard_est
+        |FROM cand c JOIN minh ma ON ma.doc_id = c.a
+        | JOIN minh mb ON mb.doc_id = c.b AND mb.j = ma.j
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_simhash_dedup" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
         |h AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS hv FROM w),

@@ -78,4 +78,31 @@ class PlanSpec extends AnyFunSuite {
     // Expand row replication, not repeated scans
     assert("FileScan parquet".r.findAllMatchIn(p).size == 2, p.take(1200))
   }
+
+  test("grouping sets plan as one Expand pass over a single scan each") {
+    val p = plan("q_grouping_sets")
+    assert("Expand".r.findAllMatchIn(p).size >= 1, p.take(600))
+    assert("FileScan parquet".r.findAllMatchIn(p).size == 3, p.take(1200))
+  }
+
+  test("salted join plans as a shuffled hash join, not a broadcast") {
+    // broadcasting the replicated dim would bypass the skew path the
+    // query exists to exercise
+    val p = plan("q_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("pivot with explicit values is one pass (no values-discovery job)") {
+    // a single scan of orders: explicit pivot values skip the distinct
+    // values collection a dynamic pivot would run first
+    val p = plan("q_pivot")
+    assert("FileScan parquet".r.findAllMatchIn(p).size == 1, p.take(1200))
+  }
+
+  test("unpivot lowers to Expand, not a self-union of scans") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), p.take(800))
+    assert("FileScan parquet".r.findAllMatchIn(p).size == 1, p.take(1200))
+  }
 }

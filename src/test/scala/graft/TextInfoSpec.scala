@@ -74,4 +74,29 @@ class TextInfoSpec extends AnyFunSuite {
     val buckets = h.select("bi").as[Long].collect()
     assert(buckets.forall(b => b >= 0 && b <= 4))
   }
+
+  test("minhash estimate covers exactly the LSH candidate pairs, est in range") {
+    val est = graft.queries.TextPack.qMinhashEst(spark, TestSpark.sf)
+      .select("a", "b", "n_match").collect()
+    val lsh = graft.queries.TextPack.qMinhashLsh(spark, TestSpark.sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.map(r => (r.getLong(0), r.getLong(1))).toSet == lsh)
+    // a shared band means both of that band's components match, so
+    // every candidate pair has at least 2 of 16 matching minhashes
+    assert(est.forall(r => r.getLong(2) >= 2 && r.getLong(2) <= 16))
+  }
+
+  test("int8 quantization error is bounded by half a step per component") {
+    val rows = graft.queries.SimilarityPack.qEmbedQuantize(spark, TestSpark.sf)
+      .select("max_abs", "sse").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (maxAbs, sse) = (r.getDouble(0), r.getDouble(1))
+      assert(maxAbs > 0 && sse >= 0)
+      // 64 components, each within (step/2) = max_abs/254 of its
+      // dequantized value (floor(x+0.5) is nearest-int)
+      val bound = 64 * math.pow(maxAbs / 254.0, 2) * (1 + 1e-9) + 1e-6
+      assert(sse <= bound, s"sse=$sse bound=$bound")
+    }
+  }
 }
