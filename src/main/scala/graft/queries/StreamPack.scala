@@ -57,11 +57,22 @@ object StreamPack extends QueryPack {
         max(col("n")).as("max_session_events"))
       .orderBy(col("user_id"))
 
+  /** Stream-stream join drained and summarized: per-user count of
+    * (click, purchase-within-an-hour) pairs. The batch self-join SQL
+    * is the oracle — the streaming join must reproduce the batch pair
+    * set exactly once both streams are exhausted. */
+  def qStreamJoin(s: SparkSession, d: String): DataFrame =
+    EventStream.runJoinOnce(s, d, s"graft_stream_j${runSeq.incrementAndGet()}")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling"    -> qStreamTumbling,
     "q_stream_dedup"       -> qStreamDedup,
     "q_stream_user_totals" -> qStreamUserTotals,
     "q_stream_session"     -> qStreamSession,
+    "q_stream_join"        -> qStreamJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -94,5 +105,14 @@ object StreamPack extends QueryPack {
         |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
         |  max(n) AS max_session_events
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    // epoch_us both sides: Spark timestamps are microseconds while the
+    // fixture parquet is TIMESTAMP(NANOS), so the window bound must be
+    // compared at micro precision in the oracle too
+    "q_stream_join" ->
+      """SELECT CAST(a.user_id AS BIGINT) AS user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) AND epoch_us(a.ts) + 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

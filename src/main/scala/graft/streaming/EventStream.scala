@@ -84,12 +84,13 @@ object EventStream {
     * The partition count is pinned low for the drain and restored
     * after; results are unaffected (same aggregation, fewer state
     * shards). On a real cluster the session default applies. */
-  private def drain(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+  private def drain(spark: SparkSession, df: DataFrame, name: String,
+                    mode: String = "complete"): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "4")
     try {
-      val q = df.writeStream.outputMode("complete")
+      val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -122,6 +123,38 @@ object EventStream {
   def runSessionsOnce(spark: SparkSession, dir: String,
                       name: String = "graft_stream_sess"): DataFrame =
     drain(spark, sessionCounts(spark, dir), name)
+
+  /** Stream-stream INNER join: clicks ⋈ purchases by the same user
+    * within an hour. Both sides are watermarked and the join condition
+    * carries the event-time range, so Spark can evict buffered rows
+    * once the watermark passes — the shape whose join state stays
+    * bounded on an unbounded stream (an equi-only condition would
+    * buffer both streams forever). Append mode, one output row per
+    * qualifying (click, purchase) pair. */
+  def clickPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").as("ts_c"), col("event_id").as("click_id"))
+      .withWatermark("ts_c", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("u2"),
+        col("ts").as("ts_p"), col("event_id").as("purchase_id"))
+      .withWatermark("ts_p", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("u2")
+          && col("ts_p") >= col("ts_c")
+          && col("ts_p") <= col("ts_c") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Drain [[clickPurchasePairs]] in APPEND mode (the only mode
+    * stream-stream joins support); the sink accumulates the full pair
+    * set once the stream is exhausted. */
+  def runJoinOnce(spark: SparkSession, dir: String,
+                  name: String = "graft_stream_join"): DataFrame =
+    drain(spark, clickPurchasePairs(spark, dir), name, mode = "append")
 
   case class UserTotals(user_id: Long, n_events: Long, total: Double)
 

@@ -84,4 +84,24 @@ class EngineSpec extends AnyFunSuite {
     val got = spark.table("graft_wm_dedup_test").count()
     assert(got == Tables.events(spark, TestSpark.sf).count())
   }
+
+  test("stream-stream join reproduces the batch interval join exactly") {
+    val stream = EventStream.runJoinOnce(spark, TestSpark.sf, "graft_ssj_test")
+      .select("user_id", "click_id", "purchase_id")
+    val ev = Tables.events(spark, TestSpark.sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").as("ts_c"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("u2"),
+        col("ts").as("ts_p"), col("event_id").as("purchase_id"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("u2")
+          && col("ts_p") >= col("ts_c")
+          && col("ts_p") <= col("ts_c") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "purchase_id")
+    assert(stream.count() > 0)
+    assert(stream.except(batch).count() == 0)
+    assert(batch.except(stream).count() == 0)
+  }
 }
