@@ -38,19 +38,30 @@ object Reduction {
   /** M12 tune_reduction: scan component counts, score each reduced
     * representation with era-fold CV of the supplied fitter, return the
     * leaderboard best-first (`tuners.py:149-252`'s loop with Spark jobs
-    * per candidate instead of scattered tasks). */
+    * per candidate instead of scattered tasks).
+    *
+    * PCA components are NESTED (the first k eigenvectors of the
+    * covariance do not depend on how many more are computed), so the
+    * scan fits ONCE at max(ks) and each candidate k just reads the
+    * first k projection columns — one fit and one data pass instead of
+    * |ks| of each, the difference between a scan and |ks| scans at
+    * 100 TB. The projected frame is persisted across the fold loops
+    * and released on exit. */
   def tuneReduction(df: DataFrame, featCols: Seq[String], eraCol: String,
                     ks: Seq[Int], nFit: Int, orderCol: String, folds: Int,
                     fitterFor: Seq[String] => DataFrame => (DataFrame => DataFrame),
                     score: DataFrame => DataFrame,
                     metric: String = "spearman"): Seq[(Int, Double)] = {
-    ks.map { k =>
-      val (reduced, _) = pcaFitTransformOnHead(df, featCols, k, nFit, orderCol)
-      val pcCols = (0 until k).map(i => s"pc_$i")
-      val perFold = CrossVal.kfoldScores(reduced, eraCol, folds,
-        fitterFor(pcCols), score)
-      val mean = perFold.agg(avg(col(metric))).head().getDouble(0)
-      k -> mean
-    }.sortBy(-_._2)
+    val (reduced, _) = pcaFitTransformOnHead(df, featCols, ks.max, nFit, orderCol)
+    val cached = reduced.persist()
+    try {
+      ks.map { k =>
+        val pcCols = (0 until k).map(i => s"pc_$i")
+        val perFold = CrossVal.kfoldScores(cached, eraCol, folds,
+          fitterFor(pcCols), score)
+        val mean = perFold.agg(avg(col(metric))).head().getDouble(0)
+        k -> mean
+      }.sortBy(-_._2)
+    } finally cached.unpersist()
   }
 }

@@ -125,6 +125,42 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"))
   }
 
+  /** PQ ANN with recall measurement ([[graft.operators.Pq]]): 8
+    * subspaces x 16 codewords (vectors stored as 8 codes — 32x
+    * compression), ADC search against the code relation only, recall@5
+    * vs the exact L2 top-5. Rows-only (codebooks are engine-specific,
+    * like the IVF centroids). At 100 TB search scans ~3 TB of codes
+    * instead of 100 TB of floats; compose with [[qAnnIvf]]'s posting
+    * lists for the full IVF-PQ index. */
+  def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(s, d)
+    val cb = Pq.trainCodebooks(emb, m = 8, k = 16, sampleN = 512)
+    val codes = Pq.encode(emb, cb)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val pqTop = Pq.adcSearch(codes, cb, queries, topK = 5)
+      .select(col("q_id"), col("n_id"))
+    // exact L2 top-5 (the metric ADC approximates), one corpus pass
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qe"), col("v").as("qv"), col("n2").as("qn2"))
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qe"))
+      .withColumn("d2", col("n2") + col("qn2") - lit(2.0) * dot(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qe")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qe"), col("vec_id").as("ne"))
+    pqTop.join(exact, col("q_id") === col("qe") && col("n_id") === col("ne"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("ne").isNotNull, 1).otherwise(0)).as("hits"))
+      .select(col("q_id"), round(col("hits") / 5.0, 2).as("recall_at_5"))
+      .orderBy(col("q_id"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4x
     * memory/IO compression a 100 TB vector store applies before ANN
     * (scale = 127/max|x| per vector, q = floor(x*scale + 0.5), all
@@ -149,6 +185,7 @@ object SimilarityPack extends QueryPack {
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_ann_ivf"         -> qAnnIvf,
+    "q_ann_pq"          -> qAnnPq,
     "q_embed_quantize"  -> qEmbedQuantize,
   )
 
