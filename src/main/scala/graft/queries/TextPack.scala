@@ -272,6 +272,44 @@ object TextPack extends QueryPack {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Deterministic train/val/test split — the assignment every
+    * training pipeline makes before anything else. Hash-Bernoulli on
+    * the doc id (the md5-hash60 trick, reproducible in any engine and
+    * stable under repartitioning — a `rand()` split is neither), 80/10/
+    * 10, summarized per (split, lang). Scan-local: the assignment
+    * costs one codegen'd expression at any scale. */
+  def qSplitAssign(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(TextOps.hash60(
+      concat_ws("#", lit("split42"), col("doc_id"))), lit(100L))
+    docsSpread(s, d)
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** Negative-pair sampling — contrastive-training data: each doc
+    * draws 3 pseudo-random partners by hashing (doc_id, j) into the
+    * contiguous id space, self-pairs dropped. Deterministic (same
+    * md5-hash60 family as the split), so resampling a 100 TB corpus
+    * reproduces the same pairs with no stored state; the corpus size
+    * enters as a broadcast scalar, not a driver constant. */
+  def qNegativeSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("cnt"))
+    docs.select(col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L), lit(2L))).as("j"),
+        col("cnt"))
+      .withColumn("neg_id", pmod(TextOps.hash60(
+        concat_ws("#", lit("neg"), col("doc_id"), col("j"))), col("cnt")))
+      .filter(col("neg_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("j"), col("neg_id"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
   /** MinHash Jaccard ESTIMATION on the LSH candidate pairs: the
     * fraction of the 16 minhash components two docs share is an
     * unbiased estimate of their Jaccard similarity — the cheap scorer
@@ -512,6 +550,8 @@ object TextPack extends QueryPack {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_lsh"   -> qMinhashLsh,
     "q_minhash_est"   -> qMinhashEst,
+    "q_split_assign"  -> qSplitAssign,
+    "q_negative_sample" -> qNegativeSample,
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
     "q_langid"        -> qLangid,
@@ -622,6 +662,24 @@ object TextPack extends QueryPack {
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM sig x JOIN sig y ON x.band=y.band AND x.sg=y.sg AND x.doc_id<y.doc_id)
         |SELECT a, b FROM cand ORDER BY 1, 2""".stripMargin,
+    "q_split_assign" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |  CASE WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 80
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_negative_sample" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM documents),
+        |j AS (SELECT unnest(generate_series(0, 2)) AS j)
+        |SELECT doc_id, CAST(j AS BIGINT) AS j,
+        | ('0x' || substr(md5('neg#' || doc_id || '#' || j),1,15))::BIGINT % cnt AS neg_id
+        |FROM documents, j, n
+        |WHERE ('0x' || substr(md5('neg#' || doc_id || '#' || j),1,15))::BIGINT % cnt
+        |  != doc_id
+        |ORDER BY 1, 2""".stripMargin,
     // same signature pipeline as q_minhash_lsh, finished with the
     // per-component match fraction instead of just the pair list
     "q_minhash_est" ->
