@@ -1,14 +1,14 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ml.Lloyd
+
 /** IVF (inverted-file) approximate nearest neighbour — the
   * cluster-bucketed scale path for similarity search (north star:
-  * "an IVF or LSH-bucketed variant"). Build: KMeans coarse quantizer
+  * "an IVF or LSH-bucketed variant"). Build: k-means coarse quantizer
   * over the corpus, each vector assigned to its nearest centroid's
   * posting list. Search: rank centroids per query, probe the top
   * `nprobe` lists, exact cosine only within them.
@@ -23,25 +23,36 @@ object Ivf {
     graft.functions.DotProduct.dot_product(a, b)
 
   /** Corpus -> (vec_id, cluster, v, nrm) posting relation + centroids.
-    * The quantizer trains on a deterministic ~10% hash-sample of the
-    * corpus (floored so tiny fixtures keep >= 8k rows' worth of
-    * fraction) with bounded iterations — the standard IVF practice at
-    * scale: centroid quality converges on a sample long before a full
-    * corpus pass pays for itself, and ASSIGNMENT still covers every
-    * vector. */
+    * The quantizer trains DRIVER-SIDE ([[Lloyd]]) on a deterministic
+    * bounded sample — a ~10% hash-slice capped by a vec_id-ordered
+    * limit, widened to the corpus head when the fixture is tiny —
+    * and ASSIGNMENT is one mapPartitions corpus pass with the (tiny)
+    * centroid matrix broadcast: no per-iteration distributed jobs,
+    * centroid quality converges on the sample long before a full
+    * corpus fit pays for itself. */
   def build(embeddings: DataFrame, k: Int, seed: Long): (DataFrame, Array[Array[Double]]) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val vecs = embeddings
-      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-    val train = vecs.filter(
-      pmod(xxhash64(col("vec_id"), lit(seed)), lit(10L)) === 0L)
-    val fitOn = if (train.limit(8 * k).count() >= 8L * k) train else vecs
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
-      .setMaxIter(10).setPredictionCol("cluster").fit(fitOn)
-    val assigned = model.transform(vecs)
-      .select(col("vec_id"), col("cluster"),
-        vector_to_array(col("features")).as("v"))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val sampleN = math.max(64 * k, 1024)
+    val slice = vecs
+      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(10L)) === 0L)
+      .orderBy(col("vec_id")).limit(sampleN)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val sample =
+      if (slice.length >= 8 * k) slice
+      else vecs.orderBy(col("vec_id")).limit(sampleN)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = Lloyd.fit(sample, k, iters = 10)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = vecs.as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        rows.map { case (id, v) => (id, Lloyd.nearest(v, cents), v) }
+      }.toDF("vec_id", "cluster", "v")
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    (assigned, model.clusterCenters.map(_.toArray))
+    (assigned, centroids)
   }
 
   /** Top-k cosine within the `nprobe` closest posting lists per query.

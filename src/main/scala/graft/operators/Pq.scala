@@ -35,10 +35,9 @@ object Pq {
     d
   }
 
-  /** Deterministic driver-side Lloyd's per subspace on the first
-    * `sampleN` vectors (ordered by `vec_id`). Seeds are spread-index
-    * picks; ties break to the lowest code; an emptied cluster keeps
-    * its previous centroid — all deterministic, so encoding is too. */
+  /** Deterministic driver-side Lloyd's ([[graft.ml.Lloyd]]) per
+    * subspace on the first `sampleN` vectors (ordered by `vec_id`) —
+    * deterministic training, so encoding is too. */
   def trainCodebooks(embeddings: DataFrame, m: Int, k: Int,
                      sampleN: Int, iters: Int = 15): Codebooks = {
     val sample = embeddings.orderBy(col("vec_id")).limit(sampleN)
@@ -51,26 +50,7 @@ object Pq {
     Array.tabulate(m) { sub =>
       val off = sub * subDim
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + subDim))
-      val kk = math.min(k, pts.length)
-      var cents = Array.tabulate(kk)(j => pts(j * pts.length / kk).clone())
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(kk)(new Array[Double](subDim))
-        val counts = new Array[Long](kk)
-        pts.foreach { p =>
-          var best = 0; var bd = Double.MaxValue; var j = 0
-          while (j < kk) {
-            val d = subDist(p, 0, cents(j)); if (d < bd) { bd = d; best = j }; j += 1
-          }
-          counts(best) += 1
-          var i = 0; while (i < subDim) { sums(best)(i) += p(i); i += 1 }
-        }
-        cents = Array.tabulate(kk)(j =>
-          if (counts(j) == 0) cents(j)
-          else sums(j).map(_ / counts(j)))
-        it += 1
-      }
-      cents
+      graft.ml.Lloyd.fit(pts, k, iters)
     }
   }
 

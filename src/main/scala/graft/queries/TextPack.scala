@@ -372,29 +372,24 @@ object TextPack extends QueryPack {
     * LSH dedup makes — the dropped buckets are degenerate content). */
   def simhashPairs(s: SparkSession, d: String,
                    maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val wdf = docsSpread(s, d)
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-      .select(col("doc_id"), TextOps.hash60(col("w")).as("hv"))
-    // 48 bit-vote sums pivoted into columns: one partial+final agg over
-    // the word stream instead of a 48x row explosion.
-    val voteCols = (0 until 48).map(j =>
-      sum(when(expr(s"shiftright(hv, $j) & 1") === 1, 1).otherwise(-1)).as(s"s_$j"))
-    val simhash = (0 until 48).map(j =>
-      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    // DOC-LOCAL signature via the fused SimHash kernel: the old
+    // explode(words) → 48-vote-column aggregation shuffled every word
+    // hash through a partial+final agg; the expression computes the
+    // same signature inside the scan, so the only shuffled relation
+    // is the (doc_id, band) banding below.
+    val sigDf = docsSpread(s, d)
+      .select(col("doc_id"),
+        graft.functions.SimHash.sim_hash48(col("text")).as("simhash"))
     // 4 blocking bands of 12 bits: any pair at Hamming distance <= 3
     // differs in at most 3 bands, so it matches on at least one —
     // banding is EXACT here, and replaces the all-pairs scan with 4
     // equi-joins on band values (the 100 TB-safe shape).
-    val bandCols = (0 until 4).map { b =>
-      (0 until 12).map(k =>
-        when(col(s"s_${12 * b + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"band_$b")
-    }
+    val bandCols = (0 until 4).map(b =>
+      (shiftright(col("simhash"), 12 * b).bitwiseAND(lit(0xFFFL))).as(s"band_$b"))
     val stackExpr = "stack(4, " +
       (0 until 4).map(b => s"$b, band_$b").mkString(", ") + ") AS (band, bv)"
-    val stacked = wdf.groupBy(col("doc_id"))
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select((col("doc_id") +: simhash.as("simhash") +: bandCols): _*)
+    val stacked = sigDf
+      .select((col("doc_id") +: col("simhash") +: bandCols): _*)
       .selectExpr("doc_id", "simhash", stackExpr)
       .persist() // reused by both self-join sides
     // hot-bucket cap as a broadcast anti-join against the (tiny) hot

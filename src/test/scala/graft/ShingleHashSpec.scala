@@ -65,4 +65,28 @@ class ShingleHashSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString.substring(0, 15)
     assert(got == java.lang.Long.parseLong(hex, 16))
   }
+
+  test("sim_hash48 kernel equals the explode + 48-vote-column composition") {
+    import graft.functions.SimHash.sim_hash48
+    val docs = Seq(
+      "a b c d e", "x", "", "a  b c", " a b c", "a b c ",
+      "的 是 了 在 和", "same same same same")
+      .toDF("text")
+      .union(Tables.documents(spark, TestSpark.sf).select(col("text")))
+    val wdf = docs.withColumn("doc", monotonically_increasing_id())
+      .select(col("doc"), col("text"),
+        explode(TextOps.words(col("text"))).as("w"))
+      .select(col("doc"), col("text"), TextOps.hash60(col("w")).as("hv"))
+    val voteCols = (0 until 48).map(j =>
+      sum(when(expr(s"shiftright(hv, $j) & 1") === 1, 1).otherwise(-1)).as(s"s_$j"))
+    val composed = (0 until 48).map(j =>
+      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val mismatches = wdf.groupBy(col("doc"), col("text"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("text"), composed.as("hof"))
+      .withColumn("fused", sim_hash48(col("text")))
+      .filter(col("fused") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
