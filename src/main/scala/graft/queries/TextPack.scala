@@ -225,30 +225,35 @@ object TextPack extends QueryPack {
   def qMinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashCandidates(s, d)
 
+  /** (doc_id, mh = the 16 minhash components) via the fused
+    * [[graft.functions.MinHashSig]] kernel. Docs with fewer words than
+    * the shingle size have no shingles and are dropped — the same
+    * absent rows the old explode+groupBy produced. */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    docsSpread(s, d)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text"), 3, 16).as("mh"))
+      .filter(size(col("mh")) > 0)
+
   /** MinHash-LSH candidate pairs, with the hot-bucket cap applied
     * before the self-join (`maxBucket` members per (band, signature)
     * bucket; default no-op at fixture scale). */
   def minhashCandidates(s: SparkSession, d: String,
                         maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val p = 2147483647L
-    val dsh = docsSpread(s, d)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
-      .select(col("doc_id"), (col("sh") % p).as("h"))
-    // 16 min-hash columns in ONE partial+final agg (no row explosion:
-    // the hash-family index is pivoted into columns, not rows).
-    val minCols = (0 until 16).map(j =>
-      min((col("h") * (2 * j + 1)) % p).as(s"mh_$j"))
+    // DOC-LOCAL signatures via the fused MinHashSig kernel (a min
+    // never needs the distinct step or a shuffle): the old
+    // explode(shingles) → groupBy(doc) 16-min-column agg shuffled
+    // every shingle hash; now the scan emits the signature directly.
+    val sigs = minhashSignatures(s, d)
     val bandCols = (0 until 8).map(b =>
-      concat_ws(",", col(s"mh_${2 * b}").cast("string"),
-        col(s"mh_${2 * b + 1}").cast("string")).as(s"sg_$b"))
+      concat_ws(",", element_at(col("mh"), 2 * b + 1).cast("string"),
+        element_at(col("mh"), 2 * b + 2).cast("string")).as(s"sg_$b"))
     // Unpivot the 8 band signatures to (doc_id, band, sg) rows and find
     // candidates with ONE equi-join on (band, sg) — the shuffle keys
     // are bucket ids, never doc pairs (the 100 TB-safe shape).
     val stackExpr = "stack(8, " +
       (0 until 8).map(b => s"$b, sg_$b").mkString(", ") + ") AS (band, sg)"
-    val stacked = dsh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    val stacked = sigs
       .select((col("doc_id") +: bandCols): _*)
       .selectExpr("doc_id", stackExpr)
       .persist() // reused by both self-join sides
@@ -320,19 +325,11 @@ object TextPack extends QueryPack {
     * and joined back doc-keyed to both pair sides (at scale it is the
     * materialized signature store every LSH system keeps anyway). */
   def qMinhashEst(s: SparkSession, d: String): DataFrame = {
-    val p = 2147483647L
-    val dsh = docsSpread(s, d)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
-      .select(col("doc_id"), (col("sh") % p).as("h"))
-    val minCols = (0 until 16).map(j =>
-      min((col("h") * (2 * j + 1)) % p).as(s"mh_$j"))
-    val base = dsh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    val base = minhashSignatures(s, d)
       .persist() // feeds the band join AND both signature probes
     val bandCols = (0 until 8).map(b =>
-      concat_ws(",", col(s"mh_${2 * b}").cast("string"),
-        col(s"mh_${2 * b + 1}").cast("string")).as(s"sg_$b"))
+      concat_ws(",", element_at(col("mh"), 2 * b + 1).cast("string"),
+        element_at(col("mh"), 2 * b + 2).cast("string")).as(s"sg_$b"))
     val stackExpr = "stack(8, " +
       (0 until 8).map(b => s"$b, sg_$b").mkString(", ") + ") AS (band, sg)"
     val stacked = base.select((col("doc_id") +: bandCols): _*)
@@ -343,8 +340,7 @@ object TextPack extends QueryPack {
         col("band") === col("band_r") && col("sg") === col("sg_r")
           && col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val sig = base.select(col("doc_id"),
-      array((0 until 16).map(j => col(s"mh_$j")): _*).as("sig"))
+    val sig = base.select(col("doc_id"), col("mh").as("sig"))
     pairs
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))

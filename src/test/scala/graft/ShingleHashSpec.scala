@@ -66,6 +66,33 @@ class ShingleHashSpec extends AnyFunSuite {
     assert(got == java.lang.Long.parseLong(hex, 16))
   }
 
+  test("minhash_sig kernel equals the explode + 16-min-column composition") {
+    import graft.functions.MinHashSig.minhash_sig
+    val p = 2147483647L
+    val docs = Seq(
+      "a b c d e", "one two", "x", "", "a  b c", " a b c",
+      "的 是 了 在 和", "same same same same")
+      .toDF("text")
+      .union(Tables.documents(spark, TestSpark.sf).select(col("text")))
+      .withColumn("doc", monotonically_increasing_id())
+    val dsh = docs
+      .select(col("doc"), explode(array_distinct(
+        shingle_hash60(col("text"), 3))).as("sh"))
+      .select(col("doc"), (col("sh") % p).as("h"))
+    val minCols = (0 until 16).map(j =>
+      min((col("h") * (2 * j + 1)) % p).as(s"mh_$j"))
+    val composed = dsh.groupBy(col("doc"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc"), array((0 until 16).map(j => col(s"mh_$j")): _*).as("hof"))
+    val fused = docs
+      .select(col("doc"), minhash_sig(col("text"), 3, 16).as("fused"))
+      .filter(size(col("fused")) > 0)
+    // same doc set (short docs dropped both ways) and same signatures
+    assert(fused.count() == composed.count())
+    assert(fused.join(composed, "doc")
+      .filter(col("fused") =!= col("hof")).count() == 0)
+  }
+
   test("sim_hash48 kernel equals the explode + 48-vote-column composition") {
     import graft.functions.SimHash.sim_hash48
     val docs = Seq(
