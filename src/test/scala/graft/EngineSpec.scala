@@ -85,6 +85,50 @@ class EngineSpec extends AnyFunSuite {
     assert(got == Tables.events(spark, TestSpark.sf).count())
   }
 
+  test("windowed agg stays exact across multiple micro-batches") {
+    // the fixture arrives as ONE file = one micro-batch, so the
+    // single-batch drains never advance the watermark mid-stream;
+    // stage the events as 4 time-ordered files and feed them one per
+    // trigger so state actually carries (and the watermark actually
+    // moves) across batches. In-order arrival means nothing is late,
+    // so the multi-batch streaming answer must equal the batch agg.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_multibatch").toString
+    val ev = Tables.events(spark, TestSpark.sf)
+    val bucketed = ev.withColumn("bucket", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { b =>
+      val stage = s"$dir/stage_$b"
+      bucketed.filter(col("bucket") === b).drop("bucket")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/b$b.parquet"))
+    }
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*.parquet")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").cast("long").as("wstart"), col("n"), col("sum_value"))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    val q = try {
+      val q0 = stream.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_multibatch_test").start()
+      try { q0.processAllAvailable(); q0 } finally q0.stop()
+    } finally spark.conf.set(key, prev)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 non-empty micro-batches, got ${q.recentProgress.length}")
+    val got = spark.table("graft_multibatch_test")
+      .orderBy("wstart").collect().toSeq
+    val want = graft.queries.EventsPack.qTumblingWindow(spark, TestSpark.sf)
+      .select("wstart", "n", "sum_value").orderBy("wstart").collect().toSeq
+    assert(got == want)
+  }
+
   test("stream-stream join reproduces the batch interval join exactly") {
     val stream = EventStream.runJoinOnce(spark, TestSpark.sf, "graft_ssj_test")
       .select("user_id", "click_id", "purchase_id")
