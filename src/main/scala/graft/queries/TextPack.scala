@@ -277,6 +277,40 @@ object TextPack extends QueryPack {
       .orderBy(col("a"), col("b"))
   }
 
+  /** The end-to-end corpus-curation MACRO — the composition a real
+    * training-data pipeline runs as one job: exact dedup (keep the
+    * lowest doc id per content hash) → near-dup drop (the shared
+    * Jaccard pair table's >= 0.5 rule) → quality floor (length +
+    * token-count) → deterministic 80/10/10 split → per-(split, lang)
+    * corpus stats. Every stage is an operator with its own green
+    * query; this pins their composition. Scale shape: two uniform-key
+    * shuffles (content hash, doc id) plus a broadcast anti-join
+    * against the (tiny) near-dup drop list — the pair table is read,
+    * not recomputed. */
+  def qCorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactKeep = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dropNear = sharedJaccardPairs(s, d)
+      .filter(col("jacv") >= 0.5)
+      .select(col("b").as("doc_id")).distinct()
+    val w = TextOps.words(col("text"))
+    val h = pmod(TextOps.hash60(
+      concat_ws("#", lit("split42"), col("doc_id"))), lit(100L))
+    docs
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(broadcast(dropNear), Seq("doc_id"), "left_anti")
+      .filter(col("n_chars") >= 100 && size(w) >= 20)
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Deterministic train/val/test split — the assignment every
     * training pipeline makes before anything else. Hash-Bernoulli on
     * the doc id (the md5-hash60 trick, reproducible in any engine and
@@ -543,6 +577,7 @@ object TextPack extends QueryPack {
     "q_minhash_est"   -> qMinhashEst,
     "q_split_assign"  -> qSplitAssign,
     "q_negative_sample" -> qNegativeSample,
+    "q_corpus_pipeline" -> qCorpusPipeline,
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
     "q_langid"        -> qLangid,
@@ -653,6 +688,35 @@ object TextPack extends QueryPack {
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM sig x JOIN sig y ON x.band=y.band AND x.sg=y.sg AND x.doc_id<y.doc_id)
         |SELECT a, b FROM cand ORDER BY 1, 2""".stripMargin,
+    // the q_dedup_apply pair fragment + exact dedup + quality floor +
+    // the q_split_assign hash, composed — the macro's oracle reuses
+    // the same CTE pieces its stages are individually checked by
+    "q_corpus_pipeline" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT AS sh FROM tri),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+        |drop_near AS (SELECT DISTINCT b AS doc_id
+        |  FROM common JOIN sizes sa ON a=sa.doc_id JOIN sizes sb ON b=sb.doc_id
+        |  WHERE c*1.0/(sa.n+sb.n-c) >= 0.5),
+        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |kept AS (SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |  JOIN exact_keep k ON d.doc_id = k.doc_id
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_near)
+        |    AND d.n_chars >= 100 AND len(string_split(d.text,' ')) >= 20)
+        |SELECT CASE WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 80
+        |            THEN 'train'
+        |            WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 90
+        |            THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_split_assign" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 80
