@@ -49,10 +49,15 @@ object Bench {
         spark.catalog.clearCache()
         name -> (ok, (System.nanoTime() - t0) / 1e9)
       }
-    // a failed query is recorded as a negative time so a fast
-    // failure can never read as a fast pass
+    // locale-pinned formatting: the f interpolator uses the JVM
+    // default locale, and a comma-decimal locale would break the JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // a failed query is recorded as a negative time so a fast failure
+    // can never read as a fast pass; failures floor at 1ms so the
+    // 3-decimal rounding can never erase the sign into "-0.000"
     def entry(k: String, ok: Boolean, v: Double): String =
-      s"\"" + k + "\":" + f"${if (ok) v else -v}%.3f"
+      s"\"" + k + "\":" + fmt(if (ok) v else -math.max(v, 0.001))
     val qs = results.map { case (k, (ok, v)) => entry(k, ok, v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (false, _)) => s"\"$k\"" }
@@ -67,8 +72,8 @@ object Bench {
     // line carries the headline plus as many of the SLOWEST queries as
     // fit a byte budget that keeps the whole line inside the tail
     // (slowest-first because those are the ones perf review needs).
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","errors":$errs,"detail":"BENCH_DETAIL.json""""
-    val detail = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"detail":"BENCH_DETAIL.json""""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))

@@ -24,26 +24,23 @@ object Ivf {
 
   /** Corpus -> (vec_id, cluster, v, nrm) posting relation + centroids.
     * The quantizer trains DRIVER-SIDE ([[Lloyd]]) on a deterministic
-    * bounded sample — a ~10% hash-slice capped by a vec_id-ordered
-    * limit, widened to the corpus head when the fixture is tiny —
-    * and ASSIGNMENT is one mapPartitions corpus pass with the (tiny)
-    * centroid matrix broadcast: no per-iteration distributed jobs,
-    * centroid quality converges on the sample long before a full
-    * corpus fit pays for itself. */
+    * bounded sample — the `sampleN` smallest seeded id-hashes, i.e. a
+    * pseudo-random slice SPREAD over the whole id space (a head-of-ids
+    * sample would bias centroids toward early ingestion and starve
+    * late-id regions of posting lists); the orderBy+limit plans as
+    * TakeOrdered, not a full sort. ASSIGNMENT is one mapPartitions
+    * corpus pass with the (tiny) centroid matrix broadcast: no
+    * per-iteration distributed jobs, centroid quality converges on the
+    * sample long before a full corpus fit pays for itself. */
   def build(embeddings: DataFrame, k: Int, seed: Long): (DataFrame, Array[Array[Double]]) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val sampleN = math.max(64 * k, 1024)
-    val slice = vecs
-      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(10L)) === 0L)
-      .orderBy(col("vec_id")).limit(sampleN)
+    val sample = vecs
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id")).limit(sampleN)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    val sample =
-      if (slice.length >= 8 * k) slice
-      else vecs.orderBy(col("vec_id")).limit(sampleN)
-        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     val centroids = Lloyd.fit(sample, k, iters = 10)
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = vecs.as[(Long, Array[Double])]

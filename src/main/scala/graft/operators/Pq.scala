@@ -36,11 +36,14 @@ object Pq {
   }
 
   /** Deterministic driver-side Lloyd's ([[graft.ml.Lloyd]]) per
-    * subspace on the first `sampleN` vectors (ordered by `vec_id`) —
-    * deterministic training, so encoding is too. */
+    * subspace on the `sampleN` smallest seeded id-hashes — a
+    * pseudo-random slice spread over the whole id space (a head-of-ids
+    * sample would bias the codebooks toward early ingestion), planned
+    * as TakeOrdered. Deterministic training, so encoding is too. */
   def trainCodebooks(embeddings: DataFrame, m: Int, k: Int,
                      sampleN: Int, iters: Int = 15): Codebooks = {
-    val sample = embeddings.orderBy(col("vec_id")).limit(sampleN)
+    val sample = embeddings
+      .orderBy(xxhash64(col("vec_id"), lit(1337L)), col("vec_id")).limit(sampleN)
       .select(transform(col("embedding"), _.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty training sample")

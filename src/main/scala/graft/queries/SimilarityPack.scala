@@ -118,9 +118,12 @@ object SimilarityPack extends QueryPack {
     val ivfTop = Ivf.search(posting, centroids, queries, nprobe = 4, topK = 5)
       .select(col("q_id"), col("n_id"))
     val exactTop = qAnnCosine(s, d).select(col("q_id").as("qe"), col("n_id").as("ne"))
+    // left join, not semi: a query with zero hits must report
+    // recall 0.0, not silently vanish from the result
     ivfTop.join(exactTop, col("q_id") === col("qe") && col("n_id") === col("ne"),
-        "left_semi")
-      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        "left")
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("ne").isNotNull, 1).otherwise(0)).as("hits"))
       .select(col("q_id"), round(col("hits") / 5.0, 2).as("recall_at_5"))
       .orderBy(col("q_id"))
   }

@@ -239,18 +239,22 @@ object TextPack extends QueryPack {
     * before the self-join (`maxBucket` members per (band, signature)
     * bucket; default no-op at fixture scale). */
   def minhashCandidates(s: SparkSession, d: String,
-                        maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    // DOC-LOCAL signatures via the fused MinHashSig kernel (a min
-    // never needs the distinct step or a shuffle): the old
-    // explode(shingles) → groupBy(doc) 16-min-column agg shuffled
-    // every shingle hash; now the scan emits the signature directly.
-    val sigs = minhashSignatures(s, d)
+                        maxBucket: Long = DefaultMaxBucket): DataFrame =
+    minhashBandedPairs(minhashSignatures(s, d), maxBucket)
+      .orderBy(col("a"), col("b"))
+
+  /** Distinct candidate pairs (a < b) from a signature frame — the ONE
+    * banded equi-join both [[qMinhashLsh]] and [[qMinhashEst]] use
+    * (DOC-LOCAL signatures from the fused MinHashSig kernel; the old
+    * explode(shingles) → groupBy(doc) 16-min-column agg shuffled every
+    * shingle hash). Shuffle keys are bucket ids, never doc pairs, and
+    * the hot-bucket cap rides along (the 100 TB-safe shape). */
+  private def minhashBandedPairs(sigs: DataFrame, maxBucket: Long): DataFrame = {
     val bandCols = (0 until 8).map(b =>
       concat_ws(",", element_at(col("mh"), 2 * b + 1).cast("string"),
         element_at(col("mh"), 2 * b + 2).cast("string")).as(s"sg_$b"))
     // Unpivot the 8 band signatures to (doc_id, band, sg) rows and find
-    // candidates with ONE equi-join on (band, sg) — the shuffle keys
-    // are bucket ids, never doc pairs (the 100 TB-safe shape).
+    // candidates with ONE equi-join on (band, sg).
     val stackExpr = "stack(8, " +
       (0 until 8).map(b => s"$b, sg_$b").mkString(", ") + ") AS (band, sg)"
     val stacked = sigs
@@ -274,7 +278,6 @@ object TextPack extends QueryPack {
     left.join(right, col("band") === col("band_r") && col("sg") === col("sg_r")
         && col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-      .orderBy(col("a"), col("b"))
   }
 
   /** The end-to-end corpus-curation MACRO — the composition a real
@@ -354,28 +357,15 @@ object TextPack extends QueryPack {
     * unbiased estimate of their Jaccard similarity — the cheap scorer
     * a 100 TB dedup runs INSTEAD of exact shingle-intersection
     * (signatures are 128 bytes/doc; the shingle sets they stand in for
-    * are unbounded). Candidates come from the same banded equi-join as
-    * [[qMinhashLsh]]; the signature table is computed once, persisted,
-    * and joined back doc-keyed to both pair sides (at scale it is the
+    * are unbounded). Candidates come from [[minhashBandedPairs]] — the
+    * SAME banded equi-join (hot-bucket cap included) as
+    * [[qMinhashLsh]], so the two can never diverge — and the signature
+    * frame joins back doc-keyed to both pair sides (at scale it is the
     * materialized signature store every LSH system keeps anyway). */
   def qMinhashEst(s: SparkSession, d: String): DataFrame = {
-    val base = minhashSignatures(s, d)
-      .persist() // feeds the band join AND both signature probes
-    val bandCols = (0 until 8).map(b =>
-      concat_ws(",", element_at(col("mh"), 2 * b + 1).cast("string"),
-        element_at(col("mh"), 2 * b + 2).cast("string")).as(s"sg_$b"))
-    val stackExpr = "stack(8, " +
-      (0 until 8).map(b => s"$b, sg_$b").mkString(", ") + ") AS (band, sg)"
-    val stacked = base.select((col("doc_id") +: bandCols): _*)
-      .selectExpr("doc_id", stackExpr)
-    val pairs = stacked.select(col("doc_id").as("a"), col("band"), col("sg"))
-      .join(stacked.select(col("doc_id").as("b"), col("band").as("band_r"),
-          col("sg").as("sg_r")),
-        col("band") === col("band_r") && col("sg") === col("sg_r")
-          && col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    val sig = base.select(col("doc_id"), col("mh").as("sig"))
-    pairs
+    val sigs = minhashSignatures(s, d)
+    val sig = sigs.select(col("doc_id"), col("mh").as("sig"))
+    minhashBandedPairs(sigs, DefaultMaxBucket)
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .withColumn("n_match", aggregate(
