@@ -132,12 +132,15 @@ object EventStream {
     * buffer both streams forever). Append mode, one output row per
     * qualifying (click, purchase) pair. */
   def clickPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
+    // both sides filter the SAME stream source (a stream self-join):
+    // one file source and one staging dir, not two
+    val ev = eventsStream(spark, dir)
+    val clicks = ev
       .filter(col("event_type") === "click")
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").as("ts_c"), col("event_id").as("click_id"))
       .withWatermark("ts_c", "1 hour")
-    val purchases = eventsStream(spark, dir)
+    val purchases = ev
       .filter(col("event_type") === "purchase")
       .select(col("user_id").cast("long").as("u2"),
         col("ts").as("ts_p"), col("event_id").as("purchase_id"))

@@ -57,6 +57,24 @@ class ShingleHashSpec extends AnyFunSuite {
     assert(got.length == 2)
   }
 
+  test("all three text kernels stay inside whole-stage codegen") {
+    import graft.functions.{MinHashSig, SimHash}
+    val df = Tables.documents(spark, TestSpark.sf)
+      .select(shingle_hash60(col("text"), 3).as("sh"),
+        MinHashSig.minhash_sig(col("text"), 3, 16).as("mh"),
+        SimHash.sim_hash48(col("text")).as("sim"))
+      .filter(size(col("sh")) >= 0 && col("sim") >= Long.MinValue)
+    val p = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen
+    // span; a CodegenFallback expression would strip it
+    for (marker <- Seq("shinglehash", "minhashsig", "simhash")) {
+      assert(p.linesIterator.exists(l =>
+        l.toLowerCase.contains(marker) && l.trim.startsWith("*")),
+        s"$marker not in a codegen span:\n${p.take(800)}")
+    }
+    assert(df.count() > 0)
+  }
+
   test("hash60 value parity: first 15 md5 hex nibbles as a long") {
     val got = Seq("hello world test").toDF("t")
       .select(shingle_hash60(col("t"), 3)).as[Seq[Long]].head().head
