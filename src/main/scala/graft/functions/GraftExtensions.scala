@@ -27,5 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash60"),
       (children: Seq[Expression]) => ShingleHash(children(0),
         children(1).eval().asInstanceOf[Number].intValue)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children(0),
+        children(1).eval().asInstanceOf[Number].intValue,
+        children(2).eval().asInstanceOf[Number].intValue)))
+    e.injectFunction((
+      new FunctionIdentifier("sim_hash48"),
+      new ExpressionInfo(classOf[SimHash].getName, "sim_hash48"),
+      (children: Seq[Expression]) => SimHash(children.head)))
   }
 }

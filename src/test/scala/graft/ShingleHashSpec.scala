@@ -57,6 +57,23 @@ class ShingleHashSpec extends AnyFunSuite {
     assert(got.length == 2)
   }
 
+  test("minhash_sig and sim_hash48 are SQL-callable (injectFunction path)") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => graft.functions.MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sim_hash48",
+      exprs => graft.functions.SimHash(exprs.head), "scala_udf")
+    val mh = spark.sql("SELECT minhash_sig('a b c d', 3, 16) AS mh")
+      .as[Seq[Long]].head()
+    assert(mh.length == 16)
+    val sim = spark.sql("SELECT sim_hash48('a b c d') AS s").as[Long].head()
+    assert(sim == graft.functions.SimHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c d")))
+  }
+
   test("all three text kernels stay inside whole-stage codegen") {
     import graft.functions.{MinHashSig, SimHash}
     val df = Tables.documents(spark, TestSpark.sf)
