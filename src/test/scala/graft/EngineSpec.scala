@@ -17,7 +17,8 @@ class EngineSpec extends AnyFunSuite {
 
   test("oracleSql keys are a subset of queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 40)
+    // pins against a pack silently dropping out of SparkEntry.packs
+    assert(SparkEntry.queries.size >= 103)
   }
 
   test("every query returns rows at sf0.001") {
