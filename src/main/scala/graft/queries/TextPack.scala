@@ -332,6 +332,27 @@ object TextPack extends QueryPack {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Sequence PACKING — assign docs to fixed token-budget batches
+    * (the sample-packing step an LLM pipeline runs to fill context
+    * windows): running token count per language shard, batch id =
+    * tokens-before-this-doc div budget (greedy streaming pack,
+    * deterministic given the shard order). Packing WITHIN a partition
+    * key is the scale shape — a single global cumsum would funnel the
+    * corpus through one task; per-shard packing is how real packers
+    * parallelize. Summarized per (lang, batch). */
+  def qPackBatches(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("batch", expr("(cum - toks) DIV 2048"))
+      .groupBy(col("lang"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("toks"))
+      .orderBy(col("lang"), col("batch"))
+  }
+
   /** Negative-pair sampling — contrastive-training data: each doc
     * draws 3 pseudo-random partners by hashing (doc_id, j) into the
     * contiguous id space, self-pairs dropped. Deterministic (same
@@ -568,6 +589,7 @@ object TextPack extends QueryPack {
     "q_split_assign"  -> qSplitAssign,
     "q_negative_sample" -> qNegativeSample,
     "q_corpus_pipeline" -> qCorpusPipeline,
+    "q_pack_batches"  -> qPackBatches,
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
     "q_langid"        -> qLangid,
@@ -707,6 +729,14 @@ object TextPack extends QueryPack {
         |            THEN 'val' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pack_batches" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |c AS (SELECT doc_id, lang, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)
+        |SELECT lang, (cum - toks) // 2048 AS batch, count(*) AS n_docs,
+        | CAST(sum(toks) AS BIGINT) AS toks
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_split_assign" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 80
