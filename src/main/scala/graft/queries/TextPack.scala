@@ -332,6 +332,23 @@ object TextPack extends QueryPack {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Repetition ratio — the duplicate-3-gram fraction per document
+    * (the repetition quality filter web-scale corpora apply: heavily
+    * templated/looped text shows a high ratio). Scan-local via the
+    * fused shingle kernel: total windows vs distinct hashes, no
+    * shuffle at any scale. Distinctness is measured on the 60-bit
+    * hashes, exactly as the dedup pipeline (and its oracle) do. */
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.functions.ShingleHash.shingle_hash60(col("text"), 3)
+    docsSpread(s, d)
+      .select(col("doc_id"), size(sh).cast("long").as("n_sh"),
+        size(array_distinct(sh)).cast("long").as("n_uniq"))
+      .filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("n_sh"), col("n_uniq"),
+        round(lit(1.0) - col("n_uniq") / col("n_sh"), 6).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence PACKING — assign docs to fixed token-budget batches
     * (the sample-packing step an LLM pipeline runs to fill context
     * windows): running token count per language shard, batch id =
@@ -590,6 +607,7 @@ object TextPack extends QueryPack {
     "q_negative_sample" -> qNegativeSample,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_batches"  -> qPackBatches,
+    "q_repetition"    -> qRepetition,
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
     "q_langid"        -> qLangid,
@@ -729,6 +747,17 @@ object TextPack extends QueryPack {
         |            THEN 'val' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id,
+        |    ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w),1,15))::BIGINT AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2)
+        |SELECT doc_id, count(*) AS n_sh, count(DISTINCT sh) AS n_uniq,
+        | round(1.0 - count(DISTINCT sh) * 1.0 / count(*), 6) AS rep_ratio
+        |FROM tri GROUP BY doc_id HAVING count(*) > 0 ORDER BY doc_id""".stripMargin,
     "q_pack_batches" ->
       """WITH t AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
