@@ -84,4 +84,60 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(xy - yx) < 1e-9)
     }
   }
+
+  // random "documents": words over a tiny alphabet (forces repeats),
+  // joined with single spaces, plus occasional empties via the
+  // zero-length word — the adversarial shapes for the text kernels
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "bb", "c", "dd", "e", "", "的"))
+      .map(_.mkString(" "))
+
+  test("property: text kernels equal their HOF/agg compositions on random strings") {
+    import graft.functions.{MinHashSig, SimHash}
+    import graft.functions.ShingleHash.shingle_hash60
+    import graft.operators.TextOps
+    val docs = samples(textGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc", "text")
+    // shingle kernel vs transform/slice/concat_ws/md5 composition
+    val shMis = docs.select(
+        shingle_hash60(col("text"), 3).as("fused"),
+        transform(TextOps.shingles(col("text"), 3),
+          sh => TextOps.hash60(sh)).as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(shMis == 0)
+    // minhash kernel vs min-over-distinct-hashes composition
+    val p = 2147483647L
+    val mhComposed = docs
+      .select(col("doc"), explode(array_distinct(
+        shingle_hash60(col("text"), 3))).as("sh"))
+      .select(col("doc"), (col("sh") % p).as("h"))
+      .groupBy(col("doc"))
+      .agg(array((0 until 16).map(j =>
+        min((col("h") * (2 * j + 1)) % p)): _*).as("hof"))
+    val mhFused = docs.select(col("doc"),
+        MinHashSig.minhash_sig(col("text"), 3, 16).as("fused"))
+      .filter(size(col("fused")) > 0)
+    assert(mhFused.count() == mhComposed.count())
+    assert(mhFused.join(mhComposed, "doc")
+      .filter(col("fused") =!= col("hof")).count() == 0)
+    // simhash kernel vs per-word vote recomputation on the driver
+    val simRows = docs.select(col("text"),
+      SimHash.sim_hash48(col("text")).as("sig")).collect()
+    simRows.foreach { r =>
+      val words = r.getString(0).split(" ", -1)
+      val votes = new Array[Int](48)
+      words.foreach { w =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        var v = 0L
+        (0 until 8).foreach(b => v = (v << 8) | (dig(b) & 0xffL))
+        v = v >>> 4
+        (0 until 48).foreach(j =>
+          if (((v >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1)
+      }
+      var want = 0L
+      (0 until 48).foreach(j => if (votes(j) > 0) want |= 1L << j)
+      assert(r.getLong(1) == want, s"simhash mismatch on '${r.getString(0)}'")
+    }
+  }
 }
