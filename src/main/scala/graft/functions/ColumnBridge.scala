@@ -24,4 +24,18 @@ object ColumnBridge {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Apply an extensions installer's injected FUNCTIONS to a live
+    * session's registry. `builder.withExtensions` only takes effect
+    * when the session is first created, so tests (and notebooks that
+    * attach late) need this to exercise the REAL registration code
+    * rather than re-declaring builder lambdas that can drift. */
+  def installFunctions(spark: org.apache.spark.sql.SparkSession,
+                       installer: org.apache.spark.sql.SparkSessionExtensions => Unit): Unit = {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    installer(e)
+    e.registerFunctions(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry)
+  }
 }

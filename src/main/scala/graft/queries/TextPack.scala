@@ -351,23 +351,27 @@ object TextPack extends QueryPack {
 
   /** Sequence PACKING — assign docs to fixed token-budget batches
     * (the sample-packing step an LLM pipeline runs to fill context
-    * windows): running token count per language shard, batch id =
+    * windows): running token count per (lang, shard), batch id =
     * tokens-before-this-doc div budget (greedy streaming pack,
-    * deterministic given the shard order). Packing WITHIN a partition
-    * key is the scale shape — a single global cumsum would funnel the
-    * corpus through one task; per-shard packing is how real packers
-    * parallelize. Summarized per (lang, batch). */
+    * deterministic given the shard order). The shard key is a hash of
+    * the doc id, so window parallelism scales with the shard count
+    * regardless of how skewed the language mix is — partitioning by
+    * lang alone would funnel a dominant language through one task,
+    * and a global cumsum funnels everything. Summarized per
+    * (lang, shard, batch). */
   def qPackBatches(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
+        pmod(TextOps.hash60(concat_ws("#", lit("pack"), col("doc_id"))),
+          lit(8L)).as("shard"),
         size(TextOps.words(col("text"))).cast("long").as("toks"))
       .withColumn("cum", sum(col("toks")).over(w))
       .withColumn("batch", expr("(cum - toks) DIV 2048"))
-      .groupBy(col("lang"), col("batch"))
+      .groupBy(col("lang"), col("shard"), col("batch"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("toks"))
-      .orderBy(col("lang"), col("batch"))
+      .orderBy(col("lang"), col("shard"), col("batch"))
   }
 
   /** Negative-pair sampling — contrastive-training data: each doc
@@ -760,12 +764,13 @@ object TextPack extends QueryPack {
         |FROM tri GROUP BY doc_id HAVING count(*) > 0 ORDER BY doc_id""".stripMargin,
     "q_pack_batches" ->
       """WITH t AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('pack#' || doc_id),1,15))::BIGINT % 8 AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
-        |c AS (SELECT doc_id, lang, toks,
-        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)
-        |SELECT lang, (cum - toks) // 2048 AS batch, count(*) AS n_docs,
+        |c AS (SELECT doc_id, lang, shard, toks,
+        |    sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum FROM t)
+        |SELECT lang, shard, (cum - toks) // 2048 AS batch, count(*) AS n_docs,
         | CAST(sum(toks) AS BIGINT) AS toks
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_split_assign" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 80

@@ -57,21 +57,31 @@ class ShingleHashSpec extends AnyFunSuite {
     assert(got.length == 2)
   }
 
-  test("minhash_sig and sim_hash48 are SQL-callable (injectFunction path)") {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig",
-      exprs => graft.functions.MinHashSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sim_hash48",
-      exprs => graft.functions.SimHash(exprs.head), "scala_udf")
+  test("GraftExtensions registers every kernel with the REAL builders") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // install the production GraftExtensions function list into the
+    // live session (withExtensions only applies at session creation),
+    // so the actual builder lambdas — argument order included — are
+    // what SQL resolution exercises, not re-declared test copies
+    org.apache.spark.sql.graftshim.ColumnBridge.installFunctions(
+      spark, new graft.functions.GraftExtensions)
     val mh = spark.sql("SELECT minhash_sig('a b c d', 3, 16) AS mh")
       .as[Seq[Long]].head()
-    assert(mh.length == 16)
+    val wantMh = graft.functions.MinHashSig
+      .compute(UTF8String.fromString("a b c d"), 3, 16)
+    assert(mh == wantMh.toLongArray().toSeq)
     val sim = spark.sql("SELECT sim_hash48('a b c d') AS s").as[Long].head()
-    assert(sim == graft.functions.SimHash.compute(
-      org.apache.spark.unsafe.types.UTF8String.fromString("a b c d")))
+    assert(sim == graft.functions.SimHash.compute(UTF8String.fromString("a b c d")))
+    val sh = spark.sql("SELECT shingle_hash60('a b c d', 3) AS sh")
+      .as[Seq[Long]].head()
+    assert(sh == graft.functions.ShingleHash
+      .compute(UTF8String.fromString("a b c d"), 3).toLongArray().toSeq)
+    val rh = spark.sql("SELECT rolling_hash('hello') AS h").as[Long].head()
+    assert(rh == graft.functions.RollingHash.hash("hello".getBytes("UTF-8")))
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(dp == 11.0)
   }
 
   test("all three text kernels stay inside whole-stage codegen") {
