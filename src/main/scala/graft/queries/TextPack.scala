@@ -332,6 +332,20 @@ object TextPack extends QueryPack {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Vocabulary building — the top trigrams by DOCUMENT frequency
+    * (the n-gram vocab/boilerplate-detection scan a corpus pipeline
+    * runs; the same relation feeds the dedup idf floor). Per-doc
+    * distinct shingle STRINGS (the vocab needs the text, unlike the
+    * dedup path's hashes), one uniform-key groupBy, then a top-k that
+    * plans as TakeOrderedAndProject — no full sort at any scale. */
+  def qVocabTop(s: SparkSession, d: String): DataFrame =
+    docsSpread(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tri"))
+      .limit(100)
+
   /** Repetition ratio — the duplicate-3-gram fraction per document
     * (the repetition quality filter web-scale corpora apply: heavily
     * templated/looped text shows a high ratio). Scan-local via the
@@ -612,6 +626,7 @@ object TextPack extends QueryPack {
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_batches"  -> qPackBatches,
     "q_repetition"    -> qRepetition,
+    "q_vocab_top"     -> qVocabTop,
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
     "q_langid"        -> qLangid,
@@ -751,6 +766,15 @@ object TextPack extends QueryPack {
         |            THEN 'val' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vocab_top" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS tri
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2)
+        |SELECT tri, count(*) AS df FROM tri GROUP BY 1
+        |ORDER BY df DESC, tri LIMIT 100""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
         |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
