@@ -332,6 +332,26 @@ object TextPack extends QueryPack {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Quality-WEIGHTED sampling — each doc kept with probability
+    * proportional to a quality weight (longer docs upsampled, capped
+    * at 1.0), decided by the deterministic md5-hash60 coin: the
+    * importance-sampling primitive a corpus pipeline uses to skew a
+    * training mix toward high-quality text while staying exactly
+    * reproducible (and repartition-stable) at any scale. */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val w = least(lit(1.0), col("n_chars") / 400.0)
+    val coin = pmod(TextOps.hash60(
+      concat_ws("#", lit("wsamp"), col("doc_id"))), lit(1000000L))
+    docsSpread(s, d)
+      .withColumn("wt", w)
+      .filter(coin < col("wt") * 1000000.0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        round(avg(col("wt")), 6).as("avg_wt"))
+      .orderBy(col("lang"))
+  }
+
   /** Vocabulary building — the top trigrams by DOCUMENT frequency
     * (the n-gram vocab/boilerplate-detection scan a corpus pipeline
     * runs; the same relation feeds the dedup idf floor). Per-doc
@@ -627,6 +647,7 @@ object TextPack extends QueryPack {
     "q_pack_batches"  -> qPackBatches,
     "q_repetition"    -> qRepetition,
     "q_vocab_top"     -> qVocabTop,
+    "q_weighted_sample" -> qWeightedSample,
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
     "q_langid"        -> qLangid,
@@ -766,6 +787,15 @@ object TextPack extends QueryPack {
         |            THEN 'val' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |    least(1.0, n_chars / 400.0) AS wt FROM documents)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars,
+        | round(avg(wt), 6) AS avg_wt
+        |FROM t
+        |WHERE ('0x' || substr(md5('wsamp#' || doc_id),1,15))::BIGINT % 1000000
+        |   < wt * 1000000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vocab_top" ->
       """WITH w AS (SELECT doc_id,
         |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
