@@ -360,8 +360,8 @@ object TextPack extends QueryPack {
     * plans as TakeOrderedAndProject — no full sort at any scale. */
   def qVocabTop(s: SparkSession, d: String): DataFrame =
     docsSpread(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("tri"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleStrings.shingle_strings(col("text"), 3))).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tri"))
       .limit(100)

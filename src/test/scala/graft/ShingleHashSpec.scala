@@ -84,6 +84,21 @@ class ShingleHashSpec extends AnyFunSuite {
     assert(dp == 11.0)
   }
 
+  test("shingle_strings kernel equals the HOF composition everywhere") {
+    import graft.functions.ShingleStrings.shingle_strings
+    val docs = Seq(
+      "a b c d e", "one two", "x", "", "a  b c", " a b c", "a b c ",
+      "的 是 了 在 和", "same same same same")
+      .toDF("text")
+      .union(Tables.documents(spark, TestSpark.sf).select(col("text")))
+    val mismatches = docs.select(
+        shingle_strings(col("text"), 3).as("fused"),
+        TextOps.shingles(col("text"), 3).as("hof"))
+      .filter(col("fused") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("all three text kernels stay inside whole-stage codegen") {
     import graft.functions.{MinHashSig, SimHash}
     val df = Tables.documents(spark, TestSpark.sf)
