@@ -72,12 +72,23 @@ object Bench {
     // line carries the headline plus as many of the SLOWEST queries as
     // fit a byte budget that keeps the whole line inside the tail
     // (slowest-first because those are the ones perf review needs).
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"detail":"BENCH_DETAIL.json""""
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // cwd not writable: stdout line still stands alone
+    // delete any stale detail file from a prior run BEFORE writing, so a
+    // failed write can never leave an old round's file masquerading as
+    // current; only NonFatal is swallowed (OOM/interrupt must propagate),
+    // and the stdout headline advertises the detail file only when the
+    // write actually landed
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    val detailOk =
+      try {
+        java.nio.file.Files.deleteIfExists(detailPath)
+        java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+        true
+      } catch {
+        case scala.util.control.NonFatal(_) => false // cwd not writable: stdout line still stands alone
+      }
+    val detailField = if (detailOk) s""","detail":"BENCH_DETAIL.json"""" else ""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errors":$errs$detailField"""
     val budget = 1600 - head.length
     val slowFirst = results.sortBy { case (_, (_, v)) => -v }
       .map { case (k, (ok, v)) => entry(k, ok, v) }

@@ -52,6 +52,7 @@ object Reduction {
                     fitterFor: Seq[String] => DataFrame => (DataFrame => DataFrame),
                     score: DataFrame => DataFrame,
                     metric: String = "spearman"): Seq[(Int, Double)] = {
+    if (ks.isEmpty) return Seq.empty
     val (reduced, _) = pcaFitTransformOnHead(df, featCols, ks.max, nFit, orderCol)
     val cached = reduced.persist()
     try {

@@ -822,7 +822,7 @@ object TextPack extends QueryPack {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
         |c AS (SELECT doc_id, lang, shard, toks,
         |    sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum FROM t)
-        |SELECT lang, shard, (cum - toks) // 2048 AS batch, count(*) AS n_docs,
+        |SELECT lang, shard, CAST((cum - toks) // 2048 AS BIGINT) AS batch, count(*) AS n_docs,
         | CAST(sum(toks) AS BIGINT) AS toks
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_split_assign" ->
