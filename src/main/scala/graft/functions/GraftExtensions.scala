@@ -37,5 +37,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sim_hash48"),
       new ExpressionInfo(classOf[SimHash].getName, "sim_hash48"),
       (children: Seq[Expression]) => SimHash(children.head)))
+    // Spark's own bloom-filter kernels, which it uses for runtime join
+    // filtering but does not register for SQL — exposed here so
+    // `SELECT bloom_filter_agg(xxhash64(k)) ...` / `might_contain(bf, h)`
+    // work from plain SQL through the engine's extensions.
+    e.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+            .toAggregateExpression()
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+            .toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg(hashedKey[, expectedItems])")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }

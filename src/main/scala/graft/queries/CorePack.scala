@@ -404,8 +404,37 @@ object CorePack extends QueryPack {
       .orderBy(col("n_name"))
   }
 
+  /** Bloom-filter join PRE-FILTER ([[graft.functions.BloomFunctions]]):
+    * the urgent-orders key set is condensed into one bloom blob by a
+    * distributed aggregate, and the lineitem scan probes it with the
+    * codegen'd `might_contain` BEFORE shuffling — at 100 TB the fact
+    * side sheds ~(1 - selectivity) of its rows pre-shuffle for the cost
+    * of a scan-local hash. The probe only prunes: false positives
+    * survive to the exact semi-join, so the result is bit-identical to
+    * the plain join and the oracle is the plain SQL. (Spark's own
+    * InjectRuntimeFilter plants the same shape automatically under
+    * shuffle joins; doing it explicitly makes it available to
+    * broadcast-free pipelines and non-join probes.) */
+  def qBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = graft.functions.BloomFunctions
+      .buildKeyFilter(urgent, "o_orderkey", expectedItems = 100000L)
+    Tables.lineitem(s, d)
+      .filter(graft.functions.BloomFunctions
+        .might_contain(bf, xxhash64(col("l_orderkey"))))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 0).as("sum_base"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q3_shipping_priority" -> q3ShippingPriority,
+    "q_bloom_prefilter"  -> qBloomPrefilter,
     "q_exists_correlated"  -> qExistsCorrelated,
     "q_scalar_subquery"    -> qScalarSubquery,
     "q_intersect"          -> qIntersect,
@@ -440,6 +469,15 @@ object CorePack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // the bloom probe only prunes; the exact semi-join restores
+    // exactness, so the oracle is the plain semi-join
+    "q_bloom_prefilter" ->
+      """SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 0) AS sum_base
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
         | round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue

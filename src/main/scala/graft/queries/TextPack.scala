@@ -428,6 +428,97 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"), col("j"))
   }
 
+  /** RAG-style CHUNKING — overlapping token windows (size 20, stride
+    * 15) per document: the chunk relation an embedding/retrieval
+    * pipeline materializes before encoding. Scan-local: the window
+    * starts come from one `sequence`+`transform` lambda inside
+    * whole-stage codegen, exploded to (doc, chunk) rows — no shuffle,
+    * no UDF, parallelism = scan parallelism at any corpus size. Each
+    * chunk carries its 60-bit content hash so downstream chunk-level
+    * dedup/decontamination can run without re-reading text. */
+  def qChunkWindows(s: SparkSession, d: String): DataFrame = {
+    val size20 = lit(20)
+    val stride = lit(15)
+    docsSpread(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor((size(col("w")) - 1) / stride).cast("int")),
+        i => struct(
+          i.cast("long").as("chunk_id"),
+          least(size20, size(col("w")) - i * stride).cast("long").as("n_toks"),
+          TextOps.hash60(concat_ws(" ",
+            slice(col("w"), i * stride + 1, size20))).as("h")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.n_toks").as("n_toks"), col("c.h").as("h"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** C4-style duplicated-SPAN accounting — fixed 10-token spans hashed
+    * across the corpus; a span whose hash occurs more than once
+    * globally (boilerplate, templates, in-doc loops) is marked dropped,
+    * and each doc reports how many tokens survive span-level dedup.
+    * Span extraction is scan-local (same fused lambda shape as the
+    * chunker); the global frequency pass is one groupBy on uniform
+    * 60-bit keys plus a join back on the same key — two bounded
+    * shuffles, never a pairwise comparison, at any scale. */
+  def qSpanDedup(s: SparkSession, d: String): DataFrame = {
+    val spans = docsSpread(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 10)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor(size(col("w")) / lit(10)).cast("int") - 1),
+        i => TextOps.hash60(concat_ws(" ",
+          slice(col("w"), i * lit(10) + 1, lit(10)))))).as("h"))
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    spans.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("c") > 1, 0L).otherwise(10L)).as("keep_toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Test-set DECONTAMINATION — flag training docs sharing any 4-gram
+    * with a held-out benchmark set (here: every 50th doc id, standing
+    * in for the benchmark corpus). The benchmark n-gram universe is
+    * tiny by construction (eval suites are MBs against a 100 TB
+    * corpus), so the probe is a broadcast semi-join against the
+    * benchmark hash set — the training scan is never shuffled. Counts
+    * DISTINCT overlapping 4-grams per contaminated doc. */
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = docsSpread(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 4))).as("h"))
+    val bench = grams.filter(pmod(col("doc_id"), lit(50L)) === 0)
+      .select(col("h")).distinct()
+    grams.filter(pmod(col("doc_id"), lit(50L)) =!= 0)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-MIX rebalancing — deterministic downsampling of every
+    * language to the smallest language's size (uniform target mix):
+    * per-lang rates come from one tiny aggregate broadcast back, and
+    * the keep decision is the md5-hash60 coin (reproducible,
+    * repartition-stable — the same coin family as the split/weighted
+    * samplers). The corpus-scale pass is one scan + one broadcast
+    * join; no shuffle of the fact side. */
+  def qMixSample(s: SparkSession, d: String): DataFrame = {
+    val docs = docsSpread(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val target = counts.agg(min(col("cnt")).as("target"))
+    val rates = counts.crossJoin(broadcast(target))
+      .select(col("lang"), (col("target") / col("cnt")).as("rate"))
+    val coin = pmod(TextOps.hash60(
+      concat_ws("#", lit("mix"), col("doc_id"))), lit(1000000L))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(coin < col("rate") * 1000000.0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), round(min(col("rate")), 6).as("rate"))
+      .orderBy(col("lang"))
+  }
+
   /** MinHash Jaccard ESTIMATION on the LSH candidate pairs: the
     * fraction of the 16 minhash components two docs share is an
     * unbiased estimate of their Jaccard similarity — the cheap scorer
@@ -642,6 +733,10 @@ object TextPack extends QueryPack {
     "q_minhash_lsh"   -> qMinhashLsh,
     "q_minhash_est"   -> qMinhashEst,
     "q_split_assign"  -> qSplitAssign,
+    "q_chunk_windows" -> qChunkWindows,
+    "q_span_dedup"    -> qSpanDedup,
+    "q_decontaminate" -> qDecontaminate,
+    "q_mix_sample"    -> qMixSample,
     "q_negative_sample" -> qNegativeSample,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_batches"  -> qPackBatches,
@@ -825,6 +920,49 @@ object TextPack extends QueryPack {
         |SELECT lang, shard, CAST((cum - toks) // 2048 AS BIGINT) AS batch, count(*) AS n_docs,
         | CAST(sum(toks) AS BIGINT) AS toks
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |ids AS (SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w)-1)//15)) AS i FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        | CAST(least(20, len(w) - i*15) AS BIGINT) AS n_toks,
+        | ('0x'||substr(md5(array_to_string(list_slice(w, i*15+1, i*15+20),' ')),1,15))::BIGINT AS h
+        |FROM ids ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+        |           WHERE len(string_split(text,' ')) >= 10),
+        |sp AS (SELECT doc_id, w,
+        |    unnest(generate_series(0, len(w)//10 - 1)) AS i FROM t),
+        |hs AS (SELECT doc_id,
+        |    ('0x'||substr(md5(array_to_string(list_slice(w, i*10+1, i*10+10),' ')),1,15))::BIGINT AS h
+        |    FROM sp),
+        |freq AS (SELECT h, count(*) AS c FROM hs GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_spans,
+        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | CAST(sum(CASE WHEN c > 1 THEN 0 ELSE 10 END) AS BIGINT) AS keep_toks
+        |FROM hs JOIN freq USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |g AS (SELECT DISTINCT a.doc_id,
+        |    ('0x'||substr(md5(a.w||' '||b.w||' '||c.w||' '||e.w),1,15))::BIGINT AS h
+        |    FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |             JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2
+        |             JOIN w e ON a.doc_id=e.doc_id AND e.pos=a.pos+3),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, count(*) AS n_hits
+        |FROM g JOIN bench USING (h)
+        |WHERE g.doc_id % 50 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mix_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |r AS (SELECT lang, (SELECT min(cnt) FROM c) * 1.0 / cnt AS rate FROM c)
+        |SELECT d.lang, count(*) AS n_kept, round(min(rate), 6) AS rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x'||substr(md5('mix#'||doc_id),1,15))::BIGINT % 1000000
+        |   < rate * 1000000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_split_assign" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 80

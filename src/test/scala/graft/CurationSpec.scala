@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BloomFunctions
+import graft.queries.{CorePack, TextPack}
+
+/** Round-6 curation operators: bloom join pre-filter, RAG chunking,
+  * span-level dedup, decontamination, language-mix rebalancing. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bloom prefilter never drops a true member (no false negatives)") {
+    val keys = (1L to 500L).map(i => i * 7).toDF("k")
+    val bf = BloomFunctions.buildKeyFilter(keys, "k", expectedItems = 1000L)
+    val survivors = keys
+      .filter(BloomFunctions.might_contain(bf, xxhash64(col("k"))))
+      .count()
+    assert(survivors == 500L) // every inserted key must probe true
+  }
+
+  test("bloom prefilter actually prunes non-members") {
+    val keys = (1L to 100L).toDF("k")
+    val bf = BloomFunctions.buildKeyFilter(keys, "k", expectedItems = 100L)
+    val probes = (10_000L to 20_000L).toDF("k")
+    val survivors = probes
+      .filter(BloomFunctions.might_contain(bf, xxhash64(col("k"))))
+      .count()
+    // default FPP is ~3%; 10x headroom guards against flakiness
+    assert(survivors < probes.count() / 3,
+      s"bloom pruned almost nothing: $survivors of ${probes.count()}")
+  }
+
+  test("q_bloom_prefilter equals the plain semi-join plan") {
+    val got = CorePack.qBloomPrefilter(spark, TestSpark.sf)
+    val want = Tables.lineitem(spark, TestSpark.sf)
+      .join(Tables.orders(spark, TestSpark.sf)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 0).as("sum_base"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("chunk windows cover every token exactly once per stride step") {
+    val rows = TextPack.qChunkWindows(spark, TestSpark.sf).collect()
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (docId, chunks) =>
+      val n = docs(docId)
+      // chunk count = number of stride starts: floor((n-1)/15) + 1
+      assert(chunks.length == ((n - 1) / 15 + 1),
+        s"doc $docId: ${chunks.length} chunks for $n tokens")
+      // every chunk is 1..20 tokens and the last one ends exactly at n
+      val byId = chunks.sortBy(_.getLong(1))
+      byId.foreach { c => assert(c.getLong(2) >= 1 && c.getLong(2) <= 20) }
+      val last = byId.last
+      assert(last.getLong(1) * 15 + last.getLong(2) == n)
+    }
+  }
+
+  test("span dedup marks exactly the globally repeated spans") {
+    // doc 1 and 2 share a 10-token span; doc 3 is unique; doc 4 repeats
+    // its own span twice in-document
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val uniq = (11 to 20).map(i => s"u$i").mkString(" ")
+    val self = (21 to 30).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, span + " " + uniq),
+      (2L, span + " " + (31 to 40).map(i => s"x$i").mkString(" ")),
+      (3L, (41 to 50).map(i => s"y$i").mkString(" ")),
+      (4L, self + " " + self)
+    ).toDF("doc_id", "text")
+    // run the same shape as qSpanDedup on the tiny frame
+    val spans = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 10)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor(size(col("w")) / lit(10)).cast("int") - 1),
+        i => graft.operators.TextOps.hash60(concat_ws(" ",
+          slice(col("w"), i * lit(10) + 1, lit(10)))))).as("h"))
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val out = spans.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2L, 1L)) // shared span dup, unique span kept
+    assert(out(2L) == (2L, 1L))
+    assert(out(3L) == (1L, 0L))
+    assert(out(4L) == (2L, 2L)) // in-doc repeat counts as dup both times
+  }
+
+  test("decontamination flags exactly the docs sharing a benchmark 4-gram") {
+    val out = TextPack.qDecontaminate(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no benchmark doc may appear in the output
+    assert(out.keySet.forall(_ % 50 != 0))
+    // brute-force witness on the same fixture
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").sliding(4)
+        .filter(_.length == 4).map(_.mkString(" ")).toSet).toMap
+    val benchGrams = docs.filter(_._1 % 50 == 0).values.flatten.toSet
+    val expected = docs.filter { case (id, g) =>
+      id % 50 != 0 && g.exists(benchGrams)
+    }.map { case (id, g) => id -> g.count(benchGrams).toLong }
+    assert(out == expected)
+  }
+
+  test("mix sample keeps the smallest language whole and rates are exact") {
+    val counts = Tables.documents(spark, TestSpark.sf)
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = counts.values.min
+    val out = TextPack.qMixSample(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { case (lang, kept, rate) =>
+      assert(math.abs(rate - minCnt.toDouble / counts(lang)) < 1e-6)
+      assert(kept <= counts(lang))
+    }
+    // the min language's rate is 1.0 -> every doc kept
+    val minLang = counts.minBy(_._2)._1
+    val keptMin = out.find(_._1 == minLang).get._2
+    assert(keptMin == minCnt)
+  }
+}
