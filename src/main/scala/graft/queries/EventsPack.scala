@@ -209,7 +209,54 @@ object EventsPack extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** FUNNEL analysis — ordered-stage conversion (signup → click →
+    * purchase), each stage strictly after the user's previous stage.
+    * Three filtered min-aggregates chained by user_id joins: at scale
+    * each stage relation is per-user (orders of magnitude smaller than
+    * the event log), so every join after the first is stage ⋈ stage,
+    * never a second pass over the log. Delays are date-granularity
+    * (exact in any engine; sub-second epochs are not portable). */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t1")).as("t1"), min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("t1")).as("t1"), min(col("ts")).as("t3"))
+    val r1 = s1.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_signup").as("stage"), col("n_users"), lit(0.0).as("avg_days"))
+    val r2 = s2.agg(count(lit(1)).as("n_users"),
+        round(avg(datediff(to_date(col("t2")), to_date(col("t1")))), 4).as("avg_days"))
+      .select(lit("2_click").as("stage"), col("n_users"), col("avg_days"))
+    val r3 = s3.agg(count(lit(1)).as("n_users"),
+        round(avg(datediff(to_date(col("t3")), to_date(col("t1")))), 4).as("avg_days"))
+      .select(lit("3_purchase").as("stage"), col("n_users"), col("avg_days"))
+    r1.unionByName(r2).unionByName(r3).orderBy(col("stage"))
+  }
+
+  /** COHORT retention — users grouped by first-activity day, counted
+    * as retained at each day offset 0..7 they were active again. One
+    * first-touch aggregate joined back to the log (per-user relation,
+    * broadcast-able at most scales), distinct (user, cohort, offset),
+    * then the cohort×offset rollup. */
+  def qCohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(to_date(col("ts")), col("cohort")).cast("long").as("dd"))
+      .filter(col("dd") <= 7)
+      .distinct()
+      .groupBy(col("cohort"), col("dd")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("dd"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_funnel"         -> qFunnel,
+    "q_cohort_retention" -> qCohortRetention,
     "q_stratified_sample" -> qStratifiedSample,
     "q_range_join"     -> qRangeJoin,
     "q_band_join"      -> qBandJoin,
@@ -227,6 +274,31 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type='signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t1) AS t1, min(ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type='click' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t1) AS t1, min(ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type='purchase' AND ts > t2 GROUP BY 1)
+        |SELECT '1_signup' AS stage, count(*) AS n_users, 0.0 AS avg_days FROM s1
+        |UNION ALL
+        |SELECT '2_click', count(*),
+        | round(avg(datediff('day', CAST(t1 AS DATE), CAST(t2 AS DATE))), 4) FROM s2
+        |UNION ALL
+        |SELECT '3_purchase', count(*),
+        | round(avg(datediff('day', CAST(t1 AS DATE), CAST(t3 AS DATE))), 4) FROM s3
+        |ORDER BY 1""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort,
+        |      CAST(datediff('day', f.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS dd
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT cohort, dd, count(*) AS n_users FROM a
+        |WHERE dd <= 7 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stratified_sample" ->
       """WITH s AS (SELECT event_type, value,
         |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS h

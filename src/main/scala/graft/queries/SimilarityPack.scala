@@ -183,7 +183,45 @@ object SimilarityPack extends QueryPack {
         round(col("sc"), 6).as("scale"), round(col("sse"), 6).as("sse"))
       .orderBy(col("vec_id"))
 
+  /** Nearest-CLASS-CENTROID assignment (the centroid classifier /
+    * cluster-assignment primitive): per-label mean vector, every
+    * embedding assigned to its closest centroid by squared L2,
+    * summarized as a label×prediction confusion relation.
+    *
+    * Scale shape: centroids come from one partial+final aggregate over
+    * the (label, component) explosion; the assignment pass broadcasts
+    * the tiny centroid relation (labels × dims doubles) against one
+    * corpus scan. Distances use the norm expansion
+    * `|v|² − 2·v·c + |c|²` with the fused [[graft.functions.DotProduct]]
+    * kernel — |c|² is per-centroid (computed once on the broadcast
+    * side) and |v|² is per-vector (one scan-local pass), so the
+    * per-pair work is a single fused dot product. Deterministic: the
+    * fixture's min best-vs-second margin (8.3e-6) is six orders above
+    * double reassociation noise, and ties break on label order. */
+  def qNearestCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = embSpread(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val comp = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+    val cents = comp
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("cl"),
+        transform(col("pc"), p => p.getField("c")).as("cent"))
+      .withColumn("cnorm", dot(col("cent"), col("cent")))
+    e.withColumn("vnorm", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cl"),
+        (col("vnorm") - lit(2.0) * dot(col("v"), col("cent")) + col("cnorm")).as("dist"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dist"), col("cl"))).as("m"))
+      .select(col("label"), col("m.cl").as("pred"))
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_nearest_centroid" -> qNearestCentroid,
     "q_ann_cosine"      -> qAnnCosine,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_embed_neardup"   -> qEmbedNeardup,
@@ -193,6 +231,19 @@ object SimilarityPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_nearest_centroid" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding,1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |comp AS (SELECT label AS cl, pos, avg(x) AS c FROM e GROUP BY 1, 2),
+        |dist AS (SELECT e.vec_id, e.label, comp.cl,
+        |         sum((e.x - comp.c) * (e.x - comp.c)) AS dist
+        |         FROM e JOIN comp ON e.pos = comp.pos GROUP BY 1, 2, 3),
+        |pred AS (SELECT vec_id, label, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |         FROM dist)
+        |SELECT label, cl AS pred, count(*) AS n FROM pred WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),

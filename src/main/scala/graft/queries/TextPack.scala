@@ -519,6 +519,45 @@ object TextPack extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** Per-DOMAIN cap — keep at most 15 docs per source, chosen by the
+    * deterministic md5-hash60 coin (C4-style per-domain limits, so no
+    * single domain dominates the mix). One ranking window per source:
+    * parallelism = number of sources, and the per-source state is the
+    * cap, not the domain's row count, at any scale. */
+  def qSourceCap(s: SparkSession, d: String): DataFrame = {
+    val coin = pmod(TextOps.hash60(
+      concat_ws("#", lit("cap"), col("doc_id"))), lit(1000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(coin, col("doc_id"))
+    docsSpread(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 15)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("chars_kept"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy(col("source"))
+  }
+
+  /** DOMAIN-level quality gate — drop every doc from sources whose
+    * average doc length falls below a floor (the blocklist/allowlist
+    * step a curation pipeline applies at the domain level, where
+    * quality signals are far more stable than per-doc). Two-level:
+    * a tiny per-source aggregate, broadcast back as a semi-join —
+    * the corpus scan is never shuffled. */
+  def qSourceFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = docsSpread(s, d)
+    val keep = docs.groupBy(col("source"))
+      .agg(avg(col("n_chars")).as("avg_chars"))
+      .filter(col("avg_chars") >= 290.0)
+      .select(col("source"))
+    docs.join(broadcast(keep), Seq("source"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("lang"))
+  }
+
   /** MinHash Jaccard ESTIMATION on the LSH candidate pairs: the
     * fraction of the 16 minhash components two docs share is an
     * unbiased estimate of their Jaccard similarity — the cheap scorer
@@ -734,6 +773,8 @@ object TextPack extends QueryPack {
     "q_minhash_est"   -> qMinhashEst,
     "q_split_assign"  -> qSplitAssign,
     "q_chunk_windows" -> qChunkWindows,
+    "q_source_cap"    -> qSourceCap,
+    "q_source_filter" -> qSourceFilter,
     "q_span_dedup"    -> qSpanDedup,
     "q_decontaminate" -> qDecontaminate,
     "q_mix_sample"    -> qMixSample,
@@ -920,6 +961,21 @@ object TextPack extends QueryPack {
         |SELECT lang, shard, CAST((cum - toks) // 2048 AS BIGINT) AS batch, count(*) AS n_docs,
         | CAST(sum(toks) AS BIGINT) AS toks
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_source_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x'||substr(md5('cap#'||doc_id),1,15))::BIGINT % 1000000, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rk <= 15 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_source_filter" ->
+      """WITH k AS (SELECT source FROM documents GROUP BY source
+        |           HAVING avg(n_chars) >= 290.0)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents JOIN k USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_chunk_windows" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |ids AS (SELECT doc_id, w,

@@ -115,6 +115,74 @@ class CurationSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("source cap keeps at most 15 docs per source, deterministically") {
+    val out = TextPack.qSourceCap(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, kept, _) => assert(kept <= 15) }
+    // determinism: same id_sum on a second run
+    val again = TextPack.qSourceCap(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("source filter keeps exactly the docs of above-floor sources") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val keepSrc = docs.groupBy(_._1).filter { case (_, rows) =>
+      rows.map(_._3).sum.toDouble / rows.length >= 290.0
+    }.keySet
+    val expected = docs.filter(r => keepSrc(r._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = TextPack.qSourceFilter(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("funnel stages are monotonically shrinking and ordered in time") {
+    val rows = graft.queries.EventsPack.qFunnel(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("1_signup", "2_click", "3_purchase"))
+    assert(rows("1_signup") >= rows("2_click"))
+    assert(rows("2_click") >= rows("3_purchase"))
+    assert(rows("1_signup") > 0)
+  }
+
+  test("cohort retention: day-0 count equals cohort size and offsets stay within it") {
+    val rows = graft.queries.EventsPack.qCohortRetention(spark, TestSpark.sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val day0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    // every user is active on their own first day
+    val cohortSizes = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(day0 == cohortSizes)
+    rows.foreach { case (cohort, _, n) => assert(n <= cohortSizes(cohort)) }
+  }
+
+  test("nearest centroid matches a driver-side brute force") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val cents = emb.groupBy(_._3).view.mapValues { vs =>
+      val dim = vs.head._2.length
+      val c = new Array[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(i => c(i) += v._2(i)))
+      c.map(_ / vs.length)
+    }.toMap
+    val expected = emb.map { case (_, v, label) =>
+      val pred = cents.toSeq.map { case (cl, c) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cl)
+      }.min._2
+      (label, pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = graft.queries.SimilarityPack.qNearestCentroid(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
   test("mix sample keeps the smallest language whole and rates are exact") {
     val counts = Tables.documents(spark, TestSpark.sf)
       .groupBy("lang").agg(count(lit(1)).as("cnt"))
