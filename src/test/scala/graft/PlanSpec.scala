@@ -105,4 +105,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), p.take(800))
     assert("FileScan parquet".r.findAllMatchIn(p).size == 1, p.take(1200))
   }
+
+  test("bloom prefilter probes inside the scan stage, before any join") {
+    // the might_contain filter must sit on the lineitem scan side
+    // (pre-shuffle pruning is the whole point); the exact semi-join
+    // stays to remove false positives
+    val p = plan("q_bloom_prefilter")
+    assert(p.contains("might_contain"), p.take(1500))
+    assert(p.contains("LeftSemi"), p.take(1500))
+  }
+
+  test("chunk windows are scan-local: no join, no aggregate exchange") {
+    // chunking is one generate pass over the scan; the only exchanges
+    // permitted are the deliberate docsSpread round-robin (fixture is
+    // a single file) and the final presentation sort — never a
+    // hash-partitioned shuffle (that would mean a hidden agg/join)
+    val p = plan("q_chunk_windows")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("hashpartitioning"), p.take(1500))
+  }
+
+  test("decontamination probes the benchmark set as a broadcast semi-join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(1500))
+  }
+
+  test("domain gate and mix rebalance never shuffle the corpus scan") {
+    // the per-source / per-lang relations are tiny aggregates that
+    // come back as broadcasts; the docs side must not exchange before
+    // its join
+    for (name <- Seq("q_source_filter", "q_mix_sample")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast join:\n${p.take(1500)}")
+    }
+  }
+
+  test("nearest centroid broadcasts the centroid relation") {
+    val p = plan("q_nearest_centroid")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
 }
