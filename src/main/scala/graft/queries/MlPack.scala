@@ -156,6 +156,52 @@ object MlPack extends QueryPack {
     }.toDF("rank", "alpha", "rmse")
   }
 
+  /** M6, ORACLE-CHECKED twin of [[qHyperband]] — successive halving
+    * with a deterministic alpha grid ((i+0.5)/8, no RNG) and the
+    * md5-hash60 rung fraction (engine-portable, unlike xxhash64), so
+    * every rung's scores, cuts, and the final leaderboard reproduce
+    * exactly in ANSI SQL. Mechanics are the hyperband rung loop:
+    * fractions 1/4 → 1/2 → 1 with keeps 4 → 2, ranked by
+    * (rmse, alpha); one Spark action per rung, configs broadcast as a
+    * literal relation into a single cross-joined scoring plan. The
+    * LHS-sampled [[qHyperband]] stays as the reference-faithful API
+    * (JVM-RNG configs are inherently rows-only). */
+  def qSuccessiveHalving(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), (Tables.eraOfTs(col("ts")) % 2).as("fold"),
+        col("event_type"), col("value"),
+        pmod(graft.operators.TextOps.hash60(
+          concat_ws("#", lit("rung"), col("event_id"))), lit(10000L)).as("coin"))
+      .persist()
+    def rung(alphas: Seq[Double], frac: Double): Seq[(Double, Double)] = {
+      val head = if (frac >= 1.0) ev
+                 else ev.filter(col("coin") < lit((frac * 10000).toLong))
+      val train = head.filter(col("fold") === 0)
+      val test = head.filter(col("fold") === 1)
+      val gm = train.groupBy(col("event_type")).agg(avg(col("value")).as("gm"))
+      val gmean = train.agg(avg(col("value")).as("m"))
+      test.join(broadcast(gm), Seq("event_type"))
+        .crossJoin(broadcast(gmean))
+        .crossJoin(broadcast(alphas.toDF("alpha")))
+        .groupBy(col("alpha"))
+        .agg(sqrt(avg(pow(col("value")
+          - (col("m") + col("alpha") * (col("gm") - col("m"))), 2))).as("rmse"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+        .sortBy(t => (t._2, t._1))
+    }
+    var configs: Seq[Double] = (0 until 8).map(i => (i + 0.5) / 8.0)
+    var board: Seq[(Double, Double)] = Nil
+    for ((frac, keep) <- Seq((0.25, 4), (0.5, 2), (1.0, 2))) {
+      board = rung(configs, frac)
+      configs = board.take(keep).map(_._1)
+    }
+    ev.unpersist()
+    board.zipWithIndex.map { case ((a, r), i) =>
+      (i + 1L, a, math.rint(r * 1e4) / 1e4)
+    }.toDF("rank", "alpha", "rmse")
+  }
+
   /** M8 — forward selection (`feature_selection_numerai.py:157-246`,
     * `mean_decrease_accuracy_tune`): features ranked by a univariate
     * importance (the feat_score input), then for n = 1..7 the top-n
@@ -292,6 +338,7 @@ object MlPack extends QueryPack {
     "q_pca_reduce"       -> qPcaReduce,
     "q_reduction_tune"   -> qReductionTune,
     "q_hyperband"        -> qHyperband,
+    "q_successive_halving" -> qSuccessiveHalving,
     "q_param_sweep"      -> qParamSweep,
     "q_cv_rf"            -> qCvRf,
     "q_mda_rf"           -> qMdaRf,
@@ -300,6 +347,41 @@ object MlPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // the full successive-halving bracket unrolled: rung fractions
+    // 1/4 -> 1/2 -> 1 with keeps 4 -> 2, ranked by (rmse, alpha) —
+    // deterministic because configs are a grid and the rung subset is
+    // the md5-hash60 coin
+    "q_successive_halving" ->
+      """WITH ev AS (SELECT
+        |    CAST(date_part('day', ts) AS BIGINT) % 2 AS fold, event_type, value,
+        |    ('0x'||substr(md5('rung#'||event_id),1,15))::BIGINT % 10000 AS coin
+        |  FROM events),
+        |alphas AS (SELECT (unnest(generate_series(0, 7)) + 0.5) / 8 AS alpha),
+        |h0 AS (SELECT * FROM ev WHERE coin < 2500),
+        |gm0 AS (SELECT event_type, avg(value) AS gm FROM h0 WHERE fold = 0 GROUP BY 1),
+        |m0 AS (SELECT avg(value) AS m FROM h0 WHERE fold = 0),
+        |r0 AS (SELECT alpha,
+        |         sqrt(avg(pow(value - (m + alpha * (gm - m)), 2))) AS rmse
+        |       FROM h0 JOIN gm0 USING (event_type) CROSS JOIN m0 CROSS JOIN alphas
+        |       WHERE fold = 1 GROUP BY 1),
+        |k0 AS (SELECT alpha FROM r0 ORDER BY rmse, alpha LIMIT 4),
+        |h1 AS (SELECT * FROM ev WHERE coin < 5000),
+        |gm1 AS (SELECT event_type, avg(value) AS gm FROM h1 WHERE fold = 0 GROUP BY 1),
+        |m1 AS (SELECT avg(value) AS m FROM h1 WHERE fold = 0),
+        |r1 AS (SELECT alpha,
+        |         sqrt(avg(pow(value - (m + alpha * (gm - m)), 2))) AS rmse
+        |       FROM h1 JOIN gm1 USING (event_type) CROSS JOIN m1 CROSS JOIN k0
+        |       WHERE fold = 1 GROUP BY 1),
+        |k1 AS (SELECT alpha FROM r1 ORDER BY rmse, alpha LIMIT 2),
+        |gm2 AS (SELECT event_type, avg(value) AS gm FROM ev WHERE fold = 0 GROUP BY 1),
+        |m2 AS (SELECT avg(value) AS m FROM ev WHERE fold = 0),
+        |r2 AS (SELECT alpha,
+        |         sqrt(avg(pow(value - (m + alpha * (gm - m)), 2))) AS rmse
+        |       FROM ev JOIN gm2 USING (event_type) CROSS JOIN m2 CROSS JOIN k1
+        |       WHERE fold = 1 GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY rmse, alpha) AS BIGINT) AS rank,
+        |  alpha, round(rmse, 4) AS rmse
+        |FROM r2 ORDER BY rank""".stripMargin,
     "q_forward_select" -> {
       val feats = (0 until 8).map(i =>
         s"CAST(embedding[${i + 1}] AS DOUBLE) AS e_$i").mkString(", ")

@@ -183,6 +183,17 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("successive halving returns a ranked final rung of survivors") {
+    val rows = graft.queries.MlPack.qSuccessiveHalving(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 2)
+    assert(rows(0)._1 == 1L && rows(1)._1 == 2L)
+    assert(rows(0)._3 <= rows(1)._3) // leaderboard is rmse-ascending
+    // survivors come from the deterministic grid
+    val grid = (0 until 8).map(i => (i + 0.5) / 8.0).toSet
+    rows.foreach { case (_, a, _) => assert(grid(a)) }
+  }
+
   test("mix sample keeps the smallest language whole and rates are exact") {
     val counts = Tables.documents(spark, TestSpark.sf)
       .groupBy("lang").agg(count(lit(1)).as("cnt"))
