@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,6 +109,42 @@ object StatsPack extends QueryPack {
       .toDF("maxcorr", "maxcorr_dist", "n")
   }
 
+  /** A12, ORACLE-CHECKED relational twin of [[qMaxcorr]] — ACE with a
+    * FIXED 3 iterations, fully distributed: each conditional-mean
+    * smoothing is a groupBy over the 10 equal-width bins broadcast
+    * back onto the pair scan, so the whole alternation is ONE Catalyst
+    * plan over the FULL column pair — no sample, no collect (the
+    * reference, and qMaxcorr, collect two columns to the driver).
+    * Standardization drops out: conditional expectation and Pearson
+    * correlation are both affine-invariant, so corr(phi_k, theta_k)
+    * is identical with or without the per-step rescaling — which
+    * makes the recursion pure group-mean SQL, reproducible in any
+    * engine. The tol-terminated driver ACE stays as the
+    * reference-faithful API (`MaxCorrSpec`); AceSpec ties this plan
+    * to it at maxIter=3. */
+  def qAceCorr(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+    val ext = base.agg(min(col("x")).as("xlo"), max(col("x")).as("xhi"),
+      min(col("y")).as("ylo"), max(col("y")).as("yhi"))
+    def bin(c: Column, lo: Column, hi: Column): Column =
+      least(lit(9), floor((c - lo) / (hi - lo) * 10).cast("int"))
+    var df = base.crossJoin(broadcast(ext))
+      .select(col("y"), bin(col("x"), col("xlo"), col("xhi")).as("bq"),
+        bin(col("y"), col("ylo"), col("yhi")).as("bp"))
+      .withColumn("theta", col("y"))
+    for (i <- 1 to 3) {
+      val sm1 = df.groupBy(col("bq")).agg(avg(col("theta")).as(s"phi$i"))
+      df = df.join(broadcast(sm1), Seq("bq"))
+      val sm2 = df.groupBy(col("bp")).agg(avg(col(s"phi$i")).as(s"th$i"))
+      df = df.join(broadcast(sm2), Seq("bp"))
+        .withColumn("theta", col(s"th$i"))
+    }
+    df.agg(round(corr(col("phi3"), col("th3")), 6).as("maxcorr"),
+      count(lit(1)).as("n"))
+  }
+
   /** Session windows over events (gap 30 min): Spark-native
     * `session_window`, oracle-mirrored by the gaps-and-islands SQL. */
   def qSessionWindow(s: SparkSession, d: String): DataFrame =
@@ -170,11 +206,36 @@ object StatsPack extends QueryPack {
     "q_era_parse"      -> qEraParse,
     "q_dcor"           -> qDcor,
     "q_maxcorr"        -> qMaxcorr,
+    "q_ace_corr"       -> qAceCorr,
     "q_ols_contrib"    -> qOlsContrib,
     "q_session_window" -> qSessionWindow,
   )
 
   val oracles: Map[String, String] = Map(
+    // fixed-3-iteration ACE unrolled: theta0 = y, phi_k = E[theta_{k-1} | bin(x)],
+    // theta_k = E[phi_k | bin(y)]; standardization is affine and drops out of corr
+    "q_ace_corr" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+        |ext AS (SELECT min(x) AS xlo, max(x) AS xhi,
+        |        min(y) AS ylo, max(y) AS yhi FROM base),
+        |b AS (SELECT y,
+        |    least(9, CAST(floor((x - xlo) / (xhi - xlo) * 10) AS INT)) AS bq,
+        |    least(9, CAST(floor((y - ylo) / (yhi - ylo) * 10) AS INT)) AS bp
+        |  FROM base CROSS JOIN ext),
+        |p1 AS (SELECT bq, avg(y) AS phi1 FROM b GROUP BY 1),
+        |b1 AS (SELECT b.*, phi1 FROM b JOIN p1 USING (bq)),
+        |t1 AS (SELECT bp, avg(phi1) AS th1 FROM b1 GROUP BY 1),
+        |b2 AS (SELECT b1.*, th1 FROM b1 JOIN t1 USING (bp)),
+        |p2 AS (SELECT bq, avg(th1) AS phi2 FROM b2 GROUP BY 1),
+        |b3 AS (SELECT b2.*, phi2 FROM b2 JOIN p2 USING (bq)),
+        |t2 AS (SELECT bp, avg(phi2) AS th2 FROM b3 GROUP BY 1),
+        |b4 AS (SELECT b3.*, th2 FROM b3 JOIN t2 USING (bp)),
+        |p3 AS (SELECT bq, avg(th2) AS phi3 FROM b4 GROUP BY 1),
+        |b5 AS (SELECT b4.*, phi3 FROM b4 JOIN p3 USING (bq)),
+        |t3 AS (SELECT bp, avg(phi3) AS th3 FROM b5 GROUP BY 1),
+        |b6 AS (SELECT b5.*, th3 FROM b5 JOIN t3 USING (bp))
+        |SELECT round(corr(phi3, th3), 6) AS maxcorr, count(*) AS n FROM b6""".stripMargin,
     // the sketch side is engine-internal; the CONTRACT (exact value +
     // sketch-within-tolerance boolean) is what both engines agree on
     "q_sketch_distinct" ->
