@@ -123,6 +123,7 @@ object StatsPack extends QueryPack {
     * reference-faithful API (`MaxCorrSpec`); AceSpec ties this plan
     * to it at maxIter=3. */
   def qAceCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val base = Tables.lineitem(s, d)
       .select(col("l_quantity").cast("double").as("x"),
         col("l_extendedprice").cast("double").as("y"))
@@ -130,19 +131,34 @@ object StatsPack extends QueryPack {
       min(col("y")).as("ylo"), max(col("y")).as("yhi"))
     def bin(c: Column, lo: Column, hi: Column): Column =
       least(lit(9), floor((c - lo) / (hi - lo) * 10).cast("int"))
-    var df = base.crossJoin(broadcast(ext))
+    // the binned pair relation is read by every smoothing step —
+    // persist it once. Each conditional-mean relation is 10 rows: it
+    // crosses to the driver (the same edge-collect contract as
+    // centroids/fitted stats) and folds back into the next step as a
+    // literal map lookup, so every job stays a shallow scan of the
+    // cache — the join-chain form paid seconds of codegen compile per
+    // ever-deeper plan for the same 10-row broadcasts
+    val binned = base.crossJoin(broadcast(ext))
       .select(col("y"), bin(col("x"), col("xlo"), col("xhi")).as("bq"),
         bin(col("y"), col("ylo"), col("yhi")).as("bp"))
-      .withColumn("theta", col("y"))
-    for (i <- 1 to 3) {
-      val sm1 = df.groupBy(col("bq")).agg(avg(col("theta")).as(s"phi$i"))
-      df = df.join(broadcast(sm1), Seq("bq"))
-      val sm2 = df.groupBy(col("bp")).agg(avg(col(s"phi$i")).as(s"th$i"))
-      df = df.join(broadcast(sm2), Seq("bp"))
-        .withColumn("theta", col(s"th$i"))
-    }
-    df.agg(round(corr(col("phi3"), col("th3")), 6).as("maxcorr"),
-      count(lit(1)).as("n"))
+      .persist()
+    try {
+      def asMapLookup(rows: Array[org.apache.spark.sql.Row], key: Column): Column = {
+        val entries = rows.flatMap(r => Seq(lit(r.getInt(0)), lit(r.getDouble(1))))
+        element_at(map(entries.toIndexedSeq: _*), key)
+      }
+      var theta: Column = col("y")
+      var phi: Column = theta
+      for (_ <- 1 to 3) {
+        val sm1 = binned.groupBy(col("bq")).agg(avg(theta).as("m")).collect()
+        phi = asMapLookup(sm1, col("bq"))
+        val sm2 = binned.groupBy(col("bp")).agg(avg(phi).as("m")).collect()
+        theta = asMapLookup(sm2, col("bp"))
+      }
+      val r = binned.agg(round(corr(phi, theta), 6).as("maxcorr"),
+        count(lit(1)).as("n")).head()
+      Seq((r.getDouble(0), r.getLong(1))).toDF("maxcorr", "n")
+    } finally binned.unpersist()
   }
 
   /** Session windows over events (gap 30 min): Spark-native
