@@ -558,6 +558,44 @@ object TextPack extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** Per-language PERCENTILE quality floor — drop each language's
+    * bottom quartile by type-token ratio (the relative quality cut a
+    * curation pipeline applies per language, since absolute quality
+    * scores are not comparable across languages). The cut is
+    * RANK-based (`percent_rank` with a doc_id tie-break), not a
+    * percentile-value threshold: integer rank arithmetic is exact in
+    * any engine, where a continuous-quantile threshold invites FP
+    * boundary flips. One window per language; scan-local scoring. */
+  def qQualityCut(s: SparkSession, d: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val scored = docsSpread(s, d)
+      .select(col("doc_id"), col("lang"),
+        round(size(array_distinct(w)).cast("double") / size(w), 6).as("ttr"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("ttr"), col("doc_id"))
+    scored.withColumn("pr", percent_rank().over(win))
+      .filter(col("pr") >= 0.25)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(min(col("ttr")), 6).as("min_ttr"),
+        round(avg(col("ttr")), 6).as("avg_ttr"))
+      .orderBy(col("lang"))
+  }
+
+  /** Token-budget TRUNCATION — cap every doc at 48 tokens (the
+    * context-window clip before packing/encoding), reporting kept
+    * tokens and the truncated content's 60-bit hash (proof the slice
+    * really happened, not just arithmetic). Scan-local: one slice +
+    * hash expression inside whole-stage codegen. */
+  def qTruncate(s: SparkSession, d: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    docsSpread(s, d)
+      .select(col("doc_id"), size(w).cast("long").as("n_toks"),
+        least(size(w), lit(48)).cast("long").as("kept_toks"),
+        TextOps.hash60(concat_ws(" ", slice(w, 1, 48))).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash Jaccard ESTIMATION on the LSH candidate pairs: the
     * fraction of the 16 minhash components two docs share is an
     * unbiased estimate of their Jaccard similarity — the cheap scorer
@@ -775,6 +813,8 @@ object TextPack extends QueryPack {
     "q_chunk_windows" -> qChunkWindows,
     "q_source_cap"    -> qSourceCap,
     "q_source_filter" -> qSourceFilter,
+    "q_quality_cut"   -> qQualityCut,
+    "q_truncate"      -> qTruncate,
     "q_span_dedup"    -> qSpanDedup,
     "q_decontaminate" -> qDecontaminate,
     "q_mix_sample"    -> qMixSample,
@@ -961,6 +1001,22 @@ object TextPack extends QueryPack {
         |SELECT lang, shard, CAST((cum - toks) // 2048 AS BIGINT) AS batch, count(*) AS n_docs,
         | CAST(sum(toks) AS BIGINT) AS toks
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_quality_cut" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |          / len(string_split(text,' ')), 6) AS ttr FROM documents),
+        |r AS (SELECT lang, ttr,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS pr
+        |  FROM t)
+        |SELECT lang, count(*) AS n_kept, round(min(ttr), 6) AS min_ttr,
+        | round(avg(ttr), 6) AS avg_ttr
+        |FROM r WHERE pr >= 0.25 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_truncate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+        | CAST(least(len(w), 48) AS BIGINT) AS kept_toks,
+        | ('0x'||substr(md5(array_to_string(list_slice(w, 1, 48),' ')),1,15))::BIGINT AS h
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_source_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY

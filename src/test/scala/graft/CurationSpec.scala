@@ -183,6 +183,38 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("quality cut drops each language's bottom quartile by rank") {
+    val before = Tables.documents(spark, TestSpark.sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = TextPack.qQualityCut(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    after.foreach { case (lang, kept) =>
+      val n = before(lang)
+      // percent_rank >= 0.25 keeps exactly the ranks r (1-based) with
+      // (r-1)/(n-1) >= 0.25 — pure integer arithmetic, no FP boundary
+      val exact = (1L to n).count(r => (r - 1).toDouble / (n - 1) >= 0.25).toLong
+      assert(kept == exact, s"$lang: kept=$kept exact=$exact (n=$n)")
+    }
+  }
+
+  test("truncation caps tokens at 48 and hashes the truncated content") {
+    val rows = TextPack.qTruncate(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == math.min(r.getLong(1), 48L))
+    }
+    // witness one long doc: hash must equal the hash of its 48-token prefix
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val long = rows.find(_.getLong(1) > 48).get
+    val prefix = docs(long.getLong(0)).split(" ").take(48).mkString(" ")
+    val h = spark.sql(
+      s"SELECT conv(substring(md5('${prefix}'), 1, 15), 16, 10)").head().getString(0).toLong
+    assert(long.getLong(3) == h)
+  }
+
   test("successive halving returns a ranked final rung of survivors") {
     val rows = graft.queries.MlPack.qSuccessiveHalving(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
