@@ -254,7 +254,32 @@ object EventsPack extends QueryPack {
       .orderBy(col("cohort"), col("dd"))
   }
 
+  /** Rolling-window DISTINCT users — DAU and trailing-7-day WAU per
+    * day, plus the DAU/WAU stickiness ratio. The event log reduces to
+    * a distinct (day, user) relation first (per-user-day scale);
+    * the trailing window is a broadcast join against the tiny day
+    * grid — never a self-join of the log. At much larger user counts
+    * the same shape swaps exact distinct for mergeable HLL sketches
+    * per day, merged across the 7-day window (the `q_sketch_distinct`
+    * path). */
+  def qRollingActive(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = daily.select(col("day").as("d")).distinct()
+    val wau = daily.join(broadcast(days),
+        datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+    val dau = daily.groupBy(col("day").as("d"))
+      .agg(count(lit(1)).as("dau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 6).as("stickiness"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rolling_active" -> qRollingActive,
     "q_funnel"         -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_stratified_sample" -> qStratifiedSample,
@@ -274,6 +299,17 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_active" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |               FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM daily),
+        |wau AS (SELECT d, count(DISTINCT user_id) AS wau
+        |        FROM days JOIN daily ON datediff('day', daily.day, days.d)
+        |                                BETWEEN 0 AND 6
+        |        GROUP BY 1),
+        |dau AS (SELECT day AS d, count(*) AS dau FROM daily GROUP BY 1)
+        |SELECT d, dau, wau, round(dau * 1.0 / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (d) ORDER BY d""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type='signup' GROUP BY 1),

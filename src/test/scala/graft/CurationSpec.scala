@@ -215,6 +215,18 @@ class CurationSpec extends AnyFunSuite {
     assert(long.getLong(3) == h)
   }
 
+  test("rolling active users: WAU >= DAU and both bounded by user count") {
+    val totalUsers = Tables.events(spark, TestSpark.sf)
+      .select("user_id").distinct().count()
+    val rows = graft.queries.EventsPack.qRollingActive(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (dau, wau, stick) =>
+      assert(dau <= wau && wau <= totalUsers)
+      assert(stick > 0.0 && stick <= 1.0)
+    }
+  }
+
   test("successive halving returns a ranked final rung of survivors") {
     val rows = graft.queries.MlPack.qSuccessiveHalving(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
