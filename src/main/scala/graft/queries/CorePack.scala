@@ -419,8 +419,12 @@ object CorePack extends QueryPack {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // capacity from the ACTUAL key count (one cheap dim-side action):
+    // an undersized bloom saturates (FPP -> 1) and stops pruning at
+    // exactly the scales the pre-filter exists for
     val bf = graft.functions.BloomFunctions
-      .buildKeyFilter(urgent, "o_orderkey", expectedItems = 100000L)
+      .buildKeyFilter(urgent, "o_orderkey",
+        expectedItems = math.max(1L, urgent.count()))
     Tables.lineitem(s, d)
       .filter(graft.functions.BloomFunctions
         .might_contain(bf, xxhash64(col("l_orderkey"))))

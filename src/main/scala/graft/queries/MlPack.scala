@@ -187,8 +187,15 @@ object MlPack extends QueryPack {
         .groupBy(col("alpha"))
         .agg(sqrt(avg(pow(col("value")
           - (col("m") + col("alpha") * (col("gm") - col("m"))), 2))).as("rmse"))
-        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
-        .sortBy(t => (t._2, t._1))
+        .collect()
+        // a degenerate rung (train/test emptied by the fraction
+        // filter) yields null/NaN rmse rows in Spark and NO rows in
+        // the oracle's group-by — dropping them keeps the two engines
+        // aligned and the cut well-defined instead of NPEing
+        .flatMap(r =>
+          if (r.isNullAt(1) || r.getDouble(1).isNaN) None
+          else Some((r.getDouble(0), r.getDouble(1))))
+        .toSeq.sortBy(t => (t._2, t._1))
     }
     var configs: Seq[Double] = (0 until 8).map(i => (i + 0.5) / 8.0)
     var board: Seq[(Double, Double)] = Nil

@@ -29,8 +29,8 @@ class AceSpec extends AnyFunSuite {
     val n = 2000
     val xs = (0 until n).map(i => -1.0 + 2.0 * i / (n - 1))
     val df = xs.map(v => (v, v * v)).toDF("x", "y")
-    df.createOrReplaceTempView("ace_quad")
-    // same relational recursion, inline on the synthetic frame
+    // Pearson is blind to the symmetric dependence; 3 ACE iterations
+    // (the same count the relational query runs) are not
     val pear = df.agg(corr(col("x"), col("y"))).head().getDouble(0)
     val ace = graft.ml.MaxCorr.maxCorrelation(
       xs.toArray, xs.map(v => v * v).toArray, maxIter = 3, tol = 0.0)

@@ -210,8 +210,10 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val long = rows.find(_.getLong(1) > 48).get
     val prefix = docs(long.getLong(0)).split(" ").take(48).mkString(" ")
-    val h = spark.sql(
-      s"SELECT conv(substring(md5('${prefix}'), 1, 15), 16, 10)").head().getString(0).toLong
+    // same hash path as the query, no SQL-literal interpolation
+    val h = spark.range(1)
+      .select(graft.operators.TextOps.hash60(lit(prefix)).as("h"))
+      .head().getLong(0)
     assert(long.getLong(3) == h)
   }
 
