@@ -596,6 +596,51 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** CONTAINMENT detection — pairs where the smaller document's
+    * shingle set is FULLY contained in the larger's (quotes, subset
+    * pages, truncated mirrors): the near-dup subclass Jaccard
+    * under-scores when sizes differ (a 10-shingle doc inside a
+    * 1000-shingle doc has Jaccard 0.01 but containment 1.0). Same
+    * bucket-keyed candidate join as the Jaccard pipeline (pairs exist
+    * only via a shared shingle, never all-pairs); containment is the
+    * `c = min(na, nb)` filter on the same (a, b, c) relation. */
+  def qContainment(s: SparkSession, d: String): DataFrame = {
+    val dsh = shingleRelation(s, d)
+    val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val x = dsh.select(col("doc_id").as("a"), col("sh"))
+    val y = dsh.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    x.join(y, col("sh") === col("sh_b") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("a", "na"), "a").join(sizes.toDF("b", "nb"), "b")
+      .filter(col("c") === least(col("na"), col("nb")))
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        when(col("na") <= col("nb"), "a").otherwise("b").as("contained"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Per-language TOKEN-BUDGET sampling — keep each language's docs in
+    * deterministic hash order until a 2000-token budget is exhausted
+    * (the "sample N tokens per domain/language" step that sizes a
+    * training mix by tokens, not documents). One cumulative-sum window
+    * per language over the (coin, doc_id) order; the budget predicate
+    * is integer-exact in any engine. A doc straddling the boundary is
+    * kept iff its own tokens fit (cum <= budget). */
+  def qTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val coin = pmod(TextOps.hash60(
+      concat_ws("#", lit("tb"), col("doc_id"))), lit(1000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(coin, col("doc_id"))
+    docsSpread(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .filter(col("cum") <= 2000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).cast("long").as("toks_kept"),
+        max(col("cum")).as("budget_used"))
+      .orderBy(col("lang"))
+  }
+
   /** MinHash Jaccard ESTIMATION on the LSH candidate pairs: the
     * fraction of the 16 minhash components two docs share is an
     * unbiased estimate of their Jaccard similarity — the cheap scorer
@@ -815,6 +860,8 @@ object TextPack extends QueryPack {
     "q_source_filter" -> qSourceFilter,
     "q_quality_cut"   -> qQualityCut,
     "q_truncate"      -> qTruncate,
+    "q_containment"   -> qContainment,
+    "q_token_budget"  -> qTokenBudget,
     "q_span_dedup"    -> qSpanDedup,
     "q_decontaminate" -> qDecontaminate,
     "q_mix_sample"    -> qMixSample,
@@ -1001,6 +1048,32 @@ object TextPack extends QueryPack {
         |SELECT lang, shard, CAST((cum - toks) // 2048 AS BIGINT) AS batch, count(*) AS n_docs,
         | CAST(sum(toks) AS BIGINT) AS toks
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_containment" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT AS sh FROM tri),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2)
+        |SELECT a, b, sa.n AS na, sb.n AS nb,
+        |  CASE WHEN sa.n <= sb.n THEN 'a' ELSE 'b' END AS contained
+        |FROM common JOIN sizes sa ON a=sa.doc_id JOIN sizes sb ON b=sb.doc_id
+        |WHERE c = least(sa.n, sb.n) ORDER BY 1, 2""".stripMargin,
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS toks,
+        |    ('0x'||substr(md5('tb#'||doc_id),1,15))::BIGINT % 1000000 AS coin
+        |  FROM documents),
+        |c AS (SELECT lang, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY coin, doc_id) AS cum FROM t)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(toks) AS BIGINT) AS toks_kept,
+        | CAST(max(cum) AS BIGINT) AS budget_used
+        |FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_cut" ->
       """WITH t AS (SELECT doc_id, lang,
         |    round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)

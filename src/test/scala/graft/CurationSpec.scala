@@ -229,6 +229,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs really are shingle-subset pairs") {
+    val pairs = TextPack.qContainment(spark, TestSpark.sf).collect()
+    assert(pairs.nonEmpty)
+    // brute-force witness on the raw trigram sets
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet).toMap
+    pairs.foreach { r =>
+      val (a, b) = (docs(r.getLong(0)), docs(r.getLong(1)))
+      val smaller = if (a.size <= b.size) a else b
+      val larger = if (a.size <= b.size) b else a
+      assert(smaller.subsetOf(larger),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) is not a containment")
+    }
+  }
+
+  test("token budget never exceeds 2000 per language and is greedy-prefix") {
+    val rows = TextPack.qTokenBudget(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nKept, toksKept, used) =>
+      assert(used <= 2000L && toksKept == used && nKept > 0)
+    }
+  }
+
   test("successive halving returns a ranked final rung of survivors") {
     val rows = graft.queries.MlPack.qSuccessiveHalving(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
