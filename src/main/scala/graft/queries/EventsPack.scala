@@ -278,7 +278,94 @@ object EventsPack extends QueryPack {
       .orderBy(col("d"))
   }
 
+  /** SCD2 interval build — collapse each user's event stream into
+    * [valid_from, valid_to) intervals of constant event_type (the
+    * slowly-changing-dimension table a warehouse derives from a change
+    * log). Classic gaps-and-islands: change flag via lag, version =
+    * running sum of changes, interval close via lead. One window
+    * partition per user — per-user state is O(1) and parallelism is
+    * the user count at any log size. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byVer = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+    Tables.events(s, d)
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull ||
+          lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(byTs))
+      .groupBy(col("user_id"), col("ver"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+      .select(col("user_id"), col("ver"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("ver"))
+  }
+
+  /** MERGE-style upsert — apply a change-set to a base snapshot
+    * (MERGE INTO semantics composed from a full outer join: matched →
+    * update, unmatched-source → insert, unmatched-target → keep).
+    * Base = per-user value total of the first 20 days; delta = the
+    * rest. The join shuffles on the upsert key exactly once; both
+    * legs are pre-aggregated so the merge input is one row per key. */
+  def qUpsert(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), dayofmonth(col("ts")).as("day"), col("value"))
+    val base = ev.filter(col("day") <= 20).groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("base_total"))
+    val delta = ev.filter(col("day") > 20).groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("delta_total"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("base_total").isNotNull && col("delta_total").isNotNull, "update")
+          .when(col("base_total").isNull, "insert").otherwise("keep").as("action"),
+        round(coalesce(col("base_total"), lit(0.0)) +
+          coalesce(col("delta_total"), lit(0.0)), 2).as("merged_total"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-user anomaly flags — z-score of each event's value against
+    * the user's own mean/stddev (the monitoring primitive over a
+    * metric stream). Two window aggregates per user partition, then a
+    * per-user rollup of the |z| > 2 count; single-event users have an
+    * undefined z and report zero anomalies. */
+  def qZscoreEvents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Window.partitionBy(col("user_id"))
+    val z = (col("value") - avg(col("value")).over(u)) /
+      stddev_samp(col("value")).over(u)
+    Tables.events(s, d)
+      .withColumn("z", when(z.isNaN, lit(null)).otherwise(z))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("z")) > 2.0, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Recency-decayed engagement score — half-life-weighted value sum
+    * per user (weight halves every 7 days from the newest event in
+    * the log). The reference time is a one-row broadcast aggregate,
+    * so the scoring pass is scan-local: one scan, one groupBy on the
+    * user key at any scale. */
+  def qDecayScore(s: SparkSession, d: String): DataFrame = {
+    val ref = Tables.events(s, d).agg(max(col("ts").cast("long")).as("ref"))
+    val w = pow(lit(0.5), (col("ref") - col("ts").cast("long")) / lit(604800.0))
+    Tables.events(s, d)
+      .crossJoin(broadcast(ref))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * w), 4).as("decayed_score"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scd2"           -> qScd2,
+    "q_upsert"         -> qUpsert,
+    "q_zscore_events"  -> qZscoreEvents,
+    "q_decay_score"    -> qDecayScore,
     "q_rolling_active" -> qRollingActive,
     "q_funnel"         -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
@@ -299,6 +386,53 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, event_type, t,
+        |    CASE WHEN prev IS NULL OR prev != event_type THEN 1 ELSE 0 END AS chg
+        |  FROM o),
+        |v AS (SELECT user_id, event_type, t,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM c),
+        |g AS (SELECT user_id, ver, event_type,
+        |    CAST(min(t) AS BIGINT) AS valid_from,
+        |    count(*) AS n_events
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+        |  n_events
+        |FROM g ORDER BY user_id, ver""".stripMargin,
+    "q_upsert" ->
+      """WITH base AS (SELECT user_id, round(sum(value), 2) AS bt FROM events
+        |              WHERE day(ts) <= 20 GROUP BY 1),
+        |delta AS (SELECT user_id, round(sum(value), 2) AS dt FROM events
+        |          WHERE day(ts) > 20 GROUP BY 1)
+        |SELECT coalesce(base.user_id, delta.user_id) AS user_id,
+        |  CASE WHEN bt IS NOT NULL AND dt IS NOT NULL THEN 'update'
+        |       WHEN bt IS NULL THEN 'insert' ELSE 'keep' END AS action,
+        |  round(coalesce(bt, 0) + coalesce(dt, 0), 2) AS merged_total
+        |FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id
+        |ORDER BY 1""".stripMargin,
+    "q_zscore_events" ->
+      """WITH z AS (SELECT user_id,
+        |    (value - avg(value) OVER (PARTITION BY user_id)) /
+        |      stddev_samp(value) OVER (PARTITION BY user_id) AS z
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  round(max(abs(z)), 4) AS max_abs_z
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decay_score" ->
+      """WITH ref AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS r FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(sum(value * pow(0.5,
+        |    (r - CAST(floor(epoch(ts)) AS BIGINT)) / 604800.0)), 4)
+        |    AS decayed_score
+        |FROM events, ref GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_active" ->
       """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
         |               FROM events),

@@ -220,7 +220,51 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("label"), col("pred"))
   }
 
+  /** SemDeDup-style semantic dedup — cluster the embedding space
+    * (nearest-centroid assignment, the k-means stand-in), then drop
+    * any vector with a lower-id near-duplicate (cosine >= 0.35 on the
+    * rounded value) INSIDE its cluster. This is the published
+    * SemDeDup shape: k is chosen so clusters stay small, making the
+    * within-cluster pair scan Σ|c|² bounded — candidate pairs never
+    * cross clusters, and the pair join shuffles on the cluster key.
+    * Reports per-cluster totals / dropped / kept. */
+  def qSemdedup(s: SparkSession, d: String): DataFrame = {
+    val e = embSpread(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val comp = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+    val cents = comp
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("cl"),
+        transform(col("pc"), p => p.getField("c")).as("cent"))
+      .withColumn("cnorm", dot(col("cent"), col("cent")))
+    val asg = e.withColumn("vnorm", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (col("vnorm") - lit(2.0) * dot(col("v"), col("cent")) + col("cnorm")).as("dist"),
+        col("cl"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cl"))).as("m"))
+      .select(col("vec_id"), col("m.cl").as("cl"))
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val x = asg.select(col("cl"), col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val y = asg.select(col("cl"), col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = x.join(y, Seq("cl")).filter(col("a") < col("b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.35)
+      .select(col("cl"), col("b")).distinct()
+      .groupBy(col("cl")).agg(count(lit(1)).as("n_dropped"))
+    asg.groupBy(col("cl")).agg(count(lit(1)).as("n_total"))
+      .join(dropped, Seq("cl"), "left_outer")
+      .select(col("cl"), col("n_total"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_total") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cl"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_semdedup"         -> qSemdedup,
     "q_nearest_centroid" -> qNearestCentroid,
     "q_ann_cosine"      -> qAnnCosine,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
@@ -231,6 +275,28 @@ object SimilarityPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding,1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |comp AS (SELECT label AS cl, pos, avg(x) AS c FROM e GROUP BY 1, 2),
+        |dist AS (SELECT e.vec_id, comp.cl,
+        |         sum((e.x - comp.c) * (e.x - comp.c)) AS dist
+        |         FROM e JOIN comp ON e.pos = comp.pos GROUP BY 1, 2),
+        |pred AS (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |         FROM dist),
+        |asg AS (SELECT p.vec_id, p.cl, CAST(v.embedding AS DOUBLE[]) AS vv
+        |        FROM pred p JOIN embeddings v ON p.vec_id = v.vec_id
+        |        WHERE p.rk = 1),
+        |drp AS (SELECT DISTINCT a.cl, b.vec_id AS b
+        |        FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |        WHERE round(list_cosine_similarity(a.vv, b.vv), 6) >= 0.35),
+        |dc AS (SELECT cl, count(*) AS n_dropped FROM drp GROUP BY 1),
+        |tot AS (SELECT cl, count(*) AS n_total FROM asg GROUP BY 1)
+        |SELECT tot.cl, n_total, coalesce(n_dropped, 0) AS n_dropped,
+        |  n_total - coalesce(n_dropped, 0) AS n_kept
+        |FROM tot LEFT JOIN dc ON tot.cl = dc.cl ORDER BY 1""".stripMargin,
     "q_nearest_centroid" ->
       """WITH e AS (SELECT vec_id, label,
         |    CAST(generate_subscripts(embedding,1) AS BIGINT) AS pos,

@@ -844,7 +844,94 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram collocations by PMI — pointwise mutual information
+    * log(p(ab) / (p(a)·p(b))) over corpus bigrams with a count floor
+    * (the phrase-detection scan run before tokenizer training). The
+    * n-gram extraction is scan-local (the shingle lambda); the count
+    * relations are vocabulary-sized, so the scoring joins are
+    * broadcast joins against tiny aggregates at any corpus size. All
+    * ratio math in double to dodge BIGINT overflow at scale. */
+  def qBigramPmi(s: SparkSession, d: String): DataFrame = {
+    val docs = docsSpread(s, d)
+    val uni = docs.select(explode(TextOps.words(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val bi = docs.select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val nUni = uni.agg(sum(col("cnt")).cast("double").as("n_uni"))
+    val nBi = bi.agg(sum(col("c_ab")).cast("double").as("n_bi"))
+    bi.filter(col("c_ab") >= 30)
+      .withColumn("wa", split(col("bigram"), " ").getItem(0))
+      .withColumn("wb", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.toDF("wa", "c_a")), "wa")
+      .join(broadcast(uni.toDF("wb", "c_b")), "wb")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log(col("c_ab").cast("double") * col("n_uni") * col("n_uni") /
+          (col("n_bi") * col("c_a") * col("c_b"))), 5).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** BM25 retrieval scoring — Okapi BM25 (k1=1.2, b=0.75) of a fixed
+    * query term set against every document; top 20. The tf relation
+    * only carries (doc, query-term) hits, df and corpus stats are
+    * one-row/vocabulary-sized broadcast aggregates, and the per-doc
+    * length join shuffles on the uniform doc key — the classic
+    * scatter-gather ranking pass, fact scanned twice, never
+    * collected. */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = docsSpread(s, d)
+    val wlen = size(TextOps.words(col("text")))
+    val dl = docs.select(col("doc_id"), wlen.cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      avg(wlen).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("t"))
+      .filter(col("t").isin("spark", "join", "window"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfr = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfr), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("sc", col("idf") * col("tf") * 2.2 /
+        (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")), 5).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Corpus-audit length histogram — doc counts per (lang, 50-char
+    * bucket): the distribution scan run before choosing length
+    * filters. One scan-local bucket expression + one groupBy on a
+    * bounded key space. */
+  def qLengthHist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), expr("n_chars DIV 50").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("bucket"))
+
+  /** Duplication-rate audit per source — exact-duplicate share by
+    * domain (the per-domain quality signal that drives source
+    * blocklists). Distinct is counted on full text per source: one
+    * shuffle on the source key; at scale the same shape runs on the
+    * 60-bit content hash (`q_dedup_exact`'s key) to keep shuffle rows
+    * narrow. */
+  def qDupBySource(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_uniq"),
+        round(lit(1.0) - countDistinct(col("text")).cast("double") /
+          count(lit(1)), 6).as("dup_rate"))
+      .orderBy(col("source"))
+
   val queries: Map[String, Q] = Map(
+    "q_bigram_pmi"    -> qBigramPmi,
+    "q_bm25"          -> qBm25,
+    "q_length_hist"   -> qLengthHist,
+    "q_dup_by_source" -> qDupBySource,
     "q_token_count"   -> qTokenCount,
     "q_dedup_apply"   -> qDedupApply,
     "q_dedup_clusters" -> qDedupClusters,
@@ -877,6 +964,47 @@ object TextPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_pmi" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |uni AS (SELECT w AS t, count(*) AS cnt FROM w GROUP BY 1),
+        |bi AS (SELECT a.w || ' ' || b.w AS bigram, a.w AS wa, b.w AS wb,
+        |       count(*) AS c_ab
+        |       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       GROUP BY 1, 2, 3),
+        |nu AS (SELECT sum(cnt) * 1.0 AS n_uni FROM uni),
+        |nb AS (SELECT sum(c_ab) * 1.0 AS n_bi FROM bi)
+        |SELECT bigram, c_ab, ua.cnt AS c_a, ub.cnt AS c_b,
+        |  round(ln(c_ab * 1.0 * n_uni * n_uni / (n_bi * ua.cnt * ub.cnt)), 5)
+        |    AS pmi
+        |FROM bi JOIN uni ua ON bi.wa = ua.t JOIN uni ub ON bi.wb = ub.t, nu, nb
+        |WHERE c_ab >= 30
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+        |           FROM documents),
+        |dl AS (SELECT doc_id, len(string_split(text,' ')) * 1.0 AS dl
+        |       FROM documents),
+        |stats AS (SELECT count(*) * 1.0 AS n,
+        |          avg(len(string_split(text,' '))) AS avgdl FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) * 1.0 AS tf FROM w
+        |       WHERE t IN ('spark','join','window') GROUP BY 1, 2),
+        |dfs AS (SELECT t, count(*) * 1.0 AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 5) AS bm25,
+        |  count(*) AS n_terms
+        |FROM tf JOIN dfs USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats
+        |GROUP BY 1 ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin,
+    "q_length_hist" ->
+      """SELECT lang, n_chars // 50 AS bucket, count(*) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dup_by_source" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq,
+        | round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6) AS dup_rate
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS bpe_tokens,

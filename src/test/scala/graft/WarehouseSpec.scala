@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{EventsPack, SimilarityPack, TextPack}
+
+/** Round-6 additions: SCD2 interval build, MERGE-style upsert,
+  * per-user z-score anomalies, recency-decayed scoring, bigram PMI,
+  * BM25 ranking, SemDeDup cluster dedup, corpus-audit queries. */
+class WarehouseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("scd2 intervals partition each user's events and close correctly") {
+    val scd = EventsPack.qScd2(spark, TestSpark.sf).cache()
+    val ev = Tables.events(spark, TestSpark.sf)
+    // interval event counts sum back to the user's event total
+    val fromScd = scd.groupBy("user_id").agg(sum("n_events").as("n"))
+    val fromEv = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(fromScd.join(fromEv, Seq("user_id"))
+      .filter(fromScd("n") =!= fromEv("n")).count() == 0)
+    // exactly one open interval (valid_to null) per user — the current row
+    val open = scd.filter(col("valid_to").isNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(open.filter(col("n") =!= 1).count() == 0)
+    // no two adjacent intervals share an event_type (else not collapsed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ver"))
+    val adj = scd.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev") === col("event_type"))
+    assert(adj.count() == 0)
+    scd.unpersist()
+  }
+
+  test("upsert actions are consistent with the merged total") {
+    val up = EventsPack.qUpsert(spark, TestSpark.sf).cache()
+    // every user in the log appears exactly once in the merge output
+    val users = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id")).distinct().count()
+    assert(up.count() == users)
+    assert(up.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // merged totals equal the plain per-user sum (rounding-tolerant:
+    // the merge rounds each leg before adding)
+    val plain = Tables.events(spark, TestSpark.sf)
+      .groupBy("user_id").agg(sum("value").as("total"))
+    val drift = up.join(plain, "user_id")
+      .filter(abs(col("merged_total") - col("total")) > 0.02)
+    assert(drift.count() == 0)
+    up.unpersist()
+  }
+
+  test("zscore anomaly counts match a brute-force per-user pass") {
+    val got = EventsPack.qZscoreEvents(spark, TestSpark.sf)
+      .select("user_id", "n_anomalies").as[(Long, Long)].collect().toMap
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select("user_id", "value").as[(Long, Double)].collect()
+    val brute = rows.groupBy(_._1).map { case (u, vs) =>
+      val xs = vs.map(_._2)
+      val m = xs.sum / xs.length
+      val sd = if (xs.length < 2) 0.0
+        else math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      u -> (if (sd == 0.0) 0L
+        else xs.count(x => math.abs((x - m) / sd) > 2.0).toLong)
+    }
+    brute.foreach { case (u, n) => assert(got(u) == n, s"user $u") }
+  }
+
+  test("decay score matches a brute-force half-life computation") {
+    val got = EventsPack.qDecayScore(spark, TestSpark.sf)
+      .select("user_id", "decayed_score").as[(Long, Double)].collect().toMap
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("ts").cast("long"), col("value"))
+      .as[(Long, Long, Double)].collect()
+    val ref = rows.map(_._2).max
+    val brute = rows.groupBy(_._1).map { case (u, es) =>
+      u -> es.map { case (_, t, v) =>
+        v * math.pow(0.5, (ref - t) / 604800.0) }.sum
+    }
+    brute.foreach { case (u, s) =>
+      assert(math.abs(got(u) - s) < 1e-3, s"user $u: ${got(u)} vs $s") }
+  }
+
+  test("bigram PMI agrees with a brute-force count over the corpus") {
+    val top = TextPack.qBigramPmi(spark, TestSpark.sf)
+      .select("bigram", "c_ab", "c_a", "c_b", "pmi")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(top.nonEmpty)
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .select("text").as[String].collect()
+    val uni = texts.flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = texts.flatMap(t => t.split(" ").sliding(2).filter(_.length == 2)
+      .map(_.mkString(" ")).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nU = uni.values.sum.toDouble
+    val nB = bis.values.sum.toDouble
+    top.foreach { case (bg, cab, ca, cb, pmi) =>
+      assert(bis(bg) == cab, s"bigram count $bg")
+      val Array(a, b) = bg.split(" ")
+      assert(uni(a) == ca && uni(b) == cb, s"unigram counts $bg")
+      val want = math.log(cab * nU * nU / (nB * ca * cb))
+      assert(math.abs(pmi - want) < 1e-4, s"pmi $bg: $pmi vs $want")
+    }
+    // ordering: descending pmi
+    assert(top.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("bm25 top docs match a brute-force scorer") {
+    val got = TextPack.qBm25(spark, TestSpark.sf)
+      .select("doc_id", "bm25").as[(Long, Double)].collect()
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val terms = Set("spark", "join", "window")
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.split(" ").length).sum / n
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(terms).groupBy(identity).view.mapValues(_.length.toDouble).toMap }
+    val df = terms.map(t => t -> tf.count(_._2.contains(t)).toDouble).toMap
+    val scores = tf.collect { case (id, m) if m.nonEmpty =>
+      val dl = docs.find(_._1 == id).get._2.split(" ").length.toDouble
+      id -> m.map { case (t, f) =>
+        math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * f * 2.2 /
+          (f + 1.2 * (0.25 + 0.75 * dl / avgdl)) }.sum
+    }.toMap
+    got.foreach { case (id, s) =>
+      assert(math.abs(scores(id) - s) < 1e-4, s"doc $id: $s vs ${scores(id)}") }
+    // the returned set is the true top-|got| by (score desc, id)
+    val wantTop = scores.toSeq
+      .sortBy { case (id, s) =>
+        (-BigDecimal(s).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble, id) }
+      .take(got.length).map(_._1).toSet
+    assert(got.map(_._1).toSet == wantTop)
+  }
+
+  test("semdedup accounting: kept + dropped = total, and drops exist") {
+    val sd = SimilarityPack.qSemdedup(spark, TestSpark.sf).cache()
+    assert(sd.filter(col("n_kept") + col("n_dropped") =!= col("n_total")).count() == 0)
+    val total = sd.agg(sum("n_total")).as[Long].head()
+    assert(total == Tables.embeddings(spark, TestSpark.sf).count())
+    sd.unpersist()
+  }
+
+  test("dup-rate audit: rate is zero iff all texts in a source are distinct") {
+    val dr = TextPack.qDupBySource(spark, TestSpark.sf)
+      .select("source", "n_docs", "n_uniq", "dup_rate")
+      .as[(String, Long, Long, Double)].collect()
+    dr.foreach { case (src, nd, nu, rate) =>
+      assert(nu <= nd, src)
+      assert((rate == 0.0) == (nd == nu), src)
+    }
+  }
+
+  test("length histogram buckets cover every doc exactly once") {
+    val h = TextPack.qLengthHist(spark, TestSpark.sf)
+    val n = h.agg(sum("n_docs")).as[Long].head()
+    assert(n == Tables.documents(spark, TestSpark.sf).count())
+    // bucket bounds consistent with the 50-char width
+    val bad = h.filter(col("min_chars") < col("bucket") * 50 ||
+      col("max_chars") >= (col("bucket") + 1) * 50)
+    assert(bad.count() == 0)
+  }
+}
