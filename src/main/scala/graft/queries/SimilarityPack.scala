@@ -239,15 +239,18 @@ object SimilarityPack extends QueryPack {
       .select(col("label").as("cl"),
         transform(col("pc"), p => p.getField("c")).as("cent"))
       .withColumn("cnorm", dot(col("cent"), col("cent")))
+    // the vector rides inside the argmin struct: (dist, cl) is unique
+    // per candidate row, so v never participates in the comparison,
+    // and the partial min collapses the 10-centroid fan-out map-side —
+    // one narrow shuffle, no join back to the embedding scan
     val asg = e.withColumn("vnorm", dot(col("v"), col("v")))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"),
         (col("vnorm") - lit(2.0) * dot(col("v"), col("cent")) + col("cnorm")).as("dist"),
-        col("cl"))
+        col("cl"), col("v"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cl"))).as("m"))
-      .select(col("vec_id"), col("m.cl").as("cl"))
-      .join(e.select(col("vec_id"), col("v")), "vec_id")
+      .agg(min(struct(col("dist"), col("cl"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.cl").as("cl"), col("m.v").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val x = asg.select(col("cl"), col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val y = asg.select(col("cl"), col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))

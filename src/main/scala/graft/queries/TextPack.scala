@@ -882,15 +882,17 @@ object TextPack extends QueryPack {
   def qBm25(s: SparkSession, d: String): DataFrame = {
     val docs = docsSpread(s, d)
     val wlen = size(TextOps.words(col("text")))
-    val dl = docs.select(col("doc_id"), wlen.cast("double").as("dl"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n"),
       avg(wlen).as("avgdl"))
-    val tf = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("t"))
-      .filter(col("t").isin("spark", "join", "window"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).cast("double").as("tf"))
+    // doc length rides along with the term hits — one scan, no
+    // doc-key join back (dl is functionally dependent on doc_id)
+    val tf = docs.select(col("doc_id"), wlen.cast("double").as("dl"),
+        explode(filter(TextOps.words(col("text")),
+          t => t.isin("spark", "join", "window"))).as("t"))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
     val dfr = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfr), "t")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("sc", col("idf") * col("tf") * 2.2 /
