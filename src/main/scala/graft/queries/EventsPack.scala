@@ -361,7 +361,50 @@ object EventsPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Markov transition counts — (previous event_type → event_type)
+    * frequencies per user stream, with the conditional probability per
+    * source state (the next-event model product analytics fits). One
+    * lag window over the user key, one bounded groupBy (|types|²
+    * keys), one tiny window for the row-conditional normalization. */
+  def qTransitionCounts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byPrev = Window.partitionBy(col("prev"))
+    Tables.events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(byTs))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(byPrev), 6))
+      .orderBy(col("prev"), col("event_type"))
+  }
+
+  /** Time-to-conversion — latency from each user's first signup to
+    * their first subsequent purchase, with exact p50/p90 over the
+    * converter population. The signup relation is per-user (tiny
+    * next to the log); the purchase probe joins on the user key. At
+    * extreme scale the exact percentile swaps for the mergeable
+    * quantile sketch (`q_sketch_quantile` path). */
+  def qConversionLag(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t0"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+    su.join(pu, Seq("user_id"))
+      .filter(col("tp") >= col("t0"))
+      .groupBy(col("user_id"), col("t0"))
+      .agg(min(col("tp")).as("tp1"))
+      .select(((col("tp1") - col("t0")) / 1e6).as("lag_sec"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lag_sec, 0.5)"), 2).as("p50_sec"),
+        round(expr("percentile(lag_sec, 0.9)"), 2).as("p90_sec"),
+        round(avg(col("lag_sec")), 2).as("avg_sec"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_transition_counts" -> qTransitionCounts,
+    "q_conversion_lag" -> qConversionLag,
     "q_scd2"           -> qScd2,
     "q_upsert"         -> qUpsert,
     "q_zscore_events"  -> qZscoreEvents,
@@ -386,6 +429,29 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_transition_counts" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type, count(*) AS n FROM o
+        |      WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, event_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY prev), 6) AS p
+        |FROM c ORDER BY prev, event_type""".stripMargin,
+    "q_conversion_lag" ->
+      """WITH su AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, epoch_us(ts) AS tp FROM events
+        |       WHERE event_type = 'purchase'),
+        |conv AS (SELECT su.user_id, (min(tp) - t0) / 1e6 AS lag_sec
+        |         FROM su JOIN pu ON su.user_id = pu.user_id AND tp >= t0
+        |         GROUP BY su.user_id, t0)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(lag_sec, 0.5), 2) AS p50_sec,
+        |  round(quantile_cont(lag_sec, 0.9), 2) AS p90_sec,
+        |  round(avg(lag_sec), 2) AS avg_sec
+        |FROM conv""".stripMargin,
     "q_scd2" ->
       """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

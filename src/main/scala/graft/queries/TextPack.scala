@@ -929,7 +929,40 @@ object TextPack extends QueryPack {
           count(lit(1)), 6).as("dup_rate"))
       .orderBy(col("source"))
 
+  /** Grouped linear regression — per-language slope/intercept/R² of
+    * char count on token count (the native `regr_*` aggregate family,
+    * Spark and ANSI SQL alike). One partial+final hash agg: the
+    * sufficient statistics (Σx, Σy, Σxy, Σx², n) merge associatively,
+    * so the shape is a single scan at any corpus size. */
+  def qRegrSlope(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars").cast("double").as("y"),
+        size(TextOps.words(col("text"))).cast("double").as("x"))
+      .groupBy(col("lang"))
+      .agg(round(expr("regr_slope(y, x)"), 5).as("slope"),
+        round(expr("regr_intercept(y, x)"), 5).as("intercept"),
+        round(expr("regr_r2(y, x)"), 5).as("r2"),
+        count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+
+  /** Per-language unigram entropy — H = ln N − Σ c·ln c / N over the
+    * language's word-frequency distribution (the corpus-diversity
+    * audit; a collapsed/templated slice shows low H). Two hash aggs
+    * on (lang, word) then lang — count keys are vocabulary-scale. */
+  def qUnigramEntropy(s: SparkSession, d: String): DataFrame =
+    docsSpread(s, d)
+      .select(col("lang"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        round(log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c")), 5).as("entropy"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, Q] = Map(
+    "q_regr_slope"    -> qRegrSlope,
+    "q_unigram_entropy" -> qUnigramEntropy,
     "q_bigram_pmi"    -> qBigramPmi,
     "q_bm25"          -> qBm25,
     "q_length_hist"   -> qLengthHist,
@@ -966,6 +999,20 @@ object TextPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_regr_slope" ->
+      """WITH t AS (SELECT lang, n_chars * 1.0 AS y,
+        |    len(string_split(text,' ')) * 1.0 AS x FROM documents)
+        |SELECT lang, round(regr_slope(y, x), 5) AS slope,
+        | round(regr_intercept(y, x), 5) AS intercept,
+        | round(regr_r2(y, x), 5) AS r2, count(*) AS n
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unigram_entropy" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text,' ')) AS w
+        |           FROM documents),
+        |c AS (SELECT lang, w, count(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 5) AS entropy
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bigram_pmi" ->
       """WITH w AS (SELECT doc_id,
         |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,

@@ -150,6 +150,73 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("transition probabilities sum to 1 per source state") {
+    val t = EventsPack.qTransitionCounts(spark, TestSpark.sf)
+    val sums = t.groupBy("prev").agg(sum("p").as("sp"), sum("n").as("n"))
+    assert(sums.filter(abs(col("sp") - 1.0) > 1e-4).count() == 0)
+    // total transitions = total events minus one per user
+    val nTrans = t.agg(sum("n")).as[Long].head()
+    val ev = Tables.events(spark, TestSpark.sf)
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(nTrans == want)
+  }
+
+  test("conversion lag matches a brute-force first-signup/first-purchase pass") {
+    val got = EventsPack.qConversionLag(spark, TestSpark.sf)
+      .select("n_converted", "avg_sec").as[(Long, Double)].head()
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect()
+    val lags = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val signups = es.filter(_._2 == "signup").map(_._3)
+      if (signups.isEmpty) None
+      else {
+        val t0 = signups.min
+        val ps = es.filter(e => e._2 == "purchase" && e._3 >= t0).map(_._3)
+        if (ps.isEmpty) None else Some((ps.min - t0) / 1e6)
+      }
+    }
+    assert(got._1 == lags.length)
+    assert(math.abs(got._2 - lags.sum / lags.length) < 0.02)
+  }
+
+  test("unigram entropy is bounded by ln(n_types) and matches brute force") {
+    val e = TextPack.qUnigramEntropy(spark, TestSpark.sf)
+      .select("lang", "n_types", "entropy").as[(String, Long, Double)].collect()
+    e.foreach { case (lang, types, h) =>
+      assert(h >= 0 && h <= math.log(types.toDouble) + 1e-9, lang) }
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("lang", "text").as[(String, String)].collect()
+    val brute = docs.groupBy(_._1).map { case (lang, ds) =>
+      val cs = ds.flatMap(_._2.split(" ")).groupBy(identity).values.map(_.size.toDouble)
+      val n = cs.sum
+      lang -> (math.log(n) - cs.map(c => c * math.log(c)).sum / n)
+    }
+    e.foreach { case (lang, _, h) =>
+      assert(math.abs(h - brute(lang)) < 1e-4, lang) }
+  }
+
+  test("grouped regression matches closed-form least squares") {
+    val got = TextPack.qRegrSlope(spark, TestSpark.sf)
+      .select("lang", "slope", "intercept").as[(String, Double, Double)].collect()
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("lang"), col("n_chars").cast("double"),
+        size(split(col("text"), " ")).cast("double"))
+      .as[(String, Double, Double)].collect()
+    val brute = docs.groupBy(_._1).map { case (lang, ds) =>
+      val xs = ds.map(_._3); val ys = ds.map(_._2)
+      val n = ds.length
+      val mx = xs.sum / n; val my = ys.sum / n
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      lang -> (sxy / sxx, my - sxy / sxx * mx)
+    }
+    got.foreach { case (lang, sl, ic) =>
+      assert(math.abs(sl - brute(lang)._1) < 1e-3, s"$lang slope")
+      assert(math.abs(ic - brute(lang)._2) < 1e-2, s"$lang intercept")
+    }
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
