@@ -26,6 +26,20 @@ object SimilarityPack extends QueryPack {
 
   private def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
+  /** Scan-local 8-bit sign-LSH bucket of a double-array column — bit
+    * j is the sign of <v, w_j> for the deterministic integer
+    * hyperplane w_j(pos) = ((pos*31 + j*17) mod 7) - 3 (the same
+    * planes as `qEmbedNeardup` / `qAnnLshBuckets`, computed without
+    * the posexplode fan-out). */
+  private def signBucket(v: Column): Column =
+    (0 until 8).map { j =>
+      val dj = aggregate(
+        zip_with(v, sequence(lit(1L), size(v).cast("long")),
+          (x, p) => x * (pmod(p * 31 + lit(j * 17), lit(7)) - lit(3)).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(dj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Embeddings re-spread before the posexplode kernels (64x row
     * explosion + per-component arithmetic) — see
     * [[graft.Tables.spread]] for the rationale and safety rules. */
@@ -221,13 +235,16 @@ object SimilarityPack extends QueryPack {
   }
 
   /** SemDeDup-style semantic dedup — cluster the embedding space
-    * (nearest-centroid assignment, the k-means stand-in), then drop
-    * any vector with a lower-id near-duplicate (cosine >= 0.35 on the
-    * rounded value) INSIDE its cluster. This is the published
-    * SemDeDup shape: k is chosen so clusters stay small, making the
-    * within-cluster pair scan Σ|c|² bounded — candidate pairs never
-    * cross clusters, and the pair join shuffles on the cluster key.
-    * Reports per-cluster totals / dropped / kept. */
+    * (nearest-centroid assignment, the k-means stand-in), refine each
+    * cluster with the 8-bit sign-LSH bucket (`q_embed_neardup`'s
+    * hyperplanes), then drop any vector with a lower-id near-duplicate
+    * (rounded cosine >= 0.25) inside its (cluster, bucket) cell. The
+    * published SemDeDup contract is that k grows with the corpus so
+    * cells stay small and the pair scan is Σ|cell|² bounded; the LSH
+    * refinement IS that choice expressed deterministically — cell
+    * count scales multiplicatively (k × 2^bits) without re-fitting
+    * k-means. Pairs never cross cells; the pair join shuffles on the
+    * cell key. Reports per-cluster totals / dropped / kept. */
   def qSemdedup(s: SparkSession, d: String): DataFrame = {
     val e = embSpread(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
@@ -251,11 +268,14 @@ object SimilarityPack extends QueryPack {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cl"), col("v"))).as("m"))
       .select(col("vec_id"), col("m.cl").as("cl"), col("m.v").as("v"))
+      .withColumn("bkt", signBucket(col("v")))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val x = asg.select(col("cl"), col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
-    val y = asg.select(col("cl"), col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    val dropped = x.join(y, Seq("cl")).filter(col("a") < col("b"))
-      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.35)
+    val x = asg.select(col("cl"), col("bkt"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val y = asg.select(col("cl"), col("bkt"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = x.join(y, Seq("cl", "bkt")).filter(col("a") < col("b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.25)
       .select(col("cl"), col("b")).distinct()
       .groupBy(col("cl")).agg(count(lit(1)).as("n_dropped"))
     asg.groupBy(col("cl")).agg(count(lit(1)).as("n_total"))
@@ -289,12 +309,22 @@ object SimilarityPack extends QueryPack {
         |pred AS (SELECT vec_id, cl,
         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
         |         FROM dist),
-        |asg AS (SELECT p.vec_id, p.cl, CAST(v.embedding AS DOUBLE[]) AS vv
+        |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dots AS (SELECT vec_id, j,
+        |         sum(x * (((pos*31 + j*17) % 7) - 3)) AS dj
+        |         FROM e, js GROUP BY 1, 2),
+        |bks AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+        |      AS bkt FROM dots GROUP BY 1),
+        |asg AS (SELECT p.vec_id, p.cl, bks.bkt,
+        |        CAST(v.embedding AS DOUBLE[]) AS vv
         |        FROM pred p JOIN embeddings v ON p.vec_id = v.vec_id
+        |        JOIN bks ON p.vec_id = bks.vec_id
         |        WHERE p.rk = 1),
         |drp AS (SELECT DISTINCT a.cl, b.vec_id AS b
-        |        FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
-        |        WHERE round(list_cosine_similarity(a.vv, b.vv), 6) >= 0.35),
+        |        FROM asg a JOIN asg b
+        |        ON a.cl = b.cl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+        |        WHERE round(list_cosine_similarity(a.vv, b.vv), 6) >= 0.25),
         |dc AS (SELECT cl, count(*) AS n_dropped FROM drp GROUP BY 1),
         |tot AS (SELECT cl, count(*) AS n_total FROM asg GROUP BY 1)
         |SELECT tot.cl, n_total, coalesce(n_dropped, 0) AS n_dropped,
