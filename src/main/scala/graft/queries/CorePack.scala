@@ -436,7 +436,51 @@ object CorePack extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
+  /** TPC-H Q5 shape — local-supplier volume: 6-table join where the
+    * customer and supplier nation must match, rolled up per nation.
+    * Dims (nation, region, supplier, customer) broadcast; the only
+    * fact-fact join is orders⋈lineitem on the order key. The
+    * same-nation predicate rides the supplier join, so no post-join
+    * filter blows up the intermediate. */
+  def q5LocalVolume(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: lineitems under
+    * 20% of their part's average quantity, for one brand. The per-part
+    * average is a pre-aggregated relation joined back on the part key
+    * (the decorrelated form of Q17's correlated scalar subquery);
+    * the brand filter prunes the part side before both joins. */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val lim = li.groupBy(col("l_partkey").as("pk"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qlim"))
+    li.join(broadcast(lim),
+        col("l_partkey") === col("pk") && col("l_quantity") < col("qlim"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q5_local_volume"      -> q5LocalVolume,
+    "q17_small_qty"        -> q17SmallQty,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q_bloom_prefilter"  -> qBloomPrefilter,
     "q_exists_correlated"  -> qExistsCorrelated,
@@ -491,6 +535,27 @@ object CorePack extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+        | count(*) AS n_items
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q17_small_qty" ->
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |       JOIN pk ON l_partkey = p_partkey),
+        |lim AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qlim
+        |        FROM li GROUP BY 1)
+        |SELECT count(*) AS n_items,
+        | round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM li JOIN lim ON l_partkey = pk AND l_quantity < qlim""".stripMargin,
     "q_exists_correlated" ->
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders

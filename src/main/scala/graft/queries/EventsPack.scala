@@ -402,7 +402,47 @@ object EventsPack extends QueryPack {
         round(avg(col("lag_sec")), 2).as("avg_sec"))
   }
 
+  /** Time-series GAP-FILL — resample each user's value stream to an
+    * hourly grid and linearly interpolate missing hours (boundary gaps
+    * carry the nearest observation). The grid is generated scan-local
+    * from a per-user min/max aggregate (tiny relation, exploded
+    * sequence); fill = two ignore-nulls struct windows (last obs
+    * before, first obs after) over one user-key shuffle. Per-series
+    * state is the grid length, parallelism is the series count —
+    * the standard resample shape at any scale. */
+  def qGapfill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("t"),
+        col("value"))
+      .groupBy(col("user_id"), col("t")).agg(avg(col("value")).as("v"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .select(col("user_id"), explode(sequence(col("t0"), col("t1"))).as("t"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    val wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = grid.join(obs, Seq("user_id", "t"), "left_outer")
+      .withColumn("p", last(when(col("v").isNotNull,
+        struct(col("t").as("pt"), col("v").as("pv"))), ignoreNulls = true).over(wb))
+      .withColumn("nx", first(when(col("v").isNotNull,
+        struct(col("t").as("nt"), col("v").as("nv"))), ignoreNulls = true).over(wf))
+      .withColumn("filled",
+        when(col("v").isNotNull, col("v"))
+          .when(col("p").isNotNull && col("nx").isNotNull,
+            col("p.pv") + (col("nx.nv") - col("p.pv")) *
+              (col("t") - col("p.pt")) / (col("nx.nt") - col("p.pt")))
+          .otherwise(coalesce(col("p.pv"), col("nx.nv"))))
+    filled.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_filled"),
+        round(avg(col("filled")), 4).as("avg_filled"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_gapfill"        -> qGapfill,
     "q_transition_counts" -> qTransitionCounts,
     "q_conversion_lag" -> qConversionLag,
     "q_scd2"           -> qScd2,
@@ -429,6 +469,39 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gapfill" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS t, value
+        |            FROM events),
+        |obs AS (SELECT user_id, t, avg(value) AS v FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM obs
+        |         GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(t0, t1)) AS t
+        |         FROM span),
+        |g AS (SELECT grid.user_id, grid.t, obs.v FROM grid
+        |      LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.t = obs.t),
+        |f AS (SELECT user_id, t, v,
+        |  last_value(CASE WHEN v IS NOT NULL
+        |      THEN struct_pack(pt := t, pv := v) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |  first_value(CASE WHEN v IS NOT NULL
+        |      THEN struct_pack(nt := t, nv := v) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM g),
+        |fl AS (SELECT user_id, v,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN p IS NOT NULL AND nx IS NOT NULL
+        |       THEN p.pv + (nx.nv - p.pv) * (t - p.pt) / (nx.nt - p.pt)
+        |       ELSE coalesce(p.pv, nx.nv) END AS filled
+        |  FROM f)
+        |SELECT user_id, count(*) AS n_points,
+        |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_observed,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_filled,
+        |  round(avg(filled), 4) AS avg_filled
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_transition_counts" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

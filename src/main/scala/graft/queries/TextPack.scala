@@ -855,7 +855,8 @@ object TextPack extends QueryPack {
     val docs = docsSpread(s, d)
     val uni = docs.select(explode(TextOps.words(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    val bi = docs.select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+    val bi = docs.select(explode(
+        graft.functions.ShingleStrings.shingle_strings(col("text"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
     val nUni = uni.agg(sum(col("cnt")).cast("double").as("n_uni"))
     val nBi = bi.agg(sum(col("c_ab")).cast("double").as("n_bi"))

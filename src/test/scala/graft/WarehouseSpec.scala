@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{EventsPack, SimilarityPack, TextPack}
+import graft.queries.{CorePack, EventsPack, SimilarityPack, TextPack}
 
 /** Round-6 additions: SCD2 interval build, MERGE-style upsert,
   * per-user z-score anomalies, recency-decayed scoring, bigram PMI,
@@ -215,6 +215,66 @@ class WarehouseSpec extends AnyFunSuite {
       assert(math.abs(sl - brute(lang)._1) < 1e-3, s"$lang slope")
       assert(math.abs(ic - brute(lang)._2) < 1e-2, s"$lang intercept")
     }
+  }
+
+  test("gapfill: grid covers [min,max] per user, observed+filled=points, interpolation bounded") {
+    val g = EventsPack.qGapfill(spark, TestSpark.sf).cache()
+    assert(g.filter(col("n_observed") + col("n_filled") =!= col("n_points")).count() == 0)
+    // grid length = span hours + 1
+    val span = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("t"))
+      .groupBy("user_id").agg((max("t") - min("t") + 1).as("expect"))
+    assert(g.join(span, "user_id")
+      .filter(col("n_points") =!= col("expect")).count() == 0)
+    // every hour with an event is observed, so n_observed = distinct hours
+    val hours = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("t"))
+      .distinct().groupBy("user_id").agg(count(lit(1)).as("nh"))
+    assert(g.join(hours, "user_id")
+      .filter(col("n_observed") =!= col("nh")).count() == 0)
+    g.unpersist()
+  }
+
+  test("linear interpolation is exact on a constructed gap") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 10.0), (1L, 4L, 30.0)).toDF("user_id", "t", "v")
+    // reuse the same fill shape on a hand-made series: gap hours 1..3
+    // must land on the 10→30 line (15, 20, 25)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"))
+    val grid = df.groupBy(col("user_id"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .select(col("user_id"), explode(sequence(col("t0"), col("t1"))).as("t"))
+    val filled = grid.join(df, Seq("user_id", "t"), "left_outer")
+      .withColumn("p", last(when(col("v").isNotNull,
+        struct(col("t").as("pt"), col("v").as("pv"))), ignoreNulls = true)
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("nx", first(when(col("v").isNotNull,
+        struct(col("t").as("nt"), col("v").as("nv"))), ignoreNulls = true)
+        .over(w.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("filled",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("p.pv") + (col("nx.nv") - col("p.pv")) *
+            (col("t") - col("p.pt")) / (col("nx.nt") - col("p.pt"))))
+      .select("t", "filled").as[(Long, Double)].collect().toMap
+    assert(filled(1L) == 15.0 && filled(2L) == 20.0 && filled(3L) == 25.0)
+  }
+
+  test("q5 local volume only counts same-nation customer/supplier pairs") {
+    val got = CorePack.q5LocalVolume(spark, TestSpark.sf)
+    // recompute with the predicate applied as a post-join filter
+    val want = Tables.customer(spark, TestSpark.sf)
+      .join(Tables.nation(spark, TestSpark.sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, TestSpark.sf), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(Tables.orders(spark, TestSpark.sf), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, TestSpark.sf), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, TestSpark.sf), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+        .as("revenue"), count(lit(1)).as("n_items"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
   test("length histogram buckets cover every doc exactly once") {
