@@ -1,4 +1,5 @@
 package graft.queries
+// (round-6 additions at the bottom: winsorize, chi-square)
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -215,7 +216,54 @@ object StatsPack extends QueryPack {
           <= greatest(abs(col("exact_med")), lit(1.0)) * 0.05).as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** Winsorization — clip a measure at its group's [p05, p95] (the
+    * outlier-robust preprocessing step, P8 generalized to data-driven
+    * bounds). Exact percentiles per group are a tiny aggregate joined
+    * back broadcast; the clip itself is scan-local. At extreme group
+    * cardinality the exact percentile swaps for the mergeable sketch
+    * (`q_sketch_quantile` path). */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bounds = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    li.join(broadcast(bounds), col("l_returnflag") === col("rf"))
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("w"),
+        col("lo"), col("hi"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        round(sum(col("w")), 0).as("sum_winsorized"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Chi-square independence test — lang × source contingency over
+    * documents, via the identity chi2 = N·Σ o²/(rt·ct) − N (only
+    * OBSERVED cells enter, so empty cells need no generation). The
+    * contingency table and its margins are tiny aggregates; the only
+    * corpus-scale pass is the first groupBy. */
+  def qChi2(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).cast("double").as("n"))
+    cells.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+      .crossJoin(broadcast(n))
+      .agg(
+        round(max(col("n")) *
+          sum(col("o") * col("o") / (col("rt") * col("ct"))) - max(col("n")), 4)
+          .as("chi2"),
+        ((countDistinct(col("lang")) - 1) *
+          (countDistinct(col("source")) - 1)).as("dof"),
+        max(col("n")).cast("long").as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_winsorize"    -> qWinsorize,
+    "q_chi2"         -> qChi2,
     "q_sketch_distinct" -> qSketchDistinct,
     "q_sketch_quantile" -> qSketchQuantile,
     "q_count_distinct" -> qCountDistinct,
@@ -228,6 +276,32 @@ object StatsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  round(sum(least(greatest(l_extendedprice, lo), hi)), 0)
+        |    AS sum_winsorized
+        |FROM lineitem JOIN b ON l_returnflag = rf
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_chi2" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents
+        |               GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) * 1.0 AS n FROM cells)
+        |SELECT round(max(n.n) * sum(o * o * 1.0 / (rt.rt * ct.ct)) - max(n.n), 4)
+        |    AS chi2,
+        |  CAST((count(DISTINCT cells.lang) - 1) *
+        |       (count(DISTINCT cells.source) - 1) AS BIGINT) AS dof,
+        |  CAST(max(n.n) AS BIGINT) AS n
+        |FROM cells JOIN rt USING (lang) JOIN ct USING (source), n""".stripMargin,
     // fixed-3-iteration ACE unrolled: theta0 = y, phi_k = E[theta_{k-1} | bin(x)],
     // theta_k = E[phi_k | bin(y)]; standardization is affine and drops out of corr
     "q_ace_corr" ->

@@ -277,6 +277,37 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("winsorize: clip counts stay within the 5% tails and sum shrinks") {
+    val w = graft.queries.StatsPack.qWinsorize(spark, TestSpark.sf)
+      .select("l_returnflag", "n", "n_lo", "n_hi")
+      .as[(String, Long, Long, Long)].collect()
+    w.foreach { case (rf, n, lo, hi) =>
+      // exact percentile guarantees at most ~5% strictly outside each bound
+      assert(lo <= n * 0.05 + 1, s"$rf lo")
+      assert(hi <= n * 0.05 + 1, s"$rf hi")
+    }
+  }
+
+  test("chi2 matches a brute-force contingency computation") {
+    val got = graft.queries.StatsPack.qChi2(spark, TestSpark.sf)
+      .select("chi2", "dof", "n").as[(Double, Long, Long)].head()
+    val rows = Tables.documents(spark, TestSpark.sf)
+      .select("lang", "source").as[(String, String)].collect()
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val n = rows.length.toDouble
+    // full lattice including empty cells (o = 0 still contributes e)
+    val chi2 = (for (l <- rt.keys.toSeq; s <- ct.keys.toSeq) yield {
+      val o = cells.getOrElse((l, s), 0.0)
+      val e = rt(l) * ct(s) / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(got._1 - chi2) < 1e-3, s"${got._1} vs $chi2")
+    assert(got._2 == (rt.size - 1).toLong * (ct.size - 1))
+    assert(got._3 == rows.length)
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
