@@ -45,6 +45,29 @@ object StreamPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Stateful running moments (Welford/Chan in GroupState) drained to
+    * final state: per-user count/mean/sample-std must equal the batch
+    * avg/stddev_samp aggregate — the oracle is plain SQL over the
+    * same events. */
+  def qStreamStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val updates = EventStream.runUserStatsOnce(
+      s, d, s"graft_stream_w${runSeq.incrementAndGet()}")
+    updates
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      // emit the SUM, not the mean: 2-decimal inputs keep their sum on
+      // the decimal grid (round 2 is exact), while a mean emission sits
+      // on a .005 half boundary for ~1% of keys and flips per engine;
+      // std is irrational for generic inputs, so round 4 is safe
+      .select(col("user_id"), col("n_events"),
+        round(col("total"), 2).as("total"),
+        round(when(col("n_events") > 1,
+          sqrt(col("m2") / (col("n_events") - 1))), 4).as("std_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Streaming session windows reduced to the batch summary: the
     * complete-mode drain leaves the final per-user session set in the
     * sink; summarizing it must reproduce the batch gaps-and-islands
@@ -71,11 +94,17 @@ object StreamPack extends QueryPack {
     "q_stream_tumbling"    -> qStreamTumbling,
     "q_stream_dedup"       -> qStreamDedup,
     "q_stream_user_totals" -> qStreamUserTotals,
+    "q_stream_stats"       -> qStreamStats,
     "q_stream_session"     -> qStreamSession,
     "q_stream_join"        -> qStreamJoin,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_stats" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
+        | round(sum(value), 2) AS total,
+        | round(stddev_samp(value), 4) AS std_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical windows to q_tumbling_window's oracle (epoch-aligned
     // 6-hour buckets); the streaming path must reproduce the batch
     // answer exactly once drained

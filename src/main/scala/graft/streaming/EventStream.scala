@@ -185,6 +185,53 @@ object EventStream {
       }
   }
 
+  case class UserStats(user_id: Long, n_events: Long, total: Double,
+                       mean: Double, m2: Double)
+
+  /** Stateful streaming running MOMENTS (Welford/Chan): per-user
+    * count/mean/M2 maintained in GroupState, merged batch-at-a-time
+    * with the parallel-variance combine — the streaming twin of a
+    * grouped avg/stddev aggregate, and the state shape a streaming
+    * feature store keeps per entity. State is O(1) per key at any
+    * stream length. */
+  def runningUserStats(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[UserStats] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val base = eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"), col("value"))
+      .as[(Long, Double)]
+    base.groupByKey(_._1)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          // batch-local Welford pass (plus the exact sum: a 2-decimal
+          // input keeps its sum on the decimal grid, so the drained
+          // total is rounding-stable where a mean emission is not)
+          var bn = 0L; var bsum = 0.0; var bmean = 0.0; var bm2 = 0.0
+          rows.foreach { case (_, v) =>
+            bn += 1
+            bsum += v
+            val d = v - bmean
+            bmean += d / bn
+            bm2 += d * (v - bmean)
+          }
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0.0, 0.0))
+          // Chan parallel combine of (prev, batch)
+          val tot = prev.n_events + bn
+          val delta = bmean - prev.mean
+          val mean = prev.mean + delta * bn / tot
+          val m2 = prev.m2 + bm2 + delta * delta * prev.n_events * bn / tot
+          val next = UserStats(uid, tot, prev.total + bsum, mean, m2)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drain [[runningUserStats]] in UPDATE mode (memory sink keeps the
+    * last emission per touched key per micro-batch). */
+  def runUserStatsOnce(spark: SparkSession, dir: String,
+                       name: String = "graft_stream"): DataFrame =
+    drain(spark, runningUserStats(spark, dir).toDF(), name, mode = "update")
+
   /** The schema'd events stream with ts normalized — shared by the
     * windowed/stateful queries, and public so tests and custom
     * pipelines can compose their own streaming ops (e.g. the

@@ -308,6 +308,17 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got._3 == rows.length)
   }
 
+  test("streaming Welford stats drain to the batch aggregate") {
+    val got = graft.queries.StreamPack.qStreamStats(spark, TestSpark.sf)
+    val want = Tables.events(spark, TestSpark.sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total"),
+        round(stddev_samp(col("value")), 4).as("std_value"))
+      .select(col("user_id"), col("n_events"), col("total"), col("std_value"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
