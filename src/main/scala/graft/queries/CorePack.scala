@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -478,7 +478,38 @@ object CorePack extends QueryPack {
         round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
 
+  /** Data-quality audit — a deequ-style constraint sweep producing one
+    * row per check (referential integrity, null rate, range, domain,
+    * freshness). Each check is a single-pass aggregate or a broadcast/
+    * shuffle semi-join on the constrained key; the union of one-row
+    * results is free. The audit is the pre-ingestion gate a pipeline
+    * runs before promoting a batch. */
+  def qDqAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    def check(name: String, checked: DataFrame, violation: Column): DataFrame =
+      checked.agg(count(lit(1)).as("n_checked"),
+        sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+    val orphan = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("fk_lineitem_orders").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    check("null_acctbal", c, col("c_acctbal").isNull)
+      .unionByName(orphan)
+      .unionByName(check("discount_range", li, !col("l_discount").between(0.0, 0.05)))
+      .unionByName(check("positive_price", li, col("l_extendedprice") <= 0))
+      .unionByName(check("order_date_window", o,
+        !col("o_orderdate").between(lit("1995-01-01").cast("timestamp"),
+          lit("2000-12-31").cast("timestamp"))))
+      .orderBy(col("check_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dq_audit"           -> qDqAudit,
     "q5_local_volume"      -> q5LocalVolume,
     "q17_small_qty"        -> q17SmallQty,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -535,6 +566,29 @@ object CorePack extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_dq_audit" ->
+      """SELECT 'discount_range' AS check_name, count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.05
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders', count(*),
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'null_acctbal', count(*),
+        |  CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'order_date_window', count(*),
+        |  CAST(sum(CASE WHEN o_orderdate NOT BETWEEN TIMESTAMP '1995-01-01'
+        |      AND TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'positive_price', count(*),
+        |  CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |ORDER BY check_name""".stripMargin,
     "q5_local_volume" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,

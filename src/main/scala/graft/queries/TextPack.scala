@@ -961,7 +961,33 @@ object TextPack extends QueryPack {
           sum(col("c") * log(col("c"))) / sum(col("c")), 5).as("entropy"))
       .orderBy(col("lang"))
 
+  /** Inverted-index build — per-term document frequency, collection
+    * frequency, and the first 20 postings in doc order (the IR index
+    * relation; full posting lists shard by term at scale, the sample
+    * here keeps the driver row bounded). Postings stay distributed:
+    * the per-term cap is a rank window (plans as WindowGroupLimit),
+    * the list is a sorted array join — never a driver-side group. */
+  def qInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posting = docsSpread(s, d)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("t"))
+      .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val stats = posting.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("cf"))
+    val sample = posting
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("t")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .groupBy(col("t"))
+      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
+        .as("postings_head"))
+    stats.join(sample, "t")
+      .select(col("t"), col("df"), col("cf"), col("postings_head"))
+      .orderBy(col("t"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_inverted_index" -> qInvertedIndex,
     "q_regr_slope"    -> qRegrSlope,
     "q_unigram_entropy" -> qUnigramEntropy,
     "q_bigram_pmi"    -> qBigramPmi,
@@ -1000,6 +1026,20 @@ object TextPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_inverted_index" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+        |           FROM documents),
+        |posting AS (SELECT t, doc_id, count(*) AS tf FROM w GROUP BY 1, 2),
+        |stats AS (SELECT t, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |          FROM posting GROUP BY 1),
+        |rk AS (SELECT t, doc_id,
+        |       row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rk
+        |       FROM posting),
+        |smp AS (SELECT t, string_agg(doc_id, ',' ORDER BY doc_id)
+        |          AS postings_head
+        |        FROM rk WHERE rk <= 20 GROUP BY 1)
+        |SELECT t, df, cf, postings_head
+        |FROM stats JOIN smp USING (t) ORDER BY t""".stripMargin,
     "q_regr_slope" ->
       """WITH t AS (SELECT lang, n_chars * 1.0 AS y,
         |    len(string_split(text,' ')) * 1.0 AS x FROM documents)

@@ -319,6 +319,38 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("dq audit: violation counts match direct filters") {
+    val a = CorePack.qDqAudit(spark, TestSpark.sf)
+      .select("check_name", "n_checked", "n_violations")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    assert(a("discount_range")._1 == li.count())
+    assert(a("discount_range")._2 ==
+      li.filter(!col("l_discount").between(0.0, 0.05)).count())
+    assert(a("positive_price")._2 == 0)
+    assert(a("fk_lineitem_orders")._2 == 0) // fixture is referentially intact
+    assert(a.size == 5)
+  }
+
+  test("inverted index: df/cf/postings agree with a brute-force pass") {
+    val got = TextPack.qInvertedIndex(spark, TestSpark.sf)
+      .select("t", "df", "cf", "postings_head")
+      .as[(String, Long, Long, String)].collect()
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val postings = docs.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, o) => (w, id, o.length.toLong) } }
+    val byTerm = postings.groupBy(_._1)
+    got.foreach { case (t, df, cf, head) =>
+      val ps = byTerm(t)
+      assert(df == ps.length, s"$t df")
+      assert(cf == ps.map(_._3).sum, s"$t cf")
+      val want = ps.map(_._2).sorted.take(20).mkString(",")
+      assert(head == want, s"$t postings")
+    }
+    assert(got.length == byTerm.size)
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
