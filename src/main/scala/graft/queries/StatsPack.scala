@@ -261,7 +261,69 @@ object StatsPack extends QueryPack {
         max(col("n")).cast("long").as("n"))
   }
 
+  /** Population stability index — the standard drift metric between a
+    * reference window (days 1-15) and a current window (days 16+) of
+    * the value stream: decile edges fit on the reference (one tiny
+    * percentile aggregate, broadcast back), both windows bucketed by
+    * the same edges, PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with a
+    * 1e-4 floor against empty buckets. The corpus-scale passes are
+    * two scans + one 10-key groupBy each. */
+  def qPsi(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(dayofmonth(col("ts")).as("day"), col("value"))
+    val ref = ev.filter(col("day") <= 15)
+    val cur = ev.filter(col("day") > 15)
+    val edges = ref.agg(
+      expr("percentile(value, 0.1)").as("e1"), expr("percentile(value, 0.2)").as("e2"),
+      expr("percentile(value, 0.3)").as("e3"), expr("percentile(value, 0.4)").as("e4"),
+      expr("percentile(value, 0.5)").as("e5"), expr("percentile(value, 0.6)").as("e6"),
+      expr("percentile(value, 0.7)").as("e7"), expr("percentile(value, 0.8)").as("e8"),
+      expr("percentile(value, 0.9)").as("e9"))
+    def bucket(df: DataFrame): DataFrame = {
+      val b = (1 to 9).map(i => when(col("value") > col(s"e$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      df.crossJoin(broadcast(edges))
+        .select(b.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }
+    val rb = bucket(ref).select(col("bucket"), col("n").as("n_ref"))
+    val cb = bucket(cur).select(col("bucket"), col("n").as("n_cur"))
+    val tot = rb.agg(sum(col("n_ref")).cast("double").as("tr"))
+      .crossJoin(cb.agg(sum(col("n_cur")).cast("double").as("tc")))
+    rb.join(cb, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(
+        greatest(coalesce(col("n_ref"), lit(0L)) / col("tr"), lit(1e-4)).as("pr"),
+        greatest(coalesce(col("n_cur"), lit(0L)) / col("tc"), lit(1e-4)).as("pc"))
+      .agg(round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 5)
+        .as("psi"), count(lit(1)).as("n_buckets"))
+  }
+
+  /** Per-source KL divergence — D(P_source ‖ P_corpus) over unigram
+    * distributions: the vocabulary-drift audit that flags a domain
+    * whose language diverges from the mix. Count relations are
+    * vocabulary-sized; the corpus marginal joins on the word key. */
+  def qKlSource(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.spread(s, Tables.documents(s, d))
+      .select(col("source"),
+        explode(graft.operators.TextOps.words(col("text"))).as("w"))
+    val sw = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+    val cw = words.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val st = sw.groupBy(col("source")).agg(sum(col("cs")).cast("double").as("ts"))
+    val ct = cw.agg(sum(col("cc")).cast("double").as("tc"))
+    sw.join(cw, "w")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(ct))
+      .groupBy(col("source"))
+      .agg(round(sum((col("cs") / col("ts")) *
+        log((col("cs") / col("ts")) / (col("cc") / col("tc")))), 5).as("kl"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_psi"          -> qPsi,
+    "q_kl_source"    -> qKlSource,
     "q_winsorize"    -> qWinsorize,
     "q_chi2"         -> qChi2,
     "q_sketch_distinct" -> qSketchDistinct,
@@ -276,6 +338,46 @@ object StatsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_psi" ->
+      """WITH ev AS (SELECT day(ts) AS day, value FROM events),
+        |ref AS (SELECT value FROM ev WHERE day <= 15),
+        |cur AS (SELECT value FROM ev WHERE day > 15),
+        |e AS (SELECT quantile_cont(value, 0.1) AS e1, quantile_cont(value, 0.2) AS e2,
+        |  quantile_cont(value, 0.3) AS e3, quantile_cont(value, 0.4) AS e4,
+        |  quantile_cont(value, 0.5) AS e5, quantile_cont(value, 0.6) AS e6,
+        |  quantile_cont(value, 0.7) AS e7, quantile_cont(value, 0.8) AS e8,
+        |  quantile_cont(value, 0.9) AS e9 FROM ref),
+        |rb AS (SELECT (CASE WHEN value > e1 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > e2 THEN 1 ELSE 0 END + CASE WHEN value > e3 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > e4 THEN 1 ELSE 0 END + CASE WHEN value > e5 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > e6 THEN 1 ELSE 0 END + CASE WHEN value > e7 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > e8 THEN 1 ELSE 0 END + CASE WHEN value > e9 THEN 1 ELSE 0 END)
+        |  AS bucket, count(*) AS n_ref FROM ref, e GROUP BY 1),
+        |cb AS (SELECT (CASE WHEN value > e1 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > e2 THEN 1 ELSE 0 END + CASE WHEN value > e3 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > e4 THEN 1 ELSE 0 END + CASE WHEN value > e5 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > e6 THEN 1 ELSE 0 END + CASE WHEN value > e7 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > e8 THEN 1 ELSE 0 END + CASE WHEN value > e9 THEN 1 ELSE 0 END)
+        |  AS bucket, count(*) AS n_cur FROM cur, e GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(n_ref) * 1.0 FROM rb) AS tr,
+        |        (SELECT sum(n_cur) * 1.0 FROM cb) AS tc),
+        |p AS (SELECT greatest(coalesce(n_ref, 0) / tr, 1e-4) AS pr,
+        |      greatest(coalesce(n_cur, 0) / tc, 1e-4) AS pc
+        |      FROM rb FULL OUTER JOIN cb USING (bucket), tot)
+        |SELECT round(sum((pc - pr) * ln(pc / pr)), 5) AS psi,
+        |  count(*) AS n_buckets FROM p""".stripMargin,
+    "q_kl_source" ->
+      """WITH w AS (SELECT source, unnest(string_split(text,' ')) AS w
+        |           FROM documents),
+        |sw AS (SELECT source, w, count(*) AS cs FROM w GROUP BY 1, 2),
+        |cw AS (SELECT w, count(*) AS cc FROM w GROUP BY 1),
+        |st AS (SELECT source, sum(cs) * 1.0 AS ts FROM sw GROUP BY 1),
+        |ct AS (SELECT sum(cc) * 1.0 AS tc FROM cw)
+        |SELECT source,
+        |  round(sum((cs / ts) * ln((cs / ts) / (cc / tc))), 5) AS kl,
+        |  count(*) AS n_words
+        |FROM sw JOIN cw USING (w) JOIN st USING (source), ct
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (SELECT l_returnflag AS rf,
         |    quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -351,6 +351,22 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.length == byTerm.size)
   }
 
+  test("psi is non-negative with at most 10 decile buckets") {
+    val got = graft.queries.StatsPack.qPsi(spark, TestSpark.sf)
+      .select("psi", "n_buckets").as[(Double, Long)].head()
+    assert(got._2 <= 10 && got._2 >= 1)
+    // each PSI term (pc-pr)*ln(pc/pr) is >= 0, so the sum is too
+    assert(got._1 >= -1e-6, s"psi=${got._1}")
+  }
+
+  test("kl divergence per source is non-negative and zero only for identical mixes") {
+    val kl = graft.queries.StatsPack.qKlSource(spark, TestSpark.sf)
+      .select("source", "kl").as[(String, Double)].collect()
+    // Gibbs' inequality: D(P||Q) >= 0 up to the 1e-5 rounding
+    kl.foreach { case (src, v) => assert(v >= -1e-5, src) }
+    assert(kl.length == 20)
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
