@@ -441,7 +441,26 @@ object EventsPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Top event paths — the most frequent 3-step event-type sequences
+    * across user streams (product-analytics "top paths"; the order-2
+    * extension of the transition matrix). Two lag windows over one
+    * user-key shuffle, a |types|³-bounded groupBy, and a top-k that
+    * plans as TakeOrderedAndProject. */
+  def qEventPaths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("e2", lag(col("event_type"), 1).over(byTs))
+      .withColumn("e3", lag(col("event_type"), 2).over(byTs))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("e3"), col("e2"), col("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_event_paths"    -> qEventPaths,
     "q_gapfill"        -> qGapfill,
     "q_transition_counts" -> qTransitionCounts,
     "q_conversion_lag" -> qConversionLag,
@@ -469,6 +488,16 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_paths" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS e2,
+        |  lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS e3
+        |  FROM events)
+        |SELECT e3 || '>' || e2 || '>' || event_type AS path, count(*) AS n
+        |FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q_gapfill" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS t, value
         |            FROM events),

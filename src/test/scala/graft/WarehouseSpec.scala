@@ -367,6 +367,19 @@ class WarehouseSpec extends AnyFunSuite {
     assert(kl.length == 20)
   }
 
+  test("event paths: every path is 3 states and counts are bounded by transitions") {
+    val p = EventsPack.qEventPaths(spark, TestSpark.sf)
+      .select("path", "n").as[(String, Long)].collect()
+    assert(p.nonEmpty && p.length <= 20)
+    p.foreach { case (path, n) =>
+      assert(path.split(">").length == 3, path)
+      assert(n >= 1)
+    }
+    // descending count order with path tie-break
+    assert(p.sliding(2).forall(w => w.length < 2 ||
+      w(0)._2 > w(1)._2 || (w(0)._2 == w(1)._2 && w(0)._1 < w(1)._1)))
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
