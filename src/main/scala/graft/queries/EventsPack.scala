@@ -433,11 +433,16 @@ object EventsPack extends QueryPack {
             col("p.pv") + (col("nx.nv") - col("p.pv")) *
               (col("t") - col("p.pt")) / (col("nx.nt") - col("p.pt")))
           .otherwise(coalesce(col("p.pv"), col("nx.nv"))))
+    // the checksum is an ORDER-INDEPENDENT integer sum: each filled
+    // value is bitwise-identical across engines (same IEEE formula),
+    // but a float aggregate's merge order is not — DuckDB's parallel
+    // avg flipped a 4-decimal rounding boundary run-to-run. Per-row
+    // scaled rounding then an integer sum is stable everywhere.
     filled.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_points"),
         sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_observed"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_filled"),
-        round(avg(col("filled")), 4).as("avg_filled"))
+        sum(round(col("filled") * 10000).cast("long")).as("sum_filled_e4"))
       .orderBy(col("user_id"))
   }
 
@@ -529,7 +534,8 @@ object EventsPack extends QueryPack {
         |    AS n_observed,
         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_filled,
-        |  round(avg(filled), 4) AS avg_filled
+        |  CAST(sum(CAST(round(filled * 10000) AS BIGINT)) AS BIGINT)
+        |    AS sum_filled_e4
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_transition_counts" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
