@@ -986,7 +986,30 @@ object TextPack extends QueryPack {
       .orderBy(col("t"))
   }
 
+  /** LSH quality audit — precision/recall of the MinHash banding
+    * against the exact >=0.5-Jaccard pair set (the measurement a
+    * dedup pipeline ships with its approximation: how many true
+    * near-dup pairs does banding surface, and how much candidate
+    * verification does it waste). Composes the two existing
+    * pipelines; both are deterministic, so the audit itself is
+    * oracle-checkable — unlike the IVF/PQ recall queries whose
+    * quantizers are engine-fitted. */
+  def qLshRecall(s: SparkSession, d: String): DataFrame = {
+    val truePairs = jaccardPairs(s, d, minJac = 0.5)
+      .select(col("a"), col("b"))
+    val cand = minhashCandidates(s, d).select(col("a"), col("b"))
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = truePairs.join(cand, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") / col("n_true"), 6).as("recall"),
+        round(col("n_hit") / col("n_cand"), 6).as("precision"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lsh_recall"    -> qLshRecall,
     "q_inverted_index" -> qInvertedIndex,
     "q_regr_slope"    -> qRegrSlope,
     "q_unigram_entropy" -> qUnigramEntropy,
@@ -1026,6 +1049,43 @@ object TextPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // composes the q_ngram_jaccard (exact pairs, >=0.5) and
+    // q_minhash_lsh (banded candidates) oracle fragments verbatim
+    "q_lsh_recall" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dshs AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT AS sh FROM tri),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dshs GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM dshs x JOIN dshs y ON x.sh=y.sh AND x.doc_id<y.doc_id
+        |           GROUP BY 1,2),
+        |tp AS (SELECT a, b FROM common
+        |       JOIN sizes sa ON a=sa.doc_id JOIN sizes sb ON b=sb.doc_id
+        |       WHERE c*1.0/(sa.n+sb.n-c) >= 0.5),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT % 2147483647 AS h FROM tri),
+        |js AS (SELECT unnest(generate_series(0,15)) AS j),
+        |minh AS (SELECT doc_id, j, j // 2 AS band,
+        |    min((h * (2*j+1)) % 2147483647) AS mh FROM dsh, js GROUP BY 1,2,3),
+        |sig AS (SELECT doc_id, band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sg
+        |    FROM minh GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM sig x JOIN sig y
+        |         ON x.band=y.band AND x.sg=y.sg AND x.doc_id<y.doc_id),
+        |hit AS (SELECT tp.a, tp.b FROM tp JOIN cand USING (a, b))
+        |SELECT (SELECT count(*) FROM tp) AS n_true,
+        |  (SELECT count(*) FROM cand) AS n_cand,
+        |  (SELECT count(*) FROM hit) AS n_hit,
+        |  round((SELECT count(*) FROM hit) * 1.0 /
+        |        (SELECT count(*) FROM tp), 6) AS recall,
+        |  round((SELECT count(*) FROM hit) * 1.0 /
+        |        (SELECT count(*) FROM cand), 6) AS precision""".stripMargin,
     "q_inverted_index" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
         |           FROM documents),

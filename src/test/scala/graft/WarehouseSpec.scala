@@ -380,6 +380,18 @@ class WarehouseSpec extends AnyFunSuite {
       w(0)._2 > w(1)._2 || (w(0)._2 == w(1)._2 && w(0)._1 < w(1)._1)))
   }
 
+  test("lsh recall audit: hits bounded by both sides, banding theory holds") {
+    val r = TextPack.qLshRecall(spark, TestSpark.sf)
+      .select("n_true", "n_cand", "n_hit", "recall", "precision")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r._3 <= math.min(r._1, r._2))
+    assert(r._4 >= 0.0 && r._4 <= 1.0 && r._5 >= 0.0 && r._5 <= 1.0)
+    // 8 bands x 2 rows: a >=0.5-Jaccard pair collides in some band
+    // with probability 1-(1-s^2)^8 >= 0.90 — near-total recall is the
+    // designed behavior, and the fixture should show it
+    assert(r._4 >= 0.9, s"recall=${r._4}")
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
