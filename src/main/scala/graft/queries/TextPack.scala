@@ -995,7 +995,11 @@ object TextPack extends QueryPack {
     * oracle-checkable — unlike the IVF/PQ recall queries whose
     * quantizers are engine-fitted. */
   def qLshRecall(s: SparkSession, d: String): DataFrame = {
-    val truePairs = jaccardPairs(s, d, minJac = 0.5)
+    // exact pairs come from the shared >=0.05 pair table (same source
+    // as q_ngram_jaccard / q_dedup_apply), filtered to the dedup
+    // threshold — the audit never re-runs the shingle pipeline
+    val truePairs = sharedJaccardPairs(s, d)
+      .filter(col("jacv") >= 0.5)
       .select(col("a"), col("b"))
     val cand = minhashCandidates(s, d).select(col("a"), col("b"))
     val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
