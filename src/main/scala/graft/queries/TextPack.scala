@@ -163,27 +163,20 @@ object TextPack extends QueryPack {
     * on a real cluster, unlike a driver-local java.io tempdir) and is
     * deleted by a JVM shutdown hook. Bench times the materialization
     * as its own line item via [[prepareShared]]. */
-  private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val key = d + "@" + docsFingerprint(s, d)
+  private def memoizedTable(s: SparkSession, d: String, tag: String)
+                           (build: String => Unit): DataFrame = {
+    val key = tag + ":" + d + "@" + docsFingerprint(s, d)
     def materialize(): String = {
       // full md5 of the key, not a 32-bit hashCode: two data dirs
-      // colliding would silently cross-serve each other's pair table;
+      // colliding would silently cross-serve each other's table;
       // the applicationId nonce keeps two JVMs on the same checkout
       // (e.g. sbt test and Bench in CI) from overwriting or
       // shutdown-hook-deleting each other's table mid-run
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val out = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        "/graft_pairs_" + digest + "_" + s.sparkContext.applicationId
-      // cache both stages for the one materializing action: raw feeds
-      // the hot-set aggregate AND the anti-join probe (once, not
-      // twice), the guarded relation feeds sizes + both self-join
-      // sides of the pair pipeline
-      val raw = rawShingles(s, d).persist()
-      val dsh = dfFloor(raw, DefaultMaxShingleDf).persist()
-      jaccardPairsFrom(dsh, minJac = 0.05).write.mode("overwrite").parquet(out)
-      raw.unpersist()
-      dsh.unpersist()
+        s"/graft_${tag}_" + digest + "_" + s.sparkContext.applicationId
+      build(out)
       registerScratch(s, out)
       out
     }
@@ -200,12 +193,37 @@ object TextPack extends QueryPack {
     s.read.parquet(live)
   }
 
-  /** Force the shared candidate-pair table for `d` to exist. Bench
-    * calls this before timing queries so the shared materialization
-    * cost shows up as its own entry instead of hiding inside whichever
-    * consumer happens to run first. */
+  private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
+    memoizedTable(s, d, "pairs") { out =>
+      // cache both stages for the one materializing action: raw feeds
+      // the hot-set aggregate AND the anti-join probe (once, not
+      // twice), the guarded relation feeds sizes + both self-join
+      // sides of the pair pipeline
+      val raw = rawShingles(s, d).persist()
+      val dsh = dfFloor(raw, DefaultMaxShingleDf).persist()
+      jaccardPairsFrom(dsh, minJac = 0.05)
+        .write.mode("overwrite").parquet(out)
+      raw.unpersist()
+      dsh.unpersist()
+    }
+
+  /** The minhash CANDIDATE table shared by `q_minhash_lsh`,
+    * `q_minhash_est` and `q_lsh_recall` — same checkpoint rationale
+    * as the pair table: three consumers, one banded self-join. */
+  private def sharedMinhashCandidates(s: SparkSession, d: String): DataFrame =
+    memoizedTable(s, d, "mhcand") { out =>
+      minhashBandedPairs(minhashSignatures(s, d), DefaultMaxBucket)
+        .write.mode("overwrite").parquet(out)
+    }
+
+  /** Force the shared tables for `d` to exist. Bench calls this
+    * before timing queries so the shared materialization cost shows
+    * up as its own entry instead of hiding inside whichever consumer
+    * happens to run first. */
   def prepareShared(s: SparkSession, d: String): Unit = {
-    sharedJaccardPairs(s, d); ()
+    sharedJaccardPairs(s, d)
+    sharedMinhashCandidates(s, d)
+    ()
   }
 
   /** n-gram Jaccard near-dup: distinct 3-word shingles per doc, pairs
@@ -223,7 +241,7 @@ object TextPack extends QueryPack {
     * at 100 TB the only shuffle keys are (band, signature), never doc
     * pairs. */
   def qMinhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashCandidates(s, d)
+    sharedMinhashCandidates(s, d).orderBy(col("a"), col("b"))
 
   /** (doc_id, mh = the 16 minhash components) via the fused
     * [[graft.functions.MinHashSig]] kernel. Docs with fewer words than
@@ -652,9 +670,9 @@ object TextPack extends QueryPack {
     * frame joins back doc-keyed to both pair sides (at scale it is the
     * materialized signature store every LSH system keeps anyway). */
   def qMinhashEst(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSignatures(s, d)
-    val sig = sigs.select(col("doc_id"), col("mh").as("sig"))
-    minhashBandedPairs(sigs, DefaultMaxBucket)
+    val sig = minhashSignatures(s, d)
+      .select(col("doc_id"), col("mh").as("sig"))
+    sharedMinhashCandidates(s, d)
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .withColumn("n_match", aggregate(
@@ -1001,7 +1019,7 @@ object TextPack extends QueryPack {
     val truePairs = sharedJaccardPairs(s, d)
       .filter(col("jacv") >= 0.5)
       .select(col("a"), col("b"))
-    val cand = minhashCandidates(s, d).select(col("a"), col("b"))
+    val cand = sharedMinhashCandidates(s, d).select(col("a"), col("b"))
     val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
     val nCand = cand.agg(count(lit(1)).as("n_cand"))
     val nHit = truePairs.join(cand, Seq("a", "b"), "left_semi")
