@@ -321,7 +321,31 @@ object StatsPack extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** Robust scaling — (x − median) / IQR per group (the
+    * outlier-insensitive twin of `q_standardize`'s z-score): exact
+    * per-group quartiles are a tiny broadcast aggregate, the scaling
+    * pass is scan-local, and the output pins the scaled
+    * distribution's symmetric-quartile contract (p25 → −0.5,
+    * p75 → +0.5 by construction) plus a |scaled| > 3 outlier count. */
+  def qRobustScale(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val fit = ev.groupBy(col("event_type").as("et"))
+      .agg(expr("percentile(value, 0.5)").as("med"),
+        (expr("percentile(value, 0.75)") - expr("percentile(value, 0.25)"))
+          .as("iqr"))
+    ev.join(broadcast(fit), col("event_type") === col("et"))
+      .withColumn("scaled", (col("value") - col("med")) / col("iqr"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("iqr")), 4).as("iqr"),
+        sum(when(abs(col("scaled")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("scaled") <= -0.5, 1L).otherwise(0L)).as("n_below_half_iqr"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_robust_scale" -> qRobustScale,
     "q_psi"          -> qPsi,
     "q_kl_source"    -> qKlSource,
     "q_winsorize"    -> qWinsorize,
@@ -338,6 +362,19 @@ object StatsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_robust_scale" ->
+      """WITH fit AS (SELECT event_type AS et,
+        |    quantile_cont(value, 0.5) AS med,
+        |    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  round(max(med), 4) AS med, round(max(iqr), 4) AS iqr,
+        |  CAST(sum(CASE WHEN abs((value - med) / iqr) > 3.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN (value - med) / iqr <= -0.5
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_below_half_iqr
+        |FROM events JOIN fit ON event_type = et
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_psi" ->
       """WITH ev AS (SELECT day(ts) AS day, value FROM events),
         |ref AS (SELECT value FROM ev WHERE day <= 15),

@@ -392,6 +392,21 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r._4 >= 0.9, s"recall=${r._4}")
   }
 
+  test("robust scale: scaled distribution respects median/IQR bounds") {
+    val r = graft.queries.StatsPack.qRobustScale(spark, TestSpark.sf)
+      .select("event_type", "n", "iqr", "n_outliers", "n_below_half_iqr")
+      .as[(String, Long, Double, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (et, n, iqr, outliers, below) =>
+      assert(iqr > 0, et)
+      // fewer than half the rows sit below median - IQR/2 (it is
+      // strictly under the median), and Chebyshev-ish: |scaled| > 3
+      // means 3 IQRs from the median — a small tail
+      assert(below < n / 2.0, s"$et: $below of $n")
+      assert(outliers < n / 4.0, s"$et outliers: $outliers of $n")
+    }
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
