@@ -1030,7 +1030,34 @@ object TextPack extends QueryPack {
         round(col("n_hit") / col("n_cand"), 6).as("precision"))
   }
 
+  /** Near-dup GRAPH analytics — node/edge/degree/triangle statistics
+    * of the >=0.5-Jaccard pair graph (the structure audit run before
+    * transitive-closure dedup: heavy triangles/dense cores mean large
+    * dup clusters). Triangles via the ordered two-path join (a<b<c,
+    * join (a,b)+(b,c) then probe (a,c)) — the standard distributed
+    * algorithm; all joins key on node ids, pairs come from the shared
+    * table, never recomputed. */
+  def qDupGraphStats(s: SparkSession, d: String): DataFrame = {
+    val e = sharedJaccardPairs(s, d).filter(col("jacv") >= 0.5)
+      .select(col("a"), col("b"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_degree"),
+      round(avg(col("deg")), 4).as("avg_degree"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("avg_degree"), col("n_triangles"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dup_graph_stats" -> qDupGraphStats,
     "q_lsh_recall"    -> qLshRecall,
     "q_inverted_index" -> qInvertedIndex,
     "q_regr_slope"    -> qRegrSlope,
@@ -1071,6 +1098,34 @@ object TextPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // reuses the q_ngram_jaccard pair fragment at the 0.5 threshold
+    "q_dup_graph_stats" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri0 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT AS sh FROM tri0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id
+        |           GROUP BY 1,2),
+        |e AS (SELECT a, b FROM common
+        |      JOIN sizes sa ON a=sa.doc_id JOIN sizes sb ON b=sb.doc_id
+        |      WHERE c*1.0/(sa.n+sb.n-c) >= 0.5),
+        |deg AS (SELECT v, count(*) AS deg FROM
+        |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        WHERE EXISTS (SELECT 1 FROM e e3
+        |                      WHERE e3.a = e1.a AND e3.b = e2.b))
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT max(deg) FROM deg) AS max_degree,
+        |  (SELECT round(avg(deg), 4) FROM deg) AS avg_degree,
+        |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin,
     // composes the q_ngram_jaccard (exact pairs, >=0.5) and
     // q_minhash_lsh (banded candidates) oracle fragments verbatim
     "q_lsh_recall" ->

@@ -407,6 +407,26 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-graph stats match a brute-force pass over the pair graph") {
+    val g = TextPack.qDupGraphStats(spark, TestSpark.sf)
+      .select("n_nodes", "n_edges", "max_degree", "n_triangles")
+      .as[(Long, Long, Long, Long)].head()
+    val edges = TextPack.jaccardPairs(spark, TestSpark.sf, minJac = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(g._1 == nodes.size && g._2 == edges.size)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).values.map(_.size).max
+    assert(g._3 == deg)
+    // nodes must be a Seq here: an inner Set generator dedupes the
+    // yielded 1s, silently merging two triangles that share an edge
+    val brute = (for {
+      (a, b) <- edges.toSeq; c <- nodes.toSeq
+      if b < c && edges((b, c)) && edges((a, c))
+    } yield 1).size
+    assert(g._4 == brute, s"triangles ${g._4} vs $brute")
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
