@@ -464,7 +464,33 @@ object EventsPack extends QueryPack {
       .limit(20)
   }
 
+  /** Conversion ATTRIBUTION — for each purchase, the user's first-
+    * and last-touch click strictly before it (the marketing
+    * attribution join). The click⋈purchase pairing shuffles on the
+    * user key only; per-user pair volume is bounded by the per-user
+    * event count, never the log size. Summarized per user. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("tc"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tp"))
+    // the before-purchase predicate rides the join so an unattributed
+    // purchase (clicks only after it) still keeps its null row
+    purchases.join(clicks,
+        col("user_id") === col("cu") && col("tc") < col("tp"), "left_outer")
+      .groupBy(col("user_id"), col("event_id"), col("tp"))
+      .agg(min(col("tc")).as("first_tc"), max(col("tc")).as("last_tc"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("last_tc").isNotNull, 1L).otherwise(0L)).as("n_attributed"),
+        round(avg((col("tp") - col("last_tc")) / 1e6), 2).as("avg_lag_last_sec"),
+        round(avg((col("tp") - col("first_tc")) / 1e6), 2).as("avg_lag_first_sec"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_attribution"    -> qAttribution,
     "q_event_paths"    -> qEventPaths,
     "q_gapfill"        -> qGapfill,
     "q_transition_counts" -> qTransitionCounts,
@@ -493,6 +519,21 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH c AS (SELECT user_id AS cu, epoch_us(ts) AS tc FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS tp FROM events
+        |      WHERE event_type = 'purchase'),
+        |a AS (SELECT user_id, event_id, tp,
+        |    min(tc) AS first_tc, max(tc) AS last_tc
+        |  FROM p LEFT JOIN c ON user_id = cu AND tc < tp
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN last_tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attributed,
+        |  round(avg((tp - last_tc) / 1e6), 2) AS avg_lag_last_sec,
+        |  round(avg((tp - first_tc) / 1e6), 2) AS avg_lag_first_sec
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_event_paths" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
         |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)

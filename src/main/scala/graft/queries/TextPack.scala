@@ -1056,7 +1056,41 @@ object TextPack extends QueryPack {
         col("avg_degree"), col("n_triangles"))
   }
 
+  /** Fixed-3-iteration PageRank over the near-dup graph (undirected:
+    * each edge contributes both directions) — the centrality audit
+    * that surfaces template hubs in a dup cluster. Deterministic and
+    * finite, so fully oracle-checkable (the DuckDB oracle unrolls the
+    * three iterations). Each iteration is one join of the rank
+    * relation with the edge list on the node key + one groupBy —
+    * rounds × 2 shuffles at any graph size, the standard distributed
+    * shape. Top 20 by final rank. */
+  def qPagerank3(s: SparkSession, d: String): DataFrame = {
+    val e = sharedJaccardPairs(s, d).filter(col("jacv") >= 0.5)
+      .select(col("a"), col("b"))
+    val dir = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("v"), col("deg"))
+    val n = nodes.count().toDouble // driver scalar: node count only
+    var pr = nodes.select(col("v"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = pr.join(nodes, Seq("v"))
+        .select(col("v"), (col("pr") / col("deg")).as("share"))
+        .join(dir, col("v") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("in_share"))
+      pr = nodes.select(col("v"))
+        .join(contrib, col("v") === col("dst"), "left_outer")
+        .select(col("v"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("in_share"), lit(0.0)))
+            .as("pr"))
+    }
+    pr.select(col("v"), round(col("pr") * 10000, 4).as("pr_e4"))
+      .orderBy(col("pr_e4").desc, col("v"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pagerank3"       -> qPagerank3,
     "q_dup_graph_stats" -> qDupGraphStats,
     "q_lsh_recall"    -> qLshRecall,
     "q_inverted_index" -> qInvertedIndex,
@@ -1098,6 +1132,46 @@ object TextPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // reuses the q_ngram_jaccard pair fragment at the 0.5 threshold;
+    // the three PageRank iterations are unrolled as CTEs
+    "q_pagerank3" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri0 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT AS sh FROM tri0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id
+        |           GROUP BY 1,2),
+        |e AS (SELECT a, b FROM common
+        |      JOIN sizes sa ON a=sa.doc_id JOIN sizes sb ON b=sb.doc_id
+        |      WHERE c*1.0/(sa.n+sb.n-c) >= 0.5),
+        |dir AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY 1),
+        |nn AS (SELECT count(*) * 1.0 AS n FROM deg),
+        |pr0 AS (SELECT src AS v, 1.0 / n AS pr FROM deg, nn),
+        |c1 AS (SELECT dir.dst, sum(pr0.pr / deg.deg) AS s FROM pr0
+        |       JOIN deg ON pr0.v = deg.src JOIN dir ON pr0.v = dir.src
+        |       GROUP BY 1),
+        |pr1 AS (SELECT deg.src AS v, 0.15 / n + 0.85 * coalesce(c1.s, 0) AS pr
+        |        FROM deg LEFT JOIN c1 ON deg.src = c1.dst, nn),
+        |c2 AS (SELECT dir.dst, sum(pr1.pr / deg.deg) AS s FROM pr1
+        |       JOIN deg ON pr1.v = deg.src JOIN dir ON pr1.v = dir.src
+        |       GROUP BY 1),
+        |pr2 AS (SELECT deg.src AS v, 0.15 / n + 0.85 * coalesce(c2.s, 0) AS pr
+        |        FROM deg LEFT JOIN c2 ON deg.src = c2.dst, nn),
+        |c3 AS (SELECT dir.dst, sum(pr2.pr / deg.deg) AS s FROM pr2
+        |       JOIN deg ON pr2.v = deg.src JOIN dir ON pr2.v = dir.src
+        |       GROUP BY 1),
+        |pr3 AS (SELECT deg.src AS v, 0.15 / n + 0.85 * coalesce(c3.s, 0) AS pr
+        |        FROM deg LEFT JOIN c3 ON deg.src = c3.dst, nn)
+        |SELECT v, round(pr * 10000, 4) AS pr_e4 FROM pr3
+        |ORDER BY pr_e4 DESC, v LIMIT 20""".stripMargin,
     // reuses the q_ngram_jaccard pair fragment at the 0.5 threshold
     "q_dup_graph_stats" ->
       """WITH w AS (SELECT doc_id,

@@ -427,6 +427,47 @@ class WarehouseSpec extends AnyFunSuite {
     assert(g._4 == brute, s"triangles ${g._4} vs $brute")
   }
 
+  test("attribution: attributed count never exceeds purchases; lag positive") {
+    val a = EventsPack.qAttribution(spark, TestSpark.sf)
+      .select("n_purchases", "n_attributed", "avg_lag_last_sec")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(a.nonEmpty)
+    a.foreach { case (np, na, lag) =>
+      assert(na <= np)
+      lag.foreach(l => assert(l > 0))
+    }
+    // total purchases reconcile with the raw log
+    val total = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(a.map(_._1).sum == total)
+  }
+
+  test("pagerank: ranks sum to ~1 over the graph, all positive") {
+    val e = TextPack.jaccardPairs(spark, TestSpark.sf, minJac = 0.5)
+      .select("a", "b").as[(Long, Long)].collect()
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
+    val pr = TextPack.qPagerank3(spark, TestSpark.sf)
+      .select("v", "pr_e4").as[(Long, Double)].collect()
+    assert(pr.forall(_._2 > 0))
+    assert(pr.length == math.min(20, nodes.length))
+    // brute-force 3 power iterations on the collected graph
+    val deg = e.flatMap(x => Seq(x._1, x._2)).groupBy(identity).view
+      .mapValues(_.length.toDouble).toMap
+    val adj = (e ++ e.map(x => (x._2, x._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = nodes.length.toDouble
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val in = nodes.map { v =>
+        v -> adj.getOrElse(v, Array.empty[Long])
+          .map(u => rank(u) / deg(u)).sum
+      }.toMap
+      rank = nodes.map(v => v -> (0.15 / n + 0.85 * in(v))).toMap
+    }
+    pr.foreach { case (v, got) =>
+      assert(math.abs(got - rank(v) * 10000) < 1e-2, s"node $v") }
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
