@@ -508,7 +508,34 @@ object CorePack extends QueryPack {
       .orderBy(col("check_name"))
   }
 
+  /** Join-key SKEW audit — the pre-flight profile a scale engineer
+    * reads before picking a join strategy: per candidate key, row
+    * count, distinct keys, heaviest-key share, and the p99 per-key
+    * row count. One groupBy per key column; the per-key count
+    * relations are key-cardinality-sized. A top share near 1 says
+    * salt-or-broadcast; a flat p99 says plain shuffle is fine. */
+  def qSkewAudit(s: SparkSession, d: String): DataFrame = {
+    def profile(keyCol: String): DataFrame = {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      counts.agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_per_key"),
+        round(max(col("cnt")) / sum(col("cnt")), 6).as("top_share"),
+        round(expr("percentile(cnt, 0.99)"), 4).as("p99_per_key"))
+        .select(lit(keyCol).as("key"), col("n_rows"), col("n_keys"),
+          col("max_per_key"), col("top_share"), col("p99_per_key"))
+    }
+    profile("l_orderkey")
+      .unionByName(profile("l_partkey"))
+      .unionByName(profile("l_suppkey"))
+      .unionByName(profile("l_returnflag"))
+      .orderBy(col("key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skew_audit"         -> qSkewAudit,
     "q_dq_audit"           -> qDqAudit,
     "q5_local_volume"      -> q5LocalVolume,
     "q17_small_qty"        -> q17SmallQty,
@@ -566,6 +593,18 @@ object CorePack extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_skew_audit" ->
+      """WITH p AS (
+        |  SELECT 'l_orderkey' AS key, l_orderkey::VARCHAR AS k FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey::VARCHAR FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem),
+        |c AS (SELECT key, k, count(*) AS cnt FROM p GROUP BY 1, 2)
+        |SELECT key, CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |  max(cnt) AS max_per_key,
+        |  round(max(cnt) * 1.0 / sum(cnt), 6) AS top_share,
+        |  round(quantile_cont(cnt, 0.99), 4) AS p99_per_key
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dq_audit" ->
       """SELECT 'discount_range' AS check_name, count(*) AS n_checked,
         |  CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.05

@@ -286,7 +286,28 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("cl"))
   }
 
+  /** Per-dimension QUANTILE NORMALIZATION — each embedding component
+    * rank-transformed to [0,1] within its dimension (the
+    * distribution-free feature preprocessing step); emitted for one
+    * probe vector so the output stays bounded. One percent_rank
+    * window per dimension key — parallelism is the dimensionality,
+    * per-partition state the corpus slice of one dimension (at
+    * extreme scale the exact rank swaps for the quantile-sketch CDF,
+    * the `q_sketch_quantile` path). */
+  def qQuantileNorm(s: SparkSession, d: String): DataFrame = {
+    val e = embSpread(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+    e.withColumn("qn", percent_rank().over(
+        Window.partitionBy(col("pos")).orderBy(col("x"))))
+      .filter(col("vec_id") === 0)
+      .select(col("pos"), round(col("x"), 6).as("x"), round(col("qn"), 6).as("qn"))
+      .orderBy(col("pos"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_quantile_norm"    -> qQuantileNorm,
     "q_semdedup"         -> qSemdedup,
     "q_nearest_centroid" -> qNearestCentroid,
     "q_ann_cosine"      -> qAnnCosine,
@@ -298,6 +319,14 @@ object SimilarityPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_norm" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding,1) - 1 AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |r AS (SELECT vec_id, pos, x,
+        |    percent_rank() OVER (PARTITION BY pos ORDER BY x) AS qn FROM e)
+        |SELECT pos, round(x, 6) AS x, round(qn, 6) AS qn
+        |FROM r WHERE vec_id = 0 ORDER BY pos""".stripMargin,
     "q_semdedup" ->
       """WITH e AS (SELECT vec_id, label,
         |    CAST(generate_subscripts(embedding,1) AS BIGINT) AS pos,

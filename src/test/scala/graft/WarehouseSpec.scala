@@ -468,6 +468,40 @@ class WarehouseSpec extends AnyFunSuite {
       assert(math.abs(got - rank(v) * 10000) < 1e-2, s"node $v") }
   }
 
+  test("skew audit: shares and counts reconcile per key") {
+    val a = CorePack.qSkewAudit(spark, TestSpark.sf)
+      .select("key", "n_rows", "n_keys", "max_per_key", "top_share")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(a.length == 4)
+    val rows = Tables.lineitem(spark, TestSpark.sf).count()
+    a.foreach { case (k, n, keys, mx, share) =>
+      assert(n == rows, k)
+      assert(mx >= n / keys, k) // max >= mean
+      assert(math.abs(share - mx.toDouble / n) < 1e-6, k)
+    }
+    // l_returnflag (3 values) must be flagged far more skewed than orderkey
+    val m = a.map(x => x._1 -> x._5).toMap
+    assert(m("l_returnflag") > m("l_orderkey") * 100)
+  }
+
+  test("quantile normalization: qn in [0,1], monotone with x across dims of the probe") {
+    val q = SimilarityPack.qQuantileNorm(spark, TestSpark.sf)
+      .select("pos", "x", "qn").as[(Long, Double, Double)].collect()
+    assert(q.length == 64)
+    q.foreach { case (p, _, qn) => assert(qn >= 0.0 && qn <= 1.0, p) }
+    // brute force one dimension: qn = rank fraction of vec 0's RAW
+    // value (the query's x column is rounded for display — comparing
+    // against it flips neighbors within rounding distance)
+    val xs = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), element_at(col("embedding"), 1).cast("double"))
+      .as[(Long, Double)].collect()
+    val raw0 = xs.find(_._1 == 0).get._2
+    val below = xs.count(_._2 < raw0)
+    val want = below.toDouble / (xs.length - 1)
+    val got0 = q.find(_._1 == 0).get._3
+    assert(math.abs(got0 - want) < 1e-4, s"$got0 vs $want")
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
