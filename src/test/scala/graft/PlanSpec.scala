@@ -42,11 +42,16 @@ class PlanSpec extends AnyFunSuite {
     // the r2 regression shape: re-joining the (~everything) keep set
     // added two shuffles per dedup query; the guard must stay a
     // broadcast LeftAnti against the tiny hot list
-    for (name <- Seq("q_minhash_lsh", "q_simhash_dedup")) {
-      val p = plan(name)
-      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-        s"$name guard is not a broadcast anti-join:\n${p.take(1200)}")
-    }
+    // q_minhash_lsh now reads the memoized candidate table, so the
+    // guard shape lives in the MATERIALIZATION pipeline — assert on
+    // the builder's plan directly
+    val mh = graft.queries.TextPack.minhashCandidates(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(mh.contains("BroadcastHashJoin") && mh.contains("LeftAnti"),
+      s"minhash guard is not a broadcast anti-join:\n${mh.take(1200)}")
+    val p = plan("q_simhash_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"q_simhash_dedup guard is not a broadcast anti-join:\n${p.take(1200)}")
   }
 
   test("partitioned writes enable partition pruning on read") {
