@@ -489,7 +489,42 @@ object EventsPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** A/B TEST analysis — Welch's two-sample t over a deterministic
+    * hash split of users (the experiment-analysis query): group
+    * sums/counts/variances are one partial+final hash agg each, the
+    * t statistic and Welch–Satterthwaite df fold from the two
+    * aggregate rows. Group sums emit grid-exact (2-decimal inputs);
+    * t/df/lift are generic irrationals, safe at round 4. */
+  def qAbTest(s: SparkSession, d: String): DataFrame = {
+    val g = pmod(graft.operators.TextOps.hash60(
+      concat_ws("#", lit("ab"), col("user_id"))), lit(2L))
+    val stats = Tables.events(s, d)
+      .select(g.as("grp"), col("value"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("value")).as("m"),
+        var_samp(col("value")).as("v"),
+        round(sum(col("value")), 2).as("total"))
+    val a = stats.filter(col("grp") === 0)
+      .select(col("n").as("n0"), col("m").as("m0"), col("v").as("v0"),
+        col("total").as("total_a"))
+    val b = stats.filter(col("grp") === 1)
+      .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"),
+        col("total").as("total_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se2", col("v0") / col("n0") + col("v1") / col("n1"))
+      .select(
+        col("n0").cast("long").as("n_a"), col("n1").cast("long").as("n_b"),
+        col("total_a"), col("total_b"),
+        round((col("m1") - col("m0")) / sqrt(col("se2")), 4).as("t_stat"),
+        round(pow(col("se2"), 2) /
+          (pow(col("v0") / col("n0"), 2) / (col("n0") - 1) +
+           pow(col("v1") / col("n1"), 2) / (col("n1") - 1)), 4).as("welch_df"),
+        round(col("m1") / col("m0") - 1.0, 4).as("lift"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ab_test"        -> qAbTest,
     "q_attribution"    -> qAttribution,
     "q_event_paths"    -> qEventPaths,
     "q_gapfill"        -> qGapfill,
@@ -519,6 +554,25 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH t AS (SELECT
+        |    ('0x' || substr(md5('ab#' || user_id),1,15))::BIGINT % 2 AS grp,
+        |    value FROM events),
+        |s AS (SELECT grp, count(*) * 1.0 AS n, avg(value) AS m,
+        |      var_samp(value) AS v, round(sum(value), 2) AS total
+        |  FROM t GROUP BY 1),
+        |a AS (SELECT n AS n0, m AS m0, v AS v0, total AS total_a FROM s
+        |      WHERE grp = 0),
+        |b AS (SELECT n AS n1, m AS m1, v AS v1, total AS total_b FROM s
+        |      WHERE grp = 1)
+        |SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+        |  total_a, total_b,
+        |  round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4) AS t_stat,
+        |  round(pow(v0 / n0 + v1 / n1, 2) /
+        |    (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1)), 4)
+        |    AS welch_df,
+        |  round(m1 / m0 - 1.0, 4) AS lift
+        |FROM a, b""".stripMargin,
     "q_attribution" ->
       """WITH c AS (SELECT user_id AS cu, epoch_us(ts) AS tc FROM events
         |           WHERE event_type = 'click'),

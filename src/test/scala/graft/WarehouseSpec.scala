@@ -502,6 +502,34 @@ class WarehouseSpec extends AnyFunSuite {
     assert(math.abs(got0 - want) < 1e-4, s"$got0 vs $want")
   }
 
+  test("ab test matches a brute-force Welch computation") {
+    val got = EventsPack.qAbTest(spark, TestSpark.sf)
+      .select("n_a", "n_b", "t_stat", "welch_df", "lift")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("value")).as[(Long, Double)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def grp(u: Long): Long = {
+      val h = md.digest(s"ab#$u".getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16) % 2
+    }
+    val (g0, g1) = rows.partition(r => grp(r._1) == 0)
+    def mv(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (m0, v0) = mv(g0.map(_._2)); val (m1, v1) = mv(g1.map(_._2))
+    val n0 = g0.length.toDouble; val n1 = g1.length.toDouble
+    assert(got._1 == g0.length && got._2 == g1.length)
+    val se2 = v0 / n0 + v1 / n1
+    assert(math.abs(got._3 - (m1 - m0) / math.sqrt(se2)) < 1e-3)
+    val df = se2 * se2 /
+      (v0 * v0 / (n0 * n0 * (n0 - 1)) + v1 * v1 / (n1 * n1 * (n1 - 1)))
+    assert(math.abs(got._4 - df) < 0.1, s"${got._4} vs $df")
+    assert(math.abs(got._5 - (m1 / m0 - 1.0)) < 1e-3)
+  }
+
   test("length histogram buckets cover every doc exactly once") {
     val h = TextPack.qLengthHist(spark, TestSpark.sf)
     val n = h.agg(sum("n_docs")).as[Long].head()
