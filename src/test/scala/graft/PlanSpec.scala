@@ -38,6 +38,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_ann_cosine").contains("WindowGroupLimit"))
   }
 
+  test("bm25 is single-scan: no Exchange on the doc key between tf and dl") {
+    // dl rides the tf rows, so the only doc-side shuffle is the
+    // (doc, dl, term) aggregate; a join back to a second scan of
+    // documents would add a SortMergeJoin on doc_id
+    val p = plan("q_bm25")
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+    assert(p.contains("BroadcastHashJoin"), p.take(900)) // df + stats sides
+  }
+
+  test("semdedup broadcasts the centroid relation, never shuffles it") {
+    val p = plan("q_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(900))
+  }
+
+  test("inverted-index posting cap plans as WindowGroupLimit") {
+    assert(plan("q_inverted_index").contains("WindowGroupLimit"))
+  }
+
+  test("event paths top-k plans as TakeOrderedAndProject") {
+    assert(plan("q_event_paths").contains("TakeOrderedAndProject"))
+  }
+
   test("LSH hot-bucket guards plan as broadcast anti-joins, not shuffle joins") {
     // the r2 regression shape: re-joining the (~everything) keep set
     // added two shuffles per dedup query; the guard must stay a
