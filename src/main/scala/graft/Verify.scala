@@ -8,6 +8,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(sf, out)        => (sf, out, None)
       case Array(sf, out, names) => (sf, out, Some(names.split(",").toSet))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [name,name,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

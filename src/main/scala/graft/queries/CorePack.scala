@@ -441,7 +441,10 @@ object CorePack extends QueryPack {
     * Dims (nation, region, supplier, customer) broadcast; the only
     * fact-fact join is orders⋈lineitem on the order key. The
     * same-nation predicate rides the supplier join, so no post-join
-    * filter blows up the intermediate. */
+    * filter blows up the intermediate. Revenue emits as an e4-scaled
+    * integer sum (each product rounds to the 1e-4 grid per row, then
+    * sums as longs) — a float sum rounded at the integer boundary can
+    * land exactly on .5 and flip with merge order. */
   def q5LocalVolume(s: SparkSession, d: String): DataFrame = {
     val asiaNations = Tables.nation(s, d)
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
@@ -455,9 +458,10 @@ object CorePack extends QueryPack {
         col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
-        .as("revenue"), count(lit(1)).as("n_items"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
   }
 
   /** TPC-H Q17 shape — small-quantity-order revenue: lineitems under
@@ -630,7 +634,8 @@ object CorePack extends QueryPack {
         |ORDER BY check_name""".stripMargin,
     "q5_local_volume" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |   AS BIGINT)) AS BIGINT) AS revenue_e4,
         | count(*) AS n_items
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -639,7 +644,7 @@ object CorePack extends QueryPack {
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+        |GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""".stripMargin,
     "q17_small_qty" ->
       """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
         |li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem

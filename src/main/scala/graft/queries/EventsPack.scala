@@ -395,11 +395,14 @@ object EventsPack extends QueryPack {
       .filter(col("tp") >= col("t0"))
       .groupBy(col("user_id"), col("t0"))
       .agg(min(col("tp")).as("tp1"))
-      .select(((col("tp1") - col("t0")) / 1e6).as("lag_sec"))
+      .select((col("tp1") - col("t0")).as("lag_us"),
+        ((col("tp1") - col("t0")) / 1e6).as("lag_sec"))
       .agg(count(lit(1)).as("n_converted"),
         round(expr("percentile(lag_sec, 0.5)"), 2).as("p50_sec"),
         round(expr("percentile(lag_sec, 0.9)"), 2).as("p90_sec"),
-        round(avg(col("lag_sec")), 2).as("avg_sec"))
+        // exact integer-microsecond sum, not a rounded float mean —
+        // order-independent across both engines' parallel merges
+        sum(col("lag_us")).as("sum_lag_us"))
   }
 
   /** Time-series GAP-FILL — resample each user's value stream to an
@@ -468,7 +471,10 @@ object EventsPack extends QueryPack {
     * and last-touch click strictly before it (the marketing
     * attribution join). The click⋈purchase pairing shuffles on the
     * user key only; per-user pair volume is bounded by the per-user
-    * event count, never the log size. Summarized per user. */
+    * event count, never the log size. Summarized per user. Lags emit
+    * as exact integer-microsecond SUMS (plus the count), not rounded
+    * means — a rounded mean of grid values is the half-boundary class
+    * that flips under parallel float merge order. */
   def qAttribution(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
@@ -484,8 +490,8 @@ object EventsPack extends QueryPack {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
         sum(when(col("last_tc").isNotNull, 1L).otherwise(0L)).as("n_attributed"),
-        round(avg((col("tp") - col("last_tc")) / 1e6), 2).as("avg_lag_last_sec"),
-        round(avg((col("tp") - col("first_tc")) / 1e6), 2).as("avg_lag_first_sec"))
+        sum(col("tp") - col("last_tc")).as("sum_lag_last_us"),
+        sum(col("tp") - col("first_tc")).as("sum_lag_first_us"))
       .orderBy(col("user_id"))
   }
 
@@ -585,8 +591,8 @@ object EventsPack extends QueryPack {
         |SELECT user_id, count(*) AS n_purchases,
         |  CAST(sum(CASE WHEN last_tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_attributed,
-        |  round(avg((tp - last_tc) / 1e6), 2) AS avg_lag_last_sec,
-        |  round(avg((tp - first_tc) / 1e6), 2) AS avg_lag_first_sec
+        |  CAST(sum(tp - last_tc) AS BIGINT) AS sum_lag_last_us,
+        |  CAST(sum(tp - first_tc) AS BIGINT) AS sum_lag_first_us
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_event_paths" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
@@ -647,13 +653,14 @@ object EventsPack extends QueryPack {
         |            WHERE event_type = 'signup' GROUP BY 1),
         |pu AS (SELECT user_id, epoch_us(ts) AS tp FROM events
         |       WHERE event_type = 'purchase'),
-        |conv AS (SELECT su.user_id, (min(tp) - t0) / 1e6 AS lag_sec
+        |conv AS (SELECT su.user_id, min(tp) - t0 AS lag_us,
+        |           (min(tp) - t0) / 1e6 AS lag_sec
         |         FROM su JOIN pu ON su.user_id = pu.user_id AND tp >= t0
         |         GROUP BY su.user_id, t0)
         |SELECT count(*) AS n_converted,
         |  round(quantile_cont(lag_sec, 0.5), 2) AS p50_sec,
         |  round(quantile_cont(lag_sec, 0.9), 2) AS p90_sec,
-        |  round(avg(lag_sec), 2) AS avg_sec
+        |  CAST(sum(lag_us) AS BIGINT) AS sum_lag_us
         |FROM conv""".stripMargin,
     "q_scd2" ->
       """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,

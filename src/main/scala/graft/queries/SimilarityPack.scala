@@ -289,18 +289,48 @@ object SimilarityPack extends QueryPack {
   /** Per-dimension QUANTILE NORMALIZATION — each embedding component
     * rank-transformed to [0,1] within its dimension (the
     * distribution-free feature preprocessing step); emitted for one
-    * probe vector so the output stays bounded. One percent_rank
-    * window per dimension key — parallelism is the dimensionality,
-    * per-partition state the corpus slice of one dimension (at
-    * extreme scale the exact rank swaps for the quantile-sketch CDF,
-    * the `q_sketch_quantile` path). */
+    * probe vector so the output stays bounded.
+    *
+    * TWO-PHASE EXACT RANK, not `percent_rank over (partition by pos)`:
+    * the single-window form puts the corpus's entire per-dimension
+    * column in ONE task (64 partitions each of corpus size at 100x).
+    * Instead: (1) a partial+final sketch aggregate fits ~32 coarse CDF
+    * edges per dimension (accuracy is irrelevant — only monotonicity
+    * is used); (2) each row buckets by `#edges < x`, a function of x
+    * alone, so ties co-bucket and bucketing is monotone; (3) bucket
+    * counts cumsum into exclusive offsets over a <=32-rows-per-dim
+    * relation; (4) min-rank within the (pos, bucket) slice — each
+    * window partition now holds ~1/32 of a dimension, and the bucket
+    * fan-out widens with corpus size. offset + local rank is exactly
+    * the global min-rank, so the emitted values are bit-identical to
+    * the exact window (the DuckDB oracle still says percent_rank). */
   def qQuantileNorm(s: SparkSession, d: String): DataFrame = {
     val e = embSpread(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         col("x").cast("double").as("x"))
-    e.withColumn("qn", percent_rank().over(
-        Window.partitionBy(col("pos")).orderBy(col("x"))))
+    val pcts = array((1 until 32).map(i => lit(i / 32.0)): _*)
+    val edges = e.groupBy(col("pos")).agg(
+      percentile_approx(col("x"), pcts, lit(1000)).as("edges"),
+      count(lit(1)).as("n_pos"))
+    val bucketed = e.join(broadcast(edges), Seq("pos"))
+      .withColumn("bkt", size(filter(col("edges"), ed => ed < col("x"))))
+      .drop("edges")
+    // exclusive per-dim offset: rows in strictly-lower buckets all have
+    // strictly smaller x (bucketing is monotone), so offset + local
+    // min-rank = global min-rank
+    val offs = bucketed.groupBy(col("pos"), col("bkt"))
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("off", coalesce(
+        sum(col("nb")).over(Window.partitionBy(col("pos")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pos"), col("bkt"), col("off"))
+    bucketed.join(broadcast(offs), Seq("pos", "bkt"))
+      .withColumn("rk", rank().over(
+        Window.partitionBy(col("pos"), col("bkt")).orderBy(col("x"))))
+      .withColumn("qn", when(col("n_pos") > 1,
+        (col("off") + col("rk") - 1).cast("double") / (col("n_pos") - 1))
+        .otherwise(lit(0.0)))
       .filter(col("vec_id") === 0)
       .select(col("pos"), round(col("x"), 6).as("x"), round(col("qn"), 6).as("qn"))
       .orderBy(col("pos"))

@@ -212,8 +212,15 @@ object TextPack extends QueryPack {
     * as the pair table: three consumers, one banded self-join. */
   private def sharedMinhashCandidates(s: SparkSession, d: String): DataFrame =
     memoizedTable(s, d, "mhcand") { out =>
-      minhashBandedPairs(minhashSignatures(s, d), DefaultMaxBucket)
+      // the persist is scoped to this one materializing action: the
+      // stacked relation feeds the hot-bucket aggregate and both
+      // self-join sides, then unpersists (no leaked cached relation
+      // per JVM — the pairs-table build does the same)
+      val stacked = bandedStack(minhashSignatures(s, d)).persist()
+      minhashBandedPairs(stacked, DefaultMaxBucket)
         .write.mode("overwrite").parquet(out)
+      stacked.unpersist()
+      ()
     }
 
   /** Force the shared tables for `d` to exist. Bench calls this
@@ -255,30 +262,37 @@ object TextPack extends QueryPack {
 
   /** MinHash-LSH candidate pairs, with the hot-bucket cap applied
     * before the self-join (`maxBucket` members per (band, signature)
-    * bucket; default no-op at fixture scale). */
+    * bucket; default no-op at fixture scale). Unpersisted plan — the
+    * shared-table build is the path that persists the stack for its
+    * one materializing action; direct callers (tests, cap probes)
+    * take the recompute instead of leaking a cached relation. */
   def minhashCandidates(s: SparkSession, d: String,
                         maxBucket: Long = DefaultMaxBucket): DataFrame =
-    minhashBandedPairs(minhashSignatures(s, d), maxBucket)
+    minhashBandedPairs(bandedStack(minhashSignatures(s, d)), maxBucket)
       .orderBy(col("a"), col("b"))
 
-  /** Distinct candidate pairs (a < b) from a signature frame — the ONE
+  /** The (doc_id, band, sg) unpivot of the 8 band signatures — read by
+    * the hot-bucket aggregate and both self-join sides, so eager
+    * callers persist it for the duration of their one action. */
+  private def bandedStack(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 8).map(b =>
+      concat_ws(",", element_at(col("mh"), 2 * b + 1).cast("string"),
+        element_at(col("mh"), 2 * b + 2).cast("string")).as(s"sg_$b"))
+    // Unpivot the 8 band signatures to (doc_id, band, sg) rows; find
+    // candidates with ONE equi-join on (band, sg).
+    val stackExpr = "stack(8, " +
+      (0 until 8).map(b => s"$b, sg_$b").mkString(", ") + ") AS (band, sg)"
+    sigs.select((col("doc_id") +: bandCols): _*)
+      .selectExpr("doc_id", stackExpr)
+  }
+
+  /** Distinct candidate pairs (a < b) from a banded stack — the ONE
     * banded equi-join both [[qMinhashLsh]] and [[qMinhashEst]] use
     * (DOC-LOCAL signatures from the fused MinHashSig kernel; the old
     * explode(shingles) → groupBy(doc) 16-min-column agg shuffled every
     * shingle hash). Shuffle keys are bucket ids, never doc pairs, and
     * the hot-bucket cap rides along (the 100 TB-safe shape). */
-  private def minhashBandedPairs(sigs: DataFrame, maxBucket: Long): DataFrame = {
-    val bandCols = (0 until 8).map(b =>
-      concat_ws(",", element_at(col("mh"), 2 * b + 1).cast("string"),
-        element_at(col("mh"), 2 * b + 2).cast("string")).as(s"sg_$b"))
-    // Unpivot the 8 band signatures to (doc_id, band, sg) rows and find
-    // candidates with ONE equi-join on (band, sg).
-    val stackExpr = "stack(8, " +
-      (0 until 8).map(b => s"$b, sg_$b").mkString(", ") + ") AS (band, sg)"
-    val stacked = sigs
-      .select((col("doc_id") +: bandCols): _*)
-      .selectExpr("doc_id", stackExpr)
-      .persist() // reused by both self-join sides
+  private def minhashBandedPairs(stacked: DataFrame, maxBucket: Long): DataFrame = {
     // hot-bucket cap: a degenerate (band, sg) bucket of n members
     // would emit n^2/2 candidate rows. The HOT bucket list (count >
     // maxBucket) is tiny-or-empty by definition, so the cap is a
@@ -792,10 +806,13 @@ object TextPack extends QueryPack {
       .orderBy(col("lang"), col("lang_pred"))
 
   /** TF-IDF top terms per document (rank-cut W3 over a text-derived
-    * score): tf from the word stream, df via a window over the
-    * (doc, term) relation, idf = ln(N/df); top-3 by rounded score with
-    * a term tie-break (scores tie whenever (tf, df) does, so the
-    * ordering must be pinned for engine stability). */
+    * score): tf from the word stream, df as a partial+final groupBy on
+    * term joined back (NOT count-over-window(term): a stopword term's
+    * window partition is a corpus-fraction in one task at scale, while
+    * the agg is map-side-combined and skew-immune), idf = ln(N/df);
+    * top-3 by rounded score with a term tie-break (scores tie whenever
+    * (tf, df) does, so the ordering must be pinned for engine
+    * stability). */
   def qTfidfTop(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
@@ -803,8 +820,11 @@ object TextPack extends QueryPack {
     val tf = docsSpread(s, d)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, term), so count-per-term IS document
+    // frequency; the vocabulary-sized df relation joins back on term.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(df, Seq("term"))
       .crossJoin(broadcast(nd))
       .withColumn("score",
         round(col("tf") * log(col("nd").cast("double") / col("df")), 6))
@@ -1024,10 +1044,15 @@ object TextPack extends QueryPack {
     val nCand = cand.agg(count(lit(1)).as("n_cand"))
     val nHit = truePairs.join(cand, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
+    // explicit zero-denominator guards: a corpus with no >=0.5 pairs
+    // (or no banding candidates) must emit NULL in BOTH engines —
+    // Spark and DuckDB disagree on float x/0 semantics otherwise
     nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
       .select(col("n_true"), col("n_cand"), col("n_hit"),
-        round(col("n_hit") / col("n_true"), 6).as("recall"),
-        round(col("n_hit") / col("n_cand"), 6).as("precision"))
+        when(col("n_true") > 0, round(col("n_hit") / col("n_true"), 6))
+          .as("recall"),
+        when(col("n_cand") > 0, round(col("n_hit") / col("n_cand"), 6))
+          .as("precision"))
   }
 
   /** Near-dup GRAPH analytics — node/edge/degree/triangle statistics
@@ -1233,10 +1258,13 @@ object TextPack extends QueryPack {
         |SELECT (SELECT count(*) FROM tp) AS n_true,
         |  (SELECT count(*) FROM cand) AS n_cand,
         |  (SELECT count(*) FROM hit) AS n_hit,
-        |  round((SELECT count(*) FROM hit) * 1.0 /
-        |        (SELECT count(*) FROM tp), 6) AS recall,
-        |  round((SELECT count(*) FROM hit) * 1.0 /
-        |        (SELECT count(*) FROM cand), 6) AS precision""".stripMargin,
+        |  CASE WHEN (SELECT count(*) FROM tp) > 0
+        |    THEN round((SELECT count(*) FROM hit) * 1.0 /
+        |               (SELECT count(*) FROM tp), 6) END AS recall,
+        |  CASE WHEN (SELECT count(*) FROM cand) > 0
+        |    THEN round((SELECT count(*) FROM hit) * 1.0 /
+        |               (SELECT count(*) FROM cand), 6) END AS precision"""
+        .stripMargin,
     "q_inverted_index" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
         |           FROM documents),

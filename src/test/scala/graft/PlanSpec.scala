@@ -170,6 +170,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf df is an agg+join on term, never a window partitioned on term") {
+    // count-over-window(term) puts a stopword's full posting slice in
+    // one task; df must come from a partial+final aggregate. The only
+    // surviving window is the per-doc rank (partitioned on doc_id).
+    val p = plan("q_tfidf_top")
+    assert(!p.contains("windowspecdefinition(term"), p.take(1500))
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(1500))
+  }
+
+  test("quantile-norm ranks inside (pos, bucket) slices, never a full dim window") {
+    // the exact-rank swap: no percent_rank over (partition by pos) —
+    // the corpus-data window must carry the bucket key so no task ever
+    // holds a full dimension slice (the pos-only cumsum window runs on
+    // the <=32-rows-per-dim bucket-count relation, which is fine)
+    val p = plan("q_quantile_norm")
+    assert(!p.contains("percent_rank"), p.take(1500))
+    assert("windowspecdefinition\\(pos#\\d+L?, bkt#".r.findFirstIn(p).isDefined,
+      p.take(1500))
+  }
+
   test("nearest centroid broadcasts the centroid relation") {
     val p = plan("q_nearest_centroid")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -163,7 +163,7 @@ class WarehouseSpec extends AnyFunSuite {
 
   test("conversion lag matches a brute-force first-signup/first-purchase pass") {
     val got = EventsPack.qConversionLag(spark, TestSpark.sf)
-      .select("n_converted", "avg_sec").as[(Long, Double)].head()
+      .select("n_converted", "sum_lag_us").as[(Long, Long)].head()
     val rows = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
       .as[(Long, String, Long)].collect()
@@ -173,11 +173,11 @@ class WarehouseSpec extends AnyFunSuite {
       else {
         val t0 = signups.min
         val ps = es.filter(e => e._2 == "purchase" && e._3 >= t0).map(_._3)
-        if (ps.isEmpty) None else Some((ps.min - t0) / 1e6)
+        if (ps.isEmpty) None else Some(ps.min - t0)
       }
     }
     assert(got._1 == lags.length)
-    assert(math.abs(got._2 - lags.sum / lags.length) < 0.02)
+    assert(got._2 == lags.sum) // exact integer micros, no tolerance needed
   }
 
   test("unigram entropy is bounded by ln(n_types) and matches brute force") {
@@ -272,8 +272,9 @@ class WarehouseSpec extends AnyFunSuite {
       .join(Tables.supplier(spark, TestSpark.sf), col("l_suppkey") === col("s_suppkey"))
       .filter(col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
-        .as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
@@ -429,8 +430,8 @@ class WarehouseSpec extends AnyFunSuite {
 
   test("attribution: attributed count never exceeds purchases; lag positive") {
     val a = EventsPack.qAttribution(spark, TestSpark.sf)
-      .select("n_purchases", "n_attributed", "avg_lag_last_sec")
-      .as[(Long, Long, Option[Double])].collect()
+      .select("n_purchases", "n_attributed", "sum_lag_last_us")
+      .as[(Long, Long, Option[Long])].collect()
     assert(a.nonEmpty)
     a.foreach { case (np, na, lag) =>
       assert(na <= np)
