@@ -35,13 +35,23 @@ object InfoTheory {
     * with the margins as window sums over the (tiny) joint relation —
     * the base table is scanned exactly once, vs. four scans for the
     * naive three-entropy composition.
+    *
+    * With `norm = true` the metric is divided by the joint entropy
+    * H(X,Y) (`distance_func.py:18-21`), mapping it into [0, 1]; the
+    * extra entropy term rides the same single aggregation, so the plan
+    * shape is unchanged.
     */
-  def variationOfInformation(joint: DataFrame): DataFrame =
-    joint
+  def variationOfInformation(joint: DataFrame, norm: Boolean = false): DataFrame = {
+    val staged = joint
       .withColumn("tot", sum(col("n")).over(Window.partitionBy()).cast("double"))
       .withColumn("mx", sum(col("n")).over(Window.partitionBy(col("bi"))).cast("double"))
       .withColumn("my", sum(col("n")).over(Window.partitionBy(col("bj"))).cast("double"))
-      .agg(round(sum((col("n") / col("tot")) *
-        (log(col("mx") / col("tot")) + log(col("my") / col("tot"))
-          - lit(2) * log(col("n") / col("tot")))), 6).as("vi"))
+    val vi = sum((col("n") / col("tot")) *
+      (log(col("mx") / col("tot")) + log(col("my") / col("tot"))
+        - lit(2) * log(col("n") / col("tot"))))
+    if (norm) {
+      val hxy = -sum((col("n") / col("tot")) * log(col("n") / col("tot")))
+      staged.agg(round(vi / hxy, 6).as("vi_norm"))
+    } else staged.agg(round(vi, 6).as("vi"))
+  }
 }

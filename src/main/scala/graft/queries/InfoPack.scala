@@ -26,6 +26,15 @@ object InfoPack extends QueryPack {
       InfoTheory.histogram2d(Tables.lineitem(s, d),
         col("l_quantity"), col("l_discount"), 1, 50, 0, 0.1, 5))
 
+  /** A10 — normalized variation of information VI / H(X,Y)
+    * (`distance_func.py:18-21`, the `norm=True` arm the notebook's
+    * clustering cells use for a [0,1]-bounded feature distance). */
+  def qViNorm(s: SparkSession, d: String): DataFrame =
+    InfoTheory.variationOfInformation(
+      InfoTheory.histogram2d(Tables.lineitem(s, d),
+        col("l_quantity"), col("l_discount"), 1, 50, 0, 0.1, 5),
+      norm = true)
+
   private def components(s: SparkSession, d: String, nPos: Int): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
@@ -125,6 +134,7 @@ object InfoPack extends QueryPack {
     "q_corr_matrix"   -> qCorrMatrix,
     "q_hist2d"        -> qHist2d,
     "q_vi"            -> qVi,
+    "q_vi_norm"       -> qViNorm,
     "q_pairwise_corr" -> qPairwiseCorr,
     "q_pairwise_vi"   -> qPairwiseVi,
     "q_embed_norm"    -> qEmbedNorm,
@@ -156,6 +166,20 @@ object InfoPack extends QueryPack {
         |my AS (SELECT bj, sum(c) AS c FROM joint GROUP BY 1),
         |hy AS (SELECT -sum((c / n) * ln(c / n)) AS h FROM my, tot)
         |SELECT round(2 * hxy.h - hx.h - hy.h, 6) AS vi FROM hxy, hx, hy""".stripMargin,
+    "q_vi_norm" ->
+      """WITH b AS (
+        |  SELECT CAST(least(4, floor((l_quantity - 1) / 49.0 * 5)) AS BIGINT) AS bi,
+        |    CAST(least(4, floor((l_discount - 0) / 0.1 * 5)) AS BIGINT) AS bj
+        |  FROM lineitem),
+        |joint AS (SELECT bi, bj, count(*) AS c FROM b GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM joint),
+        |hxy AS (SELECT -sum((c / n) * ln(c / n)) AS h FROM joint, tot),
+        |mx AS (SELECT bi, sum(c) AS c FROM joint GROUP BY 1),
+        |hx AS (SELECT -sum((c / n) * ln(c / n)) AS h FROM mx, tot),
+        |my AS (SELECT bj, sum(c) AS c FROM joint GROUP BY 1),
+        |hy AS (SELECT -sum((c / n) * ln(c / n)) AS h FROM my, tot)
+        |SELECT round((2 * hxy.h - hx.h - hy.h) / hxy.h, 6) AS vi_norm
+        |FROM hxy, hx, hy""".stripMargin,
     "q_pairwise_corr" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,

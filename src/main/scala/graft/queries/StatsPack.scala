@@ -59,6 +59,59 @@ object StatsPack extends QueryPack {
       ), 6).as("dcor"))
   }
 
+  /** A11 `pval=True` arm — permutation p-value for distance correlation
+    * (`distance_func.py:63-71`: shuffle y, recompute dcor, p = share of
+    * permuted dcor STRICTLY greater than observed; the reference runs
+    * 500 np.random shuffles, here K=20 DETERMINISTIC md5-hash
+    * permutations so the whole test is reproducible in any engine).
+    * All 21 statistics (observed + 20 permuted) ride ONE plan: the
+    * permutation id k is just another partition key on the pair
+    * relation, so Spark evaluates the k=0..20 double-centerings as a
+    * single windowed scan of 21·n² bounded-sample rows — the
+    * distributed analogue of the reference's driver loop. */
+  def qDcorPval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val base = Tables.lineitem(s, d)
+      .orderBy(ord: _*).limit(100)
+      .select(row_number().over(Window.orderBy(ord: _*)).as("i"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val ks = (1 to 20).toDF("k")
+    // permutation k sends position i to the rank of md5(k_i) — a
+    // deterministic Fisher-Yates substitute both engines agree on
+    val perm = base.select(col("i")).crossJoin(broadcast(ks))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("k"))
+        .orderBy(md5(concat_ws("_", col("k"), col("i"))), col("i"))))
+    val shuffled = perm
+      .join(base.select(col("i"), col("x")), "i")
+      .join(base.select(col("i").as("iy"), col("y")), col("rnk") === col("iy"))
+      .select(col("k"), col("i"), col("x"), col("y"))
+    val all = base.select(lit(0).as("k"), col("i"), col("x"), col("y"))
+      .unionByName(shuffled)
+    val b = all.select(col("k").as("k2"), col("i").as("j"),
+      col("x").as("xj"), col("y").as("yj"))
+    val pairs = all.join(b, col("k") === col("k2"))
+      .select(col("k"), col("i"), col("j"),
+        abs(col("x") - col("xj")).as("ax"), abs(col("y") - col("yj")).as("ay"))
+    val wi = Window.partitionBy(col("k"), col("i"))
+    val wj = Window.partitionBy(col("k"), col("j"))
+    val wK = Window.partitionBy(col("k"))
+    val centered = pairs
+      .withColumn("cax", col("ax") - avg(col("ax")).over(wi)
+        - avg(col("ax")).over(wj) + avg(col("ax")).over(wK))
+      .withColumn("cay", col("ay") - avg(col("ay")).over(wi)
+        - avg(col("ay")).over(wj) + avg(col("ay")).over(wK))
+    val dcors = centered.groupBy(col("k"))
+      .agg(sqrt(avg(col("cax") * col("cay"))
+        / sqrt(avg(col("cax") * col("cax")) * avg(col("cay") * col("cay")))).as("dc"))
+    val obs = dcors.filter(col("k") === 0).select(col("dc").as("obs"))
+    dcors.filter(col("k") > 0).crossJoin(broadcast(obs))
+      .agg(round(max(col("obs")), 6).as("dcor"),
+        sum(when(col("dc") > col("obs"), 1L).otherwise(0L)).as("n_greater"),
+        count(lit(1)).as("n_perm"))
+      .withColumn("pval", col("n_greater").cast("double") / col("n_perm"))
+  }
+
   /** M10-shaped additive attribution for a closed-form model: OLS
     * y ~ x1 + x2 fit AS AGGREGATION (normal equations from var/cov
     * aggregates — the "fit" is itself a relational query), then
@@ -355,6 +408,7 @@ object StatsPack extends QueryPack {
     "q_count_distinct" -> qCountDistinct,
     "q_era_parse"      -> qEraParse,
     "q_dcor"           -> qDcor,
+    "q_dcor_pval"      -> qDcorPval,
     "q_maxcorr"        -> qMaxcorr,
     "q_ace_corr"       -> qAceCorr,
     "q_ols_contrib"    -> qOlsContrib,
@@ -502,6 +556,39 @@ object StatsPack extends QueryPack {
         |SELECT round(sqrt(avg(cax * cay)
         |  / sqrt(avg(cax * cax) * avg(cay * cay))), 6) AS dcor
         |FROM centered""".stripMargin,
+    "q_dcor_pval" ->
+      """WITH base AS (
+        |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS i,
+        |    l_quantity AS x, l_extendedprice AS y
+        |  FROM (SELECT * FROM lineitem
+        |        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 100)),
+        |ks AS (SELECT unnest(range(1, 21)) AS k),
+        |perm AS (SELECT k, i,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY md5(concat_ws('_', k, i)), i) AS rnk
+        |  FROM base, ks),
+        |shuffled AS (SELECT p.k, p.i, xs.x, ys.y
+        |  FROM perm p JOIN base xs ON p.i = xs.i JOIN base ys ON p.rnk = ys.i),
+        |allk AS (SELECT 0 AS k, i, x, y FROM base
+        |         UNION ALL SELECT k, i, x, y FROM shuffled),
+        |pairs AS (SELECT a.k, a.i, b.i AS j,
+        |    abs(a.x - b.x) AS ax, abs(a.y - b.y) AS ay
+        |  FROM allk a JOIN allk b ON a.k = b.k),
+        |centered AS (SELECT k,
+        |    ax - avg(ax) OVER (PARTITION BY k, i) - avg(ax) OVER (PARTITION BY k, j)
+        |      + avg(ax) OVER (PARTITION BY k) AS cax,
+        |    ay - avg(ay) OVER (PARTITION BY k, i) - avg(ay) OVER (PARTITION BY k, j)
+        |      + avg(ay) OVER (PARTITION BY k) AS cay
+        |  FROM pairs),
+        |dc AS (SELECT k, sqrt(avg(cax * cay)
+        |    / sqrt(avg(cax * cax) * avg(cay * cay))) AS dc
+        |  FROM centered GROUP BY 1),
+        |obs AS (SELECT dc AS obs FROM dc WHERE k = 0)
+        |SELECT round(max(obs), 6) AS dcor,
+        |  CAST(sum(CASE WHEN dc.dc > obs THEN 1 ELSE 0 END) AS BIGINT) AS n_greater,
+        |  count(*) AS n_perm,
+        |  CAST(sum(CASE WHEN dc.dc > obs THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pval
+        |FROM dc, obs WHERE dc.k > 0""".stripMargin,
     "q_ols_contrib" ->
       """WITH li AS (SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y FROM lineitem),
         |stats AS (
