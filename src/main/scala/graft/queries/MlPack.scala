@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.{Clustering, CrossVal, FeatureSelection, Scoring, Transform}
+import graft.ml.{Clustering, CrossVal, FeatureSelection, Scoring, Transform, TreeShap}
 
 /** The compound ML macros (SURVEY §2.9) surfaced as driver-checkable
   * queries. MLlib-model results are rows-only checked (a DuckDB oracle
@@ -41,6 +41,37 @@ object MlPack extends QueryPack {
       Seq("vec_id"), k = 2, seed = 42,
       fit = FeatureSelection.rfFitter(featCols, "target", numTrees = 10,
         maxDepth = 4, seed = 42))
+
+  /** M10 — TreeSHAP feature ranking (`feature_selection_numerai
+    * .py:271-288`: `shap.TreeExplainer(model, data=train_x[:1000])`
+    * then mean-|SHAP| per feature, descending). The RF fit is
+    * distributed (MLlib); the explainer runs driver-side over the same
+    * bounded 1000-row sample the reference caps at, with the sample
+    * doubling as the background data exactly as the reference passes
+    * it. Rows-only check (RF split structure is engine-specific);
+    * [[graft.ml.TreeShap]] itself is pinned by TreeShapSpec against a
+    * brute-force subset-enumeration Shapley and model-prediction
+    * additivity. */
+  def qShapRf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.RandomForestRegressor
+    val ff = featureFrame(s, d).orderBy(col("vec_id")).limit(1000)
+    val va = new VectorAssembler()
+      .setInputCols(featCols.toArray).setOutputCol("graft_fv")
+    val model = new RandomForestRegressor()
+      .setFeaturesCol("graft_fv").setLabelCol("target")
+      .setNumTrees(10).setMaxDepth(4).setSeed(42)
+      .fit(va.transform(ff))
+    val sample = ff.select(featCols.map(col): _*).collect()
+      .map(r => Array.tabulate(featCols.length)(r.getDouble))
+    val (phis, base) = TreeShap.forestShap(model, sample, sample, featCols.length)
+    featCols.indices.map { i =>
+      val score = phis.map(p => math.abs(p(i))).sum / phis.length
+      (featCols(i), math.rint(score * 1e6) / 1e6, math.rint(base * 1e6) / 1e6)
+    }.toDF("feature", "score", "base_value")
+      .orderBy(col("score").desc, col("feature"))
+  }
 
   /** M14+M15 — pairwise corr-distance over 8 embedding components
     * (distributed agg) → driver-side agglomerative clustering with
@@ -349,6 +380,7 @@ object MlPack extends QueryPack {
     "q_param_sweep"      -> qParamSweep,
     "q_cv_rf"            -> qCvRf,
     "q_mda_rf"           -> qMdaRf,
+    "q_shap_rf"          -> qShapRf,
     "q_feature_clusters" -> qFeatureClusters,
     "q_standardize"      -> qStandardize,
   )
