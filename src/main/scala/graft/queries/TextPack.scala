@@ -49,10 +49,29 @@ object TextPack extends QueryPack {
     * near-dup shingle universe. At 100 TB one such shingle key alone
     * produces O(df^2) rows out of the candidate equality join — the
     * job-killing hot key — so the floor is applied IN the pipeline,
-    * not just documented. The default is a deliberate no-op at
-    * fixture scale (df <= corpus size << floor), pinned row-equal to
-    * the unguarded pipeline by ShingleGuardSpec. */
-  val DefaultMaxShingleDf: Long = 100000L
+    * not just documented.
+    *
+    * The default floor is SCALE-RELATIVE: boilerplate is df out of
+    * proportion to the corpus, and an absolute constant rots in both
+    * directions (at 1B docs a df-90k shingle still emits ~4×10⁹
+    * candidate pairs under a 100k floor; at 10k docs a 100k floor
+    * never fires at all). max(1000, nDocs/10,000) keeps a df-cap of
+    * ~0.01% of the corpus — at 1B docs that is the old 100k constant,
+    * at fixture scale it resolves to 1000, a provable no-op (max
+    * observed 3-gram df across the fixtures is 25; ShingleGuardSpec
+    * pins row-equality with the unguarded pipeline). Passing `maxDf`
+    * explicitly overrides the heuristic. */
+  def maxShingleDfFor(nDocs: Long): Long = math.max(1000L, nDocs / 10000L)
+
+  /** Sentinel default for `maxDf` parameters: resolve to
+    * [[maxShingleDfFor]] of the corpus doc count at call time. */
+  val ScaleRelativeDf: Long = -1L
+
+  private val docCounts = scala.collection.concurrent.TrieMap[String, Long]()
+
+  private def resolveMaxDf(s: SparkSession, d: String, maxDf: Long): Long =
+    if (maxDf != ScaleRelativeDf) maxDf
+    else maxShingleDfFor(docCounts.getOrElseUpdate(d, Tables.documents(s, d).count()))
 
   /** Bucket size above which an LSH bucket (band signature) is
     * dropped before the candidate self-join: a degenerate bucket
@@ -93,8 +112,8 @@ object TextPack extends QueryPack {
   }
 
   def shingleRelation(s: SparkSession, d: String,
-                      maxDf: Long = DefaultMaxShingleDf): DataFrame =
-    dfFloor(rawShingles(s, d), maxDf)
+                      maxDf: Long = ScaleRelativeDf): DataFrame =
+    dfFloor(rawShingles(s, d), resolveMaxDf(s, d, maxDf))
 
   /** Candidate near-dup pairs (a < b) with raw Jaccard `jacv`:
     * pairs exist only via a shared shingle (never all-pairs),
@@ -113,7 +132,7 @@ object TextPack extends QueryPack {
   }
 
   def jaccardPairs(s: SparkSession, d: String, minJac: Double = 0.05,
-                   maxDf: Long = DefaultMaxShingleDf): DataFrame =
+                   maxDf: Long = ScaleRelativeDf): DataFrame =
     jaccardPairsFrom(shingleRelation(s, d, maxDf), minJac)
 
   private val pairTableDirs = scala.collection.concurrent.TrieMap[String, String]()
@@ -200,7 +219,7 @@ object TextPack extends QueryPack {
       // twice), the guarded relation feeds sizes + both self-join
       // sides of the pair pipeline
       val raw = rawShingles(s, d).persist()
-      val dsh = dfFloor(raw, DefaultMaxShingleDf).persist()
+      val dsh = dfFloor(raw, resolveMaxDf(s, d, ScaleRelativeDf)).persist()
       jaccardPairsFrom(dsh, minJac = 0.05)
         .write.mode("overwrite").parquet(out)
       raw.unpersist()
@@ -425,19 +444,40 @@ object TextPack extends QueryPack {
     * lang alone would funnel a dominant language through one task,
     * and a global cumsum funnels everything. Summarized per
     * (lang, shard, batch). */
-  def qPackBatches(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        pmod(TextOps.hash60(concat_ws("#", lit("pack"), col("doc_id"))),
-          lit(8L)).as("shard"),
-        size(TextOps.words(col("text"))).cast("long").as("toks"))
-      .withColumn("cum", sum(col("toks")).over(w))
-      .withColumn("batch", expr("(cum - toks) DIV 2048"))
+  def qPackBatches(s: SparkSession, d: String): DataFrame =
+    // nShards pinned to the oracle's value; production callers take
+    // the parallelism-relative default
+    packBatches(Tables.documents(s, d), nShards = 8L)
       .groupBy(col("lang"), col("shard"), col("batch"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("toks"))
       .orderBy(col("lang"), col("shard"), col("batch"))
+
+  /** Parallelism-relative default for [[packBatches]]' shard count:
+    * window parallelism should track the cluster, not a constant —
+    * 8 shards on a 1000-executor cluster serializes the cumsum into
+    * 8 tasks per language. Floored at 8 (the fixture/oracle value) so
+    * small sessions keep deterministic small outputs. */
+  def defaultPackShards(s: SparkSession): Long =
+    math.max(8L, s.conf.get("spark.sql.shuffle.partitions", "8").toLong)
+
+  /** The packing operator behind [[qPackBatches]]: per-(lang, shard)
+    * running token count, batch id = tokens-before-this-doc div
+    * budget. Batch assignment is SHARD-LOCAL by construction (the
+    * window never crosses a (lang, shard) boundary), so any shard
+    * count yields a valid packing and the choice only tunes
+    * parallelism — CurationSpec pins shard-locality and budget
+    * compliance. */
+  def packBatches(docs: DataFrame, nShards: Long,
+                  budget: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        pmod(TextOps.hash60(concat_ws("#", lit("pack"), col("doc_id"))),
+          lit(nShards)).as("shard"),
+        size(TextOps.words(col("text"))).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("batch", expr(s"(cum - toks) DIV $budget"))
   }
 
   /** Negative-pair sampling — contrastive-training data: each doc

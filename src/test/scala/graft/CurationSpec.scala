@@ -12,6 +12,43 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("packBatches: batch assignment is shard-local") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    // packing a shard's docs alone equals that shard's slice of the
+    // full packing: the cumsum window never crosses a (lang, shard)
+    // boundary, so shard count only tunes parallelism
+    val full = TextPack.packBatches(docs, nShards = 4L)
+      .select("doc_id", "lang", "shard", "batch")
+    val shardOf = pmod(graft.operators.TextOps.hash60(
+      concat_ws("#", lit("pack"), col("doc_id"))), lit(4L))
+    val alone = TextPack.packBatches(docs.filter(shardOf === 2L), nShards = 4L)
+      .select("doc_id", "lang", "shard", "batch")
+    val slice = full.filter(col("shard") === 2L)
+    assert(alone.except(slice).count() == 0 && slice.except(alone).count() == 0)
+    assert(slice.count() > 0)
+  }
+
+  test("packBatches: every batch respects the token budget (plus one doc overflow)") {
+    // greedy streaming pack: a batch's pre-overflow content is < budget,
+    // so total tokens < budget + its last doc's tokens; with budget
+    // far above any single doc, batch totals stay under 2x budget
+    val budget = 512L
+    val batches = TextPack.packBatches(
+      Tables.documents(spark, TestSpark.sf), nShards = 4L, budget = budget)
+      .groupBy(col("lang"), col("shard"), col("batch"))
+      .agg(sum(col("toks")).as("t"), max(col("toks")).as("mx"))
+      .collect()
+    assert(batches.nonEmpty)
+    batches.foreach { r =>
+      assert(r.getLong(3) < budget + r.getLong(4),
+        s"batch ${r.mkString(",")} exceeds budget+last-doc bound")
+    }
+  }
+
+  test("defaultPackShards floors at the oracle value and tracks parallelism") {
+    assert(TextPack.defaultPackShards(spark) >= 8L)
+  }
+
   test("bloom prefilter never drops a true member (no false negatives)") {
     val keys = (1L to 500L).map(i => i * 7).toDF("k")
     val bf = BloomFunctions.buildKeyFilter(keys, "k", expectedItems = 1000L)

@@ -29,6 +29,45 @@ class ShingleGuardSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  test("scale-relative floor: fixture no-op value, corpus-proportional growth") {
+    // fixture corpora resolve to the 1000 lower bound (max observed
+    // 3-gram df across the fixtures is 25 -> provable no-op, pinned
+    // row-equal above); at curation scale the cap tracks ~0.01% of
+    // the corpus, recovering the old 100k constant at 1B docs
+    assert(TextPack.maxShingleDfFor(500L) == 1000L)
+    assert(TextPack.maxShingleDfFor(5000L) == 1000L)
+    assert(TextPack.maxShingleDfFor(10_000_000L) == 1000L)
+    assert(TextPack.maxShingleDfFor(100_000_000L) == 10000L)
+    assert(TextPack.maxShingleDfFor(1_000_000_000L) == 100000L)
+  }
+
+  test("cap activation on a synthetic hot-shingle corpus") {
+    import spark.implicits._
+    // 30 docs all sharing one boilerplate shingle ("common header x"),
+    // plus per-doc unique content: under maxDf=20 the boilerplate key
+    // is dropped, so only the two engineered near-dup docs (which
+    // also share distinctive shingles) survive as a pair
+    val docs = (0 until 30).map { i =>
+      val unique = s"token$i alpha$i beta$i gamma$i delta$i"
+      val tail = if (i == 28 || i == 29) "shared dup tail words here" else unique
+      (i.toLong, s"common header x $tail")
+    }.toDF("doc_id", "text")
+    val dsh = docs.select(col("doc_id"), explode(array_distinct(
+      graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
+    val hot = dsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 20L).select(col("sh"))
+    val kept = dsh.join(broadcast(hot), Seq("sh"), "left_anti")
+    // the boilerplate prefix shingle (df=30) is gone, unique ones stay
+    assert(hot.count() >= 1)
+    assert(kept.groupBy(col("sh")).count().agg(max(col("count"))).head().getLong(0) <= 20L)
+    // and the dup pair is still discoverable from kept shingles alone
+    val x = kept.select(col("doc_id").as("a"), col("sh"))
+    val y = kept.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    val pairs = x.join(y, col("sh") === col("sh_b") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct().collect()
+    assert(pairs.exists(r => r.getLong(0) == 28L && r.getLong(1) == 29L))
+  }
+
   test("default LSH bucket caps are no-ops at fixture scale") {
     val mhG = TextPack.minhashCandidates(spark, TestSpark.sf)
     val mhU = TextPack.minhashCandidates(spark, TestSpark.sf, maxBucket = Long.MaxValue)
