@@ -138,6 +138,135 @@ object Clustering {
     labels.map(l => if (l == Int.MinValue) -1 else l)
   }
 
+  /** TRUE HDBSCAN over a precomputed distance matrix — the reference's
+    * third scanned algorithm (`feature_clustering.py:108-131`,
+    * hdbscan.HDBSCAN(min_cluster_size, metric='precomputed')),
+    * implemented from the published algorithm (Campello, Moulavi &
+    * Sander 2013; McInnes & Healy 2017): mutual-reachability distances
+    * (core distance = minSamples-th nearest, self included) → Prim MST
+    * → single-linkage dendrogram → condensed tree at minClusterSize →
+    * leave-one-out stability Σ(λ_leave − λ_birth) → excess-of-mass
+    * cluster selection (root excluded, matching the library's
+    * allow_single_cluster=False default). Deterministic: index
+    * tie-breaks in the MST and ascending (weight, i, j) merge order.
+    * Noise is −1; cluster labels are densely renumbered by smallest
+    * member index, same convention as [[agglomerate]]. */
+  def hdbscan(dist: Array[Array[Double]], minClusterSize: Int,
+              minSamples: Int): Array[Int] = {
+    val n = dist.length
+    if (n == 0) return Array.empty
+    val mcs = math.max(2, minClusterSize)
+    val core = Array.tabulate(n) { i =>
+      val row = dist(i).clone().sorted
+      row(math.min(math.max(1, minSamples) - 1, n - 1))
+    }
+    def mreach(i: Int, j: Int): Double =
+      math.max(dist(i)(j), math.max(core(i), core(j)))
+    // Prim over the implicit complete mutual-reachability graph
+    val inTree = Array.fill(n)(false)
+    val dmin = Array.fill(n)(Double.MaxValue)
+    val from = Array.fill(n)(-1)
+    dmin(0) = 0.0
+    val mst = scala.collection.mutable.ArrayBuffer[(Double, Int, Int)]()
+    for (_ <- 0 until n) {
+      val u = (0 until n).filterNot(inTree).minBy(v => (dmin(v), v))
+      inTree(u) = true
+      if (from(u) >= 0)
+        mst += ((dmin(u), math.min(u, from(u)), math.max(u, from(u))))
+      var v = 0
+      while (v < n) {
+        if (!inTree(v)) {
+          val w = mreach(u, v)
+          if (w < dmin(v)) { dmin(v) = w; from(v) = u }
+        }
+        v += 1
+      }
+    }
+    // single-linkage dendrogram: leaves 0..n-1, internal node n+t for
+    // the t-th merge (ascending weight, index tie-break)
+    val nodeA = new Array[Int](n - 1)
+    val nodeB = new Array[Int](n - 1)
+    val nodeD = new Array[Double](n - 1)
+    val setOf = Array.tabulate(2 * n - 1)(identity) // union-find w/ node ids
+    def find(x: Int): Int = if (setOf(x) == x) x else { setOf(x) = find(setOf(x)); setOf(x) }
+    mst.sortBy(e => (e._1, e._2, e._3)).zipWithIndex.foreach {
+      case ((w, a, b), t) =>
+        val (ra, rb) = (find(a), find(b))
+        nodeA(t) = ra; nodeB(t) = rb; nodeD(t) = w
+        setOf(ra) = n + t; setOf(rb) = n + t
+    }
+    val leafCount = new Array[Int](2 * n - 1)
+    (0 until n).foreach(leafCount(_) = 1)
+    (0 until n - 1).foreach(t => leafCount(n + t) = leafCount(nodeA(t)) + leafCount(nodeB(t)))
+    def leaves(node: Int): Seq[Int] =
+      if (node < n) Seq(node)
+      else leaves(nodeA(node - n)) ++ leaves(nodeB(node - n))
+    def lam(d: Double): Double = 1.0 / math.max(d, 1e-12)
+    // condensed tree: clusters carry (birth λ, accumulated stability,
+    // parent cluster, child clusters); each point records the deepest
+    // cluster it fell out of
+    val birth = scala.collection.mutable.ArrayBuffer[Double]()
+    val stab = scala.collection.mutable.ArrayBuffer[Double]()
+    val par = scala.collection.mutable.ArrayBuffer[Int]()
+    val kids = scala.collection.mutable.ArrayBuffer[List[Int]]()
+    val members = scala.collection.mutable.ArrayBuffer[List[Int]]()
+    def newCluster(b: Double, parent: Int): Int = {
+      birth += b; stab += 0.0; par += parent; kids += Nil; members += Nil
+      if (parent >= 0) kids(parent) = (birth.length - 1) :: kids(parent)
+      birth.length - 1
+    }
+    val rootCluster = newCluster(0.0, -1)
+    def fallOut(node: Int, c: Int, l: Double): Unit =
+      leaves(node).foreach { p =>
+        stab(c) += l - birth(c)
+        members(c) = p :: members(c)
+      }
+    def condense(node: Int, c: Int): Unit =
+      if (node < n) fallOut(node, c, lam(0.0)) // singleton survives to λ→∞? no: mcs>=2 ⇒ unreachable
+      else {
+        val t = node - n
+        val l = lam(nodeD(t))
+        val (a, b) = (nodeA(t), nodeB(t))
+        (leafCount(a) >= mcs, leafCount(b) >= mcs) match {
+          case (true, true) => // real split: C ends here, two children born
+            stab(c) += (l - birth(c)) * (leafCount(a) + leafCount(b))
+            condense(a, newCluster(l, c))
+            condense(b, newCluster(l, c))
+          case (true, false) => fallOut(b, c, l); condense(a, c)
+          case (false, true) => fallOut(a, c, l); condense(b, c)
+          case (false, false) => fallOut(a, c, l); fallOut(b, c, l)
+        }
+      }
+    condense(2 * n - 2, rootCluster)
+    // excess-of-mass selection, children before parents (birth strictly
+    // grows downward, so descending birth is a reverse topological order)
+    val nc = birth.length
+    val selected = Array.fill(nc)(false)
+    val selStab = new Array[Double](nc)
+    (0 until nc).sortBy(c => -birth(c)).foreach { c =>
+      val childSum = kids(c).map(selStab).sum
+      if (c != rootCluster && (kids(c).isEmpty || stab(c) > childSum)) {
+        selected(c) = true
+        selStab(c) = stab(c)
+        // deselect every descendant
+        def clear(x: Int): Unit = kids(x).foreach { k => selected(k) = false; clear(k) }
+        clear(c)
+      } else selStab(c) = math.max(stab(c), childSum)
+    }
+    // a point belongs to the selected ancestor (inclusive) of the
+    // cluster it fell from, if any — selected clusters are an antichain
+    val labels = Array.fill(n)(-1)
+    (0 until nc).foreach { c =>
+      var anc = c
+      while (anc >= 0 && !selected(anc)) anc = par(anc)
+      if (anc >= 0) members(c).foreach(labels(_) = anc)
+    }
+    val present = labels.toSeq.distinct.filter(_ >= 0)
+      .sortBy(c => labels.indices.find(labels(_) == c).get)
+    val dense = present.zipWithIndex.toMap
+    labels.map(l => if (l < 0) -1 else dense(l))
+  }
+
   /** The eps heuristic for [[dbscan]] at a given minPts: the median
     * over points of the distance to each point's minPts-th nearest
     * OTHER point (index minPts of the sorted row, self at index 0) —
@@ -162,9 +291,10 @@ object Clustering {
     * here all three algorithm families enter one scan scored by MEAN
     * silhouette (mean/var is unstable as var -> 0 on near-uniform
     * labelings), so the caller gets the best (algorithm, param) pair
-    * in one call. For the density family each k plays HDBSCAN's
-    * min-cluster-size role: minPts = k with the [[epsFor]] k-distance
-    * heuristic. Determinism: ties resolve to the lexicographically
+    * in one call. The density family is the real [[hdbscan]] with k
+    * as min_cluster_size (min_samples = k, the library default
+    * coupling) — exactly the parameter the reference scans.
+    * Determinism: ties resolve to the lexicographically
     * GREATEST algorithm name — concretely "kmedoids" > "density" >
     * "agglomerative" — then the SMALLER k. */
   def optimalClustersScan(dist: Array[Array[Double]],
@@ -173,7 +303,7 @@ object Clustering {
       (name, fit) <- Seq[(String, (Array[Array[Double]], Int) => Array[Int])](
         "agglomerative" -> (agglomerate(_, _)),
         "kmedoids" -> (kMedoids(_, _)),
-        "density" -> ((d, k) => dbscan(d, epsFor(d, k), k)))
+        "density" -> ((d, k) => hdbscan(d, minClusterSize = k, minSamples = k)))
       k <- ks
     } yield {
       val labels = fit(dist, k)

@@ -47,6 +47,49 @@ class ClusteringMultimodalSpec extends AnyFunSuite {
     assert(s1._1 == s2._1 && s1._2 == s2._2 && s1._3.toSeq == s2._3.toSeq)
   }
 
+  test("hdbscan: blobs cluster, isolated point is noise, deterministic") {
+    val n = 9
+    // two 4-point blobs + 1 far outlier; within-blob 0.1, across 1.0
+    val d = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 0.0
+      else if (i == 8 || j == 8) 5.0
+      else if ((i < 4) == (j < 4)) 0.1 else 1.0
+    }
+    val labels = Clustering.hdbscan(d, minClusterSize = 3, minSamples = 3)
+    assert(labels.take(4).toSet.size == 1, labels.mkString(","))
+    assert(labels.slice(4, 8).toSet.size == 1, labels.mkString(","))
+    assert(labels(0) != labels(4))
+    assert(labels(0) >= 0 && labels(4) >= 0)
+    assert(labels(8) == -1)
+    assert(labels.toSeq == Clustering.hdbscan(d, 3, 3).toSeq)
+  }
+
+  test("hdbscan: uniform distances yield no structure (all noise)") {
+    // no density gradient -> the condensed tree is root-only ->
+    // allow_single_cluster=False leaves everything unlabeled
+    val n = 6
+    val d = Array.tabulate(n, n)((i, j) => if (i == j) 0.0 else 1.0)
+    assert(Clustering.hdbscan(d, 2, 2).toSet == Set(-1))
+  }
+
+  test("hdbscan: nested densities prefer the stable fine clusters") {
+    // two tight pairs inside a loose 4-blob, plus a distant tight trio:
+    // stability must pick the trio and the loose blob structure
+    val n = 7
+    val d = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 0.0
+      else if (i < 4 && j < 4) { if ((i < 2) == (j < 2)) 0.1 else 0.4 }
+      else if (i >= 4 && j >= 4) 0.1
+      else 3.0
+    }
+    val labels = Clustering.hdbscan(d, minClusterSize = 2, minSamples = 2)
+    // the trio is one cluster
+    assert(labels.slice(4, 7).toSet.size == 1 && labels(4) >= 0)
+    // the two tight pairs are separated from each other
+    assert(labels(0) == labels(1) && labels(2) == labels(3))
+    assert(labels(0) != labels(4))
+  }
+
   test("dbscan/epsFor degenerate inputs: identical points, tiny n") {
     // all points identical -> every point core -> one cluster, no noise
     val same = Array.fill(4, 4)(0.0)
