@@ -82,7 +82,16 @@ object InfoPack extends QueryPack {
     * distributed half of `pairwise` + `get_optimal_clusters`
     * (`feature_clustering.py:12-36`). One shuffle keyed on the joint
     * histogram cells, margins via windows over the tiny cell relation. */
-  def qPairwiseVi(s: SparkSession, d: String): DataFrame = {
+  def qPairwiseVi(s: SparkSession, d: String): DataFrame =
+    pairwiseVi(s, d, norm = false)
+
+  /** M14 with the `norm=True` distance (`distance_func.py:18-21`) —
+    * the [0,1]-bounded matrix the notebook's clustering cells feed to
+    * `pairwise`; same single windowed pass, one extra entropy term. */
+  def qPairwiseViNorm(s: SparkSession, d: String): DataFrame =
+    pairwiseVi(s, d, norm = true)
+
+  private def pairwiseVi(s: SparkSession, d: String, norm: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
@@ -95,15 +104,19 @@ object InfoPack extends QueryPack {
       .groupBy(col("pa"), col("pb"), col("ba"), col("bb"))
       .agg(count(lit(1)).as("n"))
     val pair = Seq(col("pa"), col("pb"))
-    joint
+    val staged = joint
       .withColumn("tot", sum(col("n")).over(Window.partitionBy(pair: _*)).cast("double"))
       .withColumn("mx", sum(col("n")).over(Window.partitionBy(col("pa"), col("pb"), col("ba"))).cast("double"))
       .withColumn("my", sum(col("n")).over(Window.partitionBy(col("pa"), col("pb"), col("bb"))).cast("double"))
       .groupBy(pair: _*)
-      .agg(round(sum((col("n") / col("tot")) *
-        (log(col("mx") / col("tot")) + log(col("my") / col("tot"))
-          - lit(2) * log(col("n") / col("tot")))), 6).as("vi"))
-      .orderBy(col("pa"), col("pb"))
+    val vi = sum((col("n") / col("tot")) *
+      (log(col("mx") / col("tot")) + log(col("my") / col("tot"))
+        - lit(2) * log(col("n") / col("tot"))))
+    val agg =
+      if (norm) staged.agg(round(vi /
+        (-sum((col("n") / col("tot")) * log(col("n") / col("tot")))), 6).as("vi_norm"))
+      else staged.agg(round(vi, 6).as("vi"))
+    agg.orderBy(col("pa"), col("pb"))
   }
 
   /** A2 scale path — the FULL 64x64 correlation matrix in ONE pass via
@@ -137,6 +150,7 @@ object InfoPack extends QueryPack {
     "q_vi_norm"       -> qViNorm,
     "q_pairwise_corr" -> qPairwiseCorr,
     "q_pairwise_vi"   -> qPairwiseVi,
+    "q_pairwise_vi_norm" -> qPairwiseViNorm,
     "q_embed_norm"    -> qEmbedNorm,
     "q_embed_meanabs" -> qEmbedMeanAbs,
   )
@@ -206,6 +220,25 @@ object InfoPack extends QueryPack {
         |  FROM joint)
         |SELECT pa, pb, round(sum((n / tot) * (ln(mx / tot) + ln(my / tot)
         |  - 2 * ln(n / tot))), 6) AS vi
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pairwise_vi_norm" ->
+      """WITH e0 AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |f AS (SELECT vec_id, pos,
+        |    CAST(greatest(0, least(4, floor((x - (-0.5)) / (0.5 - (-0.5)) * 5))) AS BIGINT) AS b
+        |  FROM e0 WHERE pos <= 6),
+        |joint AS (SELECT a.pos AS pa, b.pos AS pb, a.b AS ba, b.b AS bb, count(*) AS n
+        |          FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos < b.pos
+        |          GROUP BY 1, 2, 3, 4),
+        |w AS (SELECT pa, pb, n,
+        |    CAST(sum(n) OVER (PARTITION BY pa, pb) AS DOUBLE) AS tot,
+        |    CAST(sum(n) OVER (PARTITION BY pa, pb, ba) AS DOUBLE) AS mx,
+        |    CAST(sum(n) OVER (PARTITION BY pa, pb, bb) AS DOUBLE) AS my
+        |  FROM joint)
+        |SELECT pa, pb, round(sum((n / tot) * (ln(mx / tot) + ln(my / tot)
+        |    - 2 * ln(n / tot)))
+        |  / (-sum((n / tot) * ln(n / tot))), 6) AS vi_norm
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id, round(sqrt(sum(x * x)), 5) AS norm
