@@ -310,8 +310,11 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         col("x").cast("double").as("x"))
     val pcts = array((1 until 32).map(i => lit(i / 32.0)): _*)
+    // low sketch accuracy on purpose: the edges only need to be
+    // monotone bucket bounds (exactness comes from the rank phase),
+    // and a coarser GK sketch merges cheaper in the partial agg
     val edges = e.groupBy(col("pos")).agg(
-      percentile_approx(col("x"), pcts, lit(1000)).as("edges"),
+      percentile_approx(col("x"), pcts, lit(100)).as("edges"),
       count(lit(1)).as("n_pos"))
     val bucketed = e.join(broadcast(edges), Seq("pos"))
       .withColumn("bkt", size(filter(col("edges"), ed => ed < col("x"))))
