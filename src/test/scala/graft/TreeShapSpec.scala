@@ -113,6 +113,58 @@ class TreeShapSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: 60 random trees, fast path == brute force + additivity") {
+    val rnd = new scala.util.Random(20260813L)
+    val nFeat = 4
+    def randTree(maxDepth: Int): ShapTree = {
+      val feat = scala.collection.mutable.ArrayBuffer[Int]()
+      val thr = scala.collection.mutable.ArrayBuffer[Double]()
+      val lft = scala.collection.mutable.ArrayBuffer[Int]()
+      val rgt = scala.collection.mutable.ArrayBuffer[Int]()
+      val value = scala.collection.mutable.ArrayBuffer[Double]()
+      def go(depth: Int): Int = {
+        val id = feat.length
+        feat += -1; thr += 0.0; lft += -1; rgt += -1
+        value += rnd.nextDouble() * 10 - 5
+        if (depth < maxDepth && rnd.nextDouble() < 0.75) {
+          feat(id) = rnd.nextInt(nFeat)       // features may repeat on a path
+          thr(id) = rnd.nextDouble() * 2 - 1
+          lft(id) = go(depth + 1); rgt(id) = go(depth + 1)
+        }
+        id
+      }
+      go(0)
+      val t0 = ShapTree(feat.toArray, thr.toArray, lft.toArray, rgt.toArray,
+        value.toArray, new Array[Double](feat.length))
+      // covers from routing a random background (zero-cover branches
+      // occur naturally and must stay NaN-free)
+      val bg = Array.fill(40)(Array.fill(nFeat)(rnd.nextDouble() * 2 - 1))
+      val cover = new Array[Double](feat.length)
+      bg.foreach { x =>
+        var i = 0
+        cover(i) += 1
+        while (t0.feature(i) >= 0) {
+          i = if (x(t0.feature(i)) <= t0.threshold(i)) t0.left(i) else t0.right(i)
+          cover(i) += 1
+        }
+      }
+      t0.copy(cover = cover)
+    }
+    (1 to 60).foreach { _ =>
+      val t = randTree(4)
+      (1 to 3).foreach { _ =>
+        val x = Array.fill(nFeat)(rnd.nextDouble() * 2 - 1)
+        val fast = TreeShap.shapValues(t, x, nFeat)
+        val brute = TreeShap.bruteForceShap(t, x, nFeat)
+        fast.indices.foreach { i =>
+          assert(!fast(i).isNaN)
+          approx(fast(i), brute(i), 1e-8)
+        }
+        approx(fast.sum, t.predict(x) - t.expectedValue, 1e-8)
+      }
+    }
+  }
+
   test("q_shap_rf emits one ranked row per feature") {
     val out = graft.queries.MlPack.qShapRf(spark, TestSpark.sf).collect()
     assert(out.length == 8)
