@@ -315,6 +315,59 @@ object CorePack extends QueryPack {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** TPC-H Q21 SHAPE (adapted to the fixture's columns: "late" =
+    * shipped >365 days after the order date, in lieu of receipt/commit
+    * dates): suppliers who were the SOLE late shipper of a finished
+    * multi-supplier order. The canonical decorrelation stress — a
+    * correlated EXISTS and NOT EXISTS against the same fact relation
+    * with anti-correlated supplier predicates — planned by Catalyst as
+    * one left-semi plus one left-anti join on the order key, both
+    * shuffle-partitioned with the fact scan: no per-row re-probes at
+    * any scale. */
+  def q21SoleLate(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM graft_supplier
+        |JOIN graft_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN graft_orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
+  /** TPC-H Q22 SHAPE (nation key standing in for the phone country
+    * code): above-average-balance customers with no urgent orders,
+    * totaled per nation — scalar subquery (global avg over positive
+    * balances, one tiny broadcast) + correlated NOT EXISTS (left-anti
+    * on the customer key). The balance total is a 2-decimal-grid SUM,
+    * the rounding-stable emission class. */
+  def q22IdleBalance(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT c_nationkey AS nation, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM graft_customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY nation""".stripMargin)
+  }
+
   /** U-family completion: INTERSECT of two customer selections. */
   def qIntersect(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -546,6 +599,8 @@ object CorePack extends QueryPack {
     "q3_shipping_priority" -> q3ShippingPriority,
     "q_bloom_prefilter"  -> qBloomPrefilter,
     "q_exists_correlated"  -> qExistsCorrelated,
+    "q21_sole_late"        -> q21SoleLate,
+    "q22_idle_balance"     -> q22IdleBalance,
     "q_scalar_subquery"    -> qScalarSubquery,
     "q_intersect"          -> qIntersect,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -654,6 +709,33 @@ object CorePack extends QueryPack {
         |SELECT count(*) AS n_items,
         | round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM li JOIN lim ON l_partkey = pk AND l_quantity < qlim""".stripMargin,
+    "q21_sole_late" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q22_idle_balance" ->
+      """SELECT c_nationkey AS nation, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY nation""".stripMargin,
     "q_exists_correlated" ->
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders
