@@ -346,6 +346,27 @@ object CorePack extends QueryPack {
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
+  /** TPC-H Q16 SHAPE (lineitem standing in for partsupp as the
+    * part-supplier relation): distinct supplier count per (brand,
+    * size) for selected sizes, EXCLUDING suppliers matched by a
+    * NOT IN subquery — the null-aware anti-join pattern (Spark plans
+    * single-column NOT IN as a broadcast null-aware anti join, the
+    * shape that degrades to a nested loop if written naively). The
+    * distinct count is the expand-based exact multi-distinct. */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("graft_part")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM graft_part JOIN graft_lineitem ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 5, 9, 13)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_supplier
+        |                        WHERE s_acctbal < 2000)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+  }
+
   /** TPC-H Q22 SHAPE (nation key standing in for the phone country
     * code): above-average-balance customers with no urgent orders,
     * totaled per nation — scalar subquery (global avg over positive
@@ -599,6 +620,7 @@ object CorePack extends QueryPack {
     "q3_shipping_priority" -> q3ShippingPriority,
     "q_bloom_prefilter"  -> qBloomPrefilter,
     "q_exists_correlated"  -> qExistsCorrelated,
+    "q16_supplier_cnt"     -> q16SupplierCnt,
     "q21_sole_late"        -> q21SoleLate,
     "q22_idle_balance"     -> q22IdleBalance,
     "q_scalar_subquery"    -> qScalarSubquery,
@@ -709,6 +731,14 @@ object CorePack extends QueryPack {
         |SELECT count(*) AS n_items,
         | round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM li JOIN lim ON l_partkey = pk AND l_quantity < qlim""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 5, 9, 13)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 2000)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     "q21_sole_late" ->
       """SELECT s_name, count(*) AS numwait
         |FROM supplier
