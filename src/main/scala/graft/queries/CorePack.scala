@@ -346,6 +346,30 @@ object CorePack extends QueryPack {
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
+  /** TPC-H Q18 SHAPE: large-volume orders — a semi join against an
+    * AGGREGATED key set (`o_orderkey IN (... GROUP BY ... HAVING
+    * sum > t)`). The HAVING side reduces lineitem to a key list
+    * map-side (partial sum per order) before the semi join, so the
+    * fact table is never re-scanned per key; top-k by total price
+    * plans as TakeOrderedAndProject. */
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM graft_customer
+        |JOIN graft_orders ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM graft_lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(l_quantity) > 150)
+        |GROUP BY c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
   /** TPC-H Q16 SHAPE (lineitem standing in for partsupp as the
     * part-supplier relation): distinct supplier count per (brand,
     * size) for selected sizes, EXCLUDING suppliers matched by a
@@ -621,6 +645,7 @@ object CorePack extends QueryPack {
     "q_bloom_prefilter"  -> qBloomPrefilter,
     "q_exists_correlated"  -> qExistsCorrelated,
     "q16_supplier_cnt"     -> q16SupplierCnt,
+    "q18_big_orders"       -> q18BigOrders,
     "q21_sole_late"        -> q21SoleLate,
     "q22_idle_balance"     -> q22IdleBalance,
     "q_scalar_subquery"    -> qScalarSubquery,
@@ -731,6 +756,18 @@ object CorePack extends QueryPack {
         |SELECT count(*) AS n_items,
         | round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM li JOIN lim ON l_partkey = pk AND l_quantity < qlim""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(l_quantity) > 150)
+        |GROUP BY c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q16_supplier_cnt" ->
       """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
         |FROM part JOIN lineitem ON p_partkey = l_partkey
