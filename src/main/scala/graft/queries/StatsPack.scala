@@ -269,6 +269,35 @@ object StatsPack extends QueryPack {
           <= greatest(abs(col("exact_med")), lit(1.0)) * 0.05).as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** Frequent-items sketch (Count-Min): the third mergeable sketch of
+    * the 100 TB family — at scale the exact token histogram shuffles
+    * the full vocabulary, while the CMS is a constant-size mergeable
+    * grid per partition. Same contract pattern as the HLL/quantile
+    * sketches: the exact top-10 tokens are emitted (deterministic
+    * count-then-token ordering) next to an oracle-checkable boolean
+    * pinning the CMS guarantee (estimate never undercounts; over-error
+    * bounded by eps·N). The sketch is seeded, so it is deterministic
+    * per dataset; the KB-sized sketch crosses to the driver at the
+    * same API edge as fitted stats. */
+  def qSketchTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.spread(s, Tables.documents(s, d))
+      .select(explode(graft.operators.TextOps.words(col("text"))).as("w"))
+    val agg = words.agg(
+      expr("count_min_sketch(w, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("n_total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("cms")))
+    val nTotal = agg.getAs[Long]("n_total")
+    val exact = words.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(10).collect()
+    exact.toSeq.map { r =>
+      val (w, n) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(w)
+      (w, n, est >= n && est - n <= math.ceil(0.001 * nTotal).toLong)
+    }.toDF("w", "n_exact", "cms_ok")
+  }
+
   /** Winsorization — clip a measure at its group's [p05, p95] (the
     * outlier-robust preprocessing step, P8 generalized to data-driven
     * bounds). Exact percentiles per group are a tiny aggregate joined
@@ -404,6 +433,7 @@ object StatsPack extends QueryPack {
     "q_winsorize"    -> qWinsorize,
     "q_chi2"         -> qChi2,
     "q_sketch_distinct" -> qSketchDistinct,
+    "q_sketch_topk"     -> qSketchTopk,
     "q_sketch_quantile" -> qSketchQuantile,
     "q_count_distinct" -> qCountDistinct,
     "q_era_parse"      -> qEraParse,
@@ -525,6 +555,10 @@ object StatsPack extends QueryPack {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         | TRUE AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sketch_topk" ->
+      """SELECT w, count(*) AS n_exact, TRUE AS cms_ok
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY n_exact DESC, w LIMIT 10""".stripMargin,
     "q_sketch_quantile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 2) AS median,
         | TRUE AS approx_ok
