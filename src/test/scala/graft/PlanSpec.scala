@@ -195,4 +195,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(1500))
   }
+
+  test("Q21 shape: EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    // the correlated subqueries must become one LeftSemi and one
+    // LeftAnti hash join on the order key — never a per-row re-probe
+    // (BroadcastNestedLoopJoin) of the fact relation
+    val p = plan("q21_sole_late")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("Q16 shape: NOT IN plans as an anti join, not a nested loop") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("Q18 shape: aggregated key set feeds a semi join; top-k is TakeOrdered") {
+    val p = plan("q18_big_orders")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
 }
