@@ -287,13 +287,31 @@ object CorePack extends QueryPack {
       .limit(10)
   }
 
+  /** SQL-facade plumbing: register the named fixture tables as
+    * DIR-UNIQUE temp views and splice the unique names over the plain
+    * `graft_<table>` placeholders in the query text. Temp views are
+    * session-global, and the shared-session test suites run facade
+    * queries on DIFFERENT data dirs concurrently — a fixed view name
+    * is a race (one suite's view resolved into another's plan
+    * between registration and s.sql). The dir hash in the name makes
+    * registration idempotent per dir instead. */
+  private def sqlOnFixtures(s: SparkSession, d: String,
+                            tables: Seq[String], sql: String): DataFrame = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val rewritten = tables.foldLeft(sql) { (q, t) =>
+      val view = s"graft_${t}_$suffix"
+      Tables.table(s, d, t).createOrReplaceTempView(view)
+      q.replace(s"graft_$t", view)
+    }
+    s.sql(rewritten)
+  }
+
   /** Correlated EXISTS (TPC-H Q4 shape) through the SQL facade —
     * fixture tables registered as temp views, query text through
     * spark.sql (the engine's SQL surface). */
-  def qExistsCorrelated(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
-    s.sql(
+  def qExistsCorrelated(s: SparkSession, d: String): DataFrame =
+    sqlOnFixtures(s, d, Seq("orders", "lineitem"),
       """SELECT o_orderpriority, count(*) AS n
         |FROM graft_orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
@@ -301,19 +319,16 @@ object CorePack extends QueryPack {
         |  AND EXISTS (SELECT 1 FROM graft_lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-  }
 
   /** Scalar subquery through the SQL facade: orders above 1.9x the
     * average price, counted per status. */
-  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    s.sql(
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame =
+    sqlOnFixtures(s, d, Seq("orders"),
       """SELECT o_orderstatus, count(*) AS n,
         |  round(min(o_totalprice), 2) AS min_price
         |FROM graft_orders
         |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM graft_orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
-  }
 
   /** TPC-H Q21 SHAPE (adapted to the fixture's columns: "late" =
     * shipped >365 days after the order date, in lieu of receipt/commit
@@ -324,11 +339,8 @@ object CorePack extends QueryPack {
     * one left-semi plus one left-anti join on the order key, both
     * shuffle-partitioned with the fact scan: no per-row re-probes at
     * any scale. */
-  def q21SoleLate(s: SparkSession, d: String): DataFrame = {
-    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
-    s.sql(
+  def q21SoleLate(s: SparkSession, d: String): DataFrame =
+    sqlOnFixtures(s, d, Seq("supplier", "orders", "lineitem"),
       """SELECT s_name, count(*) AS numwait
         |FROM graft_supplier
         |JOIN graft_lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -344,7 +356,6 @@ object CorePack extends QueryPack {
         |                    AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin)
-  }
 
   /** TPC-H Q18 SHAPE: large-volume orders — a semi join against an
     * AGGREGATED key set (`o_orderkey IN (... GROUP BY ... HAVING
@@ -352,11 +363,8 @@ object CorePack extends QueryPack {
     * map-side (partial sum per order) before the semi join, so the
     * fact table is never re-scanned per key; top-k by total price
     * plans as TakeOrderedAndProject. */
-  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
-    s.sql(
+  def q18BigOrders(s: SparkSession, d: String): DataFrame =
+    sqlOnFixtures(s, d, Seq("customer", "orders", "lineitem"),
       """SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM graft_customer
@@ -368,7 +376,6 @@ object CorePack extends QueryPack {
         |GROUP BY c_name, o_orderkey, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin)
-  }
 
   /** TPC-H Q16 SHAPE (lineitem standing in for partsupp as the
     * part-supplier relation): distinct supplier count per (brand,
@@ -377,11 +384,8 @@ object CorePack extends QueryPack {
     * single-column NOT IN as a broadcast null-aware anti join, the
     * shape that degrades to a nested loop if written naively). The
     * distinct count is the expand-based exact multi-distinct. */
-  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
-    Tables.part(s, d).createOrReplaceTempView("graft_part")
-    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
-    s.sql(
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame =
+    sqlOnFixtures(s, d, Seq("part", "supplier", "lineitem"),
       """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
         |FROM graft_part JOIN graft_lineitem ON p_partkey = l_partkey
         |WHERE p_size IN (1, 5, 9, 13)
@@ -389,7 +393,6 @@ object CorePack extends QueryPack {
         |                        WHERE s_acctbal < 2000)
         |GROUP BY p_brand, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
-  }
 
   /** TPC-H Q22 SHAPE (nation key standing in for the phone country
     * code): above-average-balance customers with no urgent orders,
@@ -397,10 +400,8 @@ object CorePack extends QueryPack {
     * balances, one tiny broadcast) + correlated NOT EXISTS (left-anti
     * on the customer key). The balance total is a 2-decimal-grid SUM,
     * the rounding-stable emission class. */
-  def q22IdleBalance(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    s.sql(
+  def q22IdleBalance(s: SparkSession, d: String): DataFrame =
+    sqlOnFixtures(s, d, Seq("customer", "orders"),
       """SELECT c_nationkey AS nation, count(*) AS numcust,
         |  round(sum(c_acctbal), 2) AS totacctbal
         |FROM graft_customer
@@ -411,7 +412,6 @@ object CorePack extends QueryPack {
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey
         |ORDER BY nation""".stripMargin)
-  }
 
   /** U-family completion: INTERSECT of two customer selections. */
   def qIntersect(s: SparkSession, d: String): DataFrame = {
