@@ -40,14 +40,23 @@ object Bench {
     // fixed (sorted) query order: Map iteration order reshuffles as
     // queries are added, which moves warm-up costs between rounds and
     // makes per-query timings incomparable round over round
+    // two timed passes per query, MIN reported: three rounds of driver
+    // benches swung 85→539 s on identical code from host contention,
+    // and the min of two spaced passes strips a one-off contention
+    // spike while staying honest about plan cost (per-pass clearCache
+    // keeps pass 2 from reading pass 1's persisted frames; OS page
+    // cache stays warm in both, as it would be in steady state)
     val results = ("_shared_pairs" -> (sharedOk, sharedSec)) +:
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        // drop per-query persisted frames so cache pressure from one
-        // query never skews the next one's timing
-        spark.catalog.clearCache()
-        name -> (ok, (System.nanoTime() - t0) / 1e9)
+        val passes = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          // drop per-query persisted frames so cache pressure from one
+          // query never skews the next one's timing
+          spark.catalog.clearCache()
+          (ok, (System.nanoTime() - t0) / 1e9)
+        }
+        name -> (passes.forall(_._1), passes.map(_._2).min)
       }
     // locale-pinned formatting: the f interpolator uses the JVM
     // default locale, and a comma-decimal locale would break the JSON

@@ -35,6 +35,31 @@ object Reduction {
     (withPcs.drop("graft_fv", "graft_pc"), model)
   }
 
+  /** F8 — thin SVD of the deterministic head sample
+    * (`Numerai_example_notebook.ipynb#cell-14,92`: `np.linalg.svd` on
+    * a row sample, EDA-only in the reference). Spark-first shape: the
+    * sample stays an RDD-backed RowMatrix and the decomposition runs
+    * off its k×k Gramian (one distributed pass to form AᵀA, local
+    * eigendecomposition of the tiny matrix) — the same bounded-sample
+    * contract as [[pcaFitTransformOnHead]]. Returns the decomposition
+    * (singular values + right singular vectors) and the sample row
+    * count. */
+  def svdOnHead(df: DataFrame, featCols: Seq[String], nFit: Int,
+                orderCol: String):
+      (org.apache.spark.mllib.linalg.SingularValueDecomposition[
+         org.apache.spark.mllib.linalg.distributed.RowMatrix,
+         org.apache.spark.mllib.linalg.Matrix], Long) = {
+    val rows = df.orderBy(col(orderCol)).limit(nFit)
+      .select(featCols.map(c => col(c).cast("double")): _*)
+      .rdd.map(r => org.apache.spark.mllib.linalg.Vectors.dense(
+        Array.tabulate(featCols.length)(i => r.getDouble(i))))
+    val rm = new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows)
+    // rCond = 0: keep the full spectrum so Σσ² = ‖A‖²_F holds exactly
+    // (the default 1e-9 relative cutoff could drop a near-null
+    // direction and silently break the Frobenius identity)
+    (rm.computeSVD(featCols.length, computeU = false, rCond = 0.0), rm.numRows())
+  }
+
   /** M12 tune_reduction: scan component counts, score each reduced
     * representation with era-fold CV of the supplied fitter, return the
     * leaderboard best-first (`tuners.py:149-252`'s loop with Spark jobs

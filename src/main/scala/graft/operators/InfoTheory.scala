@@ -39,7 +39,10 @@ object InfoTheory {
     * With `norm = true` the metric is divided by the joint entropy
     * H(X,Y) (`distance_func.py:18-21`), mapping it into [0, 1]; the
     * extra entropy term rides the same single aggregation, so the plan
-    * shape is unchanged.
+    * shape is unchanged. A degenerate single-cell joint has
+    * H(X,Y) = 0 and VI = 0; the division is guarded to emit 0.0 there
+    * (0/0 NaN/NULL rendering is not portable across engines — the
+    * qLshRecall convention), matched by a CASE WHEN in the oracles.
     */
   def variationOfInformation(joint: DataFrame, norm: Boolean = false): DataFrame = {
     val staged = joint
@@ -51,7 +54,7 @@ object InfoTheory {
         - lit(2) * log(col("n") / col("tot"))))
     if (norm) {
       val hxy = -sum((col("n") / col("tot")) * log(col("n") / col("tot")))
-      staged.agg(round(vi / hxy, 6).as("vi_norm"))
+      staged.agg(round(when(hxy > 0, vi / hxy).otherwise(lit(0.0)), 6).as("vi_norm"))
     } else staged.agg(round(vi, 6).as("vi"))
   }
 }

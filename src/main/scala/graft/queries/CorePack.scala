@@ -206,31 +206,32 @@ object CorePack extends QueryPack {
       .orderBy(col("o_orderkey")).limit(500)
       .agg(round(sum(col("o_totalprice")), 0).as("sum_price"), count(lit(1)).as("n"))
 
-  /** T4 — seeded distributed random sample (`#cell-7`'s
-    * `num_x.sample(n=...)`): Bernoulli split-local sampling at
-    * fraction 0.1, seed 42, summarized per order status. Rows-only
-    * check by design — `rand(seed)` streams are engine-specific, not
-    * ANSI-portable — with the multiset/subset/determinism properties
-    * pinned by PropertySpec instead. Scale shape: the sample is a
-    * scan-local filter (no shuffle, no driver collect). */
+  /** T4 — the library's seeded-sample API (`#cell-7`'s
+    * `num_x.sample(n=...)`), routed through the deterministic
+    * hash-Bernoulli kernel ([[graft.operators.Sampling]]): fraction
+    * 0.2, seed 7, summarized per order status. The engine's
+    * `rand(seed)` sampler was deliberately NOT used — its streams are
+    * partition-order-dependent (the sample silently changes under AQE
+    * re-splits at 100 TB) and unreproducible outside Spark; defining
+    * the API over the key hash makes the sample membership itself
+    * oracle-checkable. Scan-local filter: no shuffle, no collect. */
   def qSeededSample(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42)
+    graft.operators.Sampling
+      .seededBernoulli(Tables.orders(s, d), col("o_orderkey"),
+        fraction = 0.2, seed = 7)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 0).as("sum_price"))
       .orderBy(col("o_orderstatus"))
 
-  /** T4's oracle-checkable twin: seeded Bernoulli sample as a
-    * key-hash predicate (md5 of seed#key, 60 bits, mod 10000 < 1000 ≙
-    * fraction 0.1) — deterministic and REPRODUCIBLE IN ANY ENGINE,
-    * unlike `rand(seed)` streams, so the sample membership itself is
-    * under the DuckDB oracle. Same scan-local no-shuffle scale shape
-    * as [[qSeededSample]]; the md5-hash trick is the shingle-hash
-    * convention the dedup oracles already use. */
+  /** T4 at a second (seed, fraction) point — md5 of seed#key, 60
+    * bits, mod 10000 < 1000 ≙ fraction 0.1, seed 42 — pinning that
+    * the kernel's membership tracks its parameters, not a fixed
+    * stream. Same scan-local no-shuffle shape; the md5-hash trick is
+    * the shingle-hash convention the dedup oracles already use. */
   def qHashSample(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .filter(pmod(graft.operators.TextOps.hash60(
-        concat_ws("#", lit("seed42"), col("o_orderkey"))), lit(10000L)) < 1000L)
+    graft.operators.Sampling
+      .seededBernoulli(Tables.orders(s, d), col("o_orderkey"),
+        fraction = 0.1, seed = 42)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 0).as("sum_price"))
       .orderBy(col("o_orderstatus"))
@@ -299,10 +300,13 @@ object CorePack extends QueryPack {
                             tables: Seq[String], sql: String): DataFrame = {
     val suffix = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    // word-boundary match, not plain replace: with prefix-related
+    // table names (part / partsupp) a plain replace would corrupt the
+    // longer placeholder depending on fold order
     val rewritten = tables.foldLeft(sql) { (q, t) =>
       val view = s"graft_${t}_$suffix"
       Tables.table(s, d, t).createOrReplaceTempView(view)
-      q.replace(s"graft_$t", view)
+      q.replaceAll(s"\\bgraft_$t\\b", view)
     }
     s.sql(rewritten)
   }
@@ -923,6 +927,11 @@ object CorePack extends QueryPack {
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 0) AS sum_price
         |FROM orders
         |WHERE ('0x' || substr(md5('seed42#' || o_orderkey), 1, 15))::BIGINT % 10000 < 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_seeded_sample" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 0) AS sum_price
+        |FROM orders
+        |WHERE ('0x' || substr(md5('seed7#' || o_orderkey), 1, 15))::BIGINT % 10000 < 2000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_math_funcs" ->
       """SELECT round(sum(sqrt(l_quantity)), 4) AS sum_sqrt_qty,

@@ -215,7 +215,10 @@ object EventsPack extends QueryPack {
     * each stage relation is per-user (orders of magnitude smaller than
     * the event log), so every join after the first is stage ⋈ stage,
     * never a second pass over the log. Delays are date-granularity
-    * (exact in any engine; sub-second epochs are not portable). */
+    * (exact in any engine; sub-second epochs are not portable) and
+    * emitted as INTEGER day-sums plus the user count, never a float
+    * mean — a float mean of integers is the rounding-boundary class
+    * the oracle policy forbids (the qAttribution convention). */
   def qFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val s1 = ev.filter(col("event_type") === "signup")
@@ -227,13 +230,13 @@ object EventsPack extends QueryPack {
       .filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("t1")).as("t1"), min(col("ts")).as("t3"))
     val r1 = s1.agg(count(lit(1)).as("n_users"))
-      .select(lit("1_signup").as("stage"), col("n_users"), lit(0.0).as("avg_days"))
+      .select(lit("1_signup").as("stage"), col("n_users"), lit(0L).as("sum_days"))
     val r2 = s2.agg(count(lit(1)).as("n_users"),
-        round(avg(datediff(to_date(col("t2")), to_date(col("t1")))), 4).as("avg_days"))
-      .select(lit("2_click").as("stage"), col("n_users"), col("avg_days"))
+        sum(datediff(to_date(col("t2")), to_date(col("t1")))).cast("long").as("sum_days"))
+      .select(lit("2_click").as("stage"), col("n_users"), col("sum_days"))
     val r3 = s3.agg(count(lit(1)).as("n_users"),
-        round(avg(datediff(to_date(col("t3")), to_date(col("t1")))), 4).as("avg_days"))
-      .select(lit("3_purchase").as("stage"), col("n_users"), col("avg_days"))
+        sum(datediff(to_date(col("t3")), to_date(col("t1")))).cast("long").as("sum_days"))
+      .select(lit("3_purchase").as("stage"), col("n_users"), col("sum_days"))
     r1.unionByName(r2).unionByName(r3).orderBy(col("stage"))
   }
 
@@ -729,13 +732,13 @@ object EventsPack extends QueryPack {
         |s3 AS (SELECT e.user_id, min(t1) AS t1, min(ts) AS t3
         |       FROM events e JOIN s2 USING (user_id)
         |       WHERE event_type='purchase' AND ts > t2 GROUP BY 1)
-        |SELECT '1_signup' AS stage, count(*) AS n_users, 0.0 AS avg_days FROM s1
+        |SELECT '1_signup' AS stage, count(*) AS n_users, CAST(0 AS BIGINT) AS sum_days FROM s1
         |UNION ALL
         |SELECT '2_click', count(*),
-        | round(avg(datediff('day', CAST(t1 AS DATE), CAST(t2 AS DATE))), 4) FROM s2
+        | CAST(sum(datediff('day', CAST(t1 AS DATE), CAST(t2 AS DATE))) AS BIGINT) FROM s2
         |UNION ALL
         |SELECT '3_purchase', count(*),
-        | round(avg(datediff('day', CAST(t1 AS DATE), CAST(t3 AS DATE))), 4) FROM s3
+        | CAST(sum(datediff('day', CAST(t1 AS DATE), CAST(t3 AS DATE))) AS BIGINT) FROM s3
         |ORDER BY 1""".stripMargin,
     "q_cohort_retention" ->
       """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort

@@ -112,9 +112,12 @@ object InfoPack extends QueryPack {
     val vi = sum((col("n") / col("tot")) *
       (log(col("mx") / col("tot")) + log(col("my") / col("tot"))
         - lit(2) * log(col("n") / col("tot"))))
+    // H(X,Y) = 0 (single-cell joint) guards to 0.0 — 0/0 NaN/NULL
+    // rendering is engine-specific (the qLshRecall convention)
+    val hxy = -sum((col("n") / col("tot")) * log(col("n") / col("tot")))
     val agg =
-      if (norm) staged.agg(round(vi /
-        (-sum((col("n") / col("tot")) * log(col("n") / col("tot")))), 6).as("vi_norm"))
+      if (norm) staged.agg(
+        round(when(hxy > 0, vi / hxy).otherwise(lit(0.0)), 6).as("vi_norm"))
       else staged.agg(round(vi, 6).as("vi"))
     agg.orderBy(col("pa"), col("pb"))
   }
@@ -192,7 +195,8 @@ object InfoPack extends QueryPack {
         |hx AS (SELECT -sum((c / n) * ln(c / n)) AS h FROM mx, tot),
         |my AS (SELECT bj, sum(c) AS c FROM joint GROUP BY 1),
         |hy AS (SELECT -sum((c / n) * ln(c / n)) AS h FROM my, tot)
-        |SELECT round((2 * hxy.h - hx.h - hy.h) / hxy.h, 6) AS vi_norm
+        |SELECT round(CASE WHEN hxy.h > 0
+        |  THEN (2 * hxy.h - hx.h - hy.h) / hxy.h ELSE 0.0 END, 6) AS vi_norm
         |FROM hxy, hx, hy""".stripMargin,
     "q_pairwise_corr" ->
       """WITH e AS (
@@ -236,9 +240,10 @@ object InfoPack extends QueryPack {
         |    CAST(sum(n) OVER (PARTITION BY pa, pb, ba) AS DOUBLE) AS mx,
         |    CAST(sum(n) OVER (PARTITION BY pa, pb, bb) AS DOUBLE) AS my
         |  FROM joint)
-        |SELECT pa, pb, round(sum((n / tot) * (ln(mx / tot) + ln(my / tot)
-        |    - 2 * ln(n / tot)))
-        |  / (-sum((n / tot) * ln(n / tot))), 6) AS vi_norm
+        |SELECT pa, pb, round(CASE WHEN -sum((n / tot) * ln(n / tot)) > 0
+        |    THEN sum((n / tot) * (ln(mx / tot) + ln(my / tot)
+        |      - 2 * ln(n / tot))) / (-sum((n / tot) * ln(n / tot)))
+        |    ELSE 0.0 END, 6) AS vi_norm
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id, round(sqrt(sum(x * x)), 5) AS norm

@@ -357,23 +357,95 @@ object MlPack extends QueryPack {
     else df.filter(pmod(xxhash64(col(keyCol)), lit(10000L))
       < lit(math.max(1L, (frac * 10000).toLong)))
 
-  /** M11/M12/F8 — PCA (the reference's reduction family) fit on a
-    * deterministic head sample, transform distributed; per-component
-    * variance of the projected data as the output relation. Rows-only
-    * (eigendecomposition sign/order is engine-specific). */
+  /** M11/M12 — PCA (the reference's reduction family) fit on a
+    * deterministic head sample, transform distributed, emitted as
+    * ORACLE-CHECKABLE spectrum invariants (the q_ace_corr twin
+    * pattern, but folded into the query itself): at full rank the
+    * projection is a rotation, so
+    *
+    *  - `fit_trace`   = Σᵢ var(pcᵢ) over the fit rows = trace(C), and
+    *  - `fit_trace_sq`= Σᵢ var(pcᵢ)² = Σᵢ λᵢ² = trace(C²)
+    *    (per-component fit-row variances ARE the eigenvalues — this
+    *    pins the whole spectrum's first two power sums), and
+    *  - `full_trace`  = Σᵢ var(pcᵢ) over the FULL distributed
+    *    transform = Σᵢ var(eᵢ) (rotation preserves total variance,
+    *    centering-free since variance is translation-invariant),
+    *
+    * all of which DuckDB recomputes from the 8-dim Gram/covariance
+    * matrix with no eigendecomposition; `ortho_resid` = max|VᵀV−I|
+    * from the k×k loading matrix driver-side pins orthonormality
+    * (oracle: literal 0.0). Eigenvector sign/order — the part that is
+    * engine-specific — cancels out of every emitted column. The k<d
+    * reduction path stays exercised by q_reduction_tune. */
   def qPcaReduce(s: SparkSession, d: String): DataFrame = {
     import graft.ml.Reduction
+    val k = featCols.length
     val (reduced, model) = Reduction.pcaFitTransformOnHead(
-      featureFrame(s, d), featCols, k = 4, nFit = 500, orderCol = "vec_id")
-    val varCols = (0 until 4).map(i =>
-      round(var_samp(col(s"pc_$i")), 6).as(s"var_pc_$i"))
-    reduced.agg(varCols.head, varCols.tail: _*)
-      .withColumn("explained_0", round(lit(model.explainedVariance(0)), 6))
+      featureFrame(s, d), featCols, k = k, nFit = 500, orderCol = "vec_id")
+    val pcVars = (0 until k).map(i => var_samp(col(s"pc_$i")))
+    val fit = reduced.orderBy(col("vec_id")).limit(500).agg(
+      round(pcVars.reduce(_ + _), 5).as("fit_trace"),
+      round(pcVars.map(v => v * v).reduce(_ + _), 5).as("fit_trace_sq"))
+    val full = reduced.agg(
+      round(pcVars.reduce(_ + _), 5).as("full_trace"),
+      count(lit(1)).as("n"))
+    val pc = model.pc
+    var resid = 0.0
+    for (i <- 0 until k; j <- 0 until k) {
+      var dot = 0.0
+      for (r <- 0 until pc.numRows) dot += pc(r, i) * pc(r, j)
+      resid = math.max(resid, math.abs(dot - (if (i == j) 1.0 else 0.0)))
+    }
+    // two 1-row aggregates — the bounded-crossJoin shape
+    fit.crossJoin(full).withColumn("ortho_resid", round(lit(resid), 6))
+  }
+
+  /** F8 — the singular-value spectrum of the 500-row head sample
+    * (`#cell-14`/`#cell-92`'s `np.linalg.svd` EDA), descending.
+    * Rows-only: σ has no closed-form ANSI recomputation. Its
+    * correctness is pinned twice — SvdSpec checks σᵢ²/(n−1) of the
+    * centered sample against the PCA eigenvalues, and
+    * [[qSvdInvariants]] puts the Frobenius/orthonormality identities
+    * under the DuckDB oracle. Only singular VALUES are emitted, so
+    * the singular-vector sign ambiguity never reaches the output. */
+  def qSvdTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (svd, _) = graft.ml.Reduction.svdOnHead(
+      featureFrame(s, d), featCols, nFit = 500, orderCol = "vec_id")
+    svd.s.toArray.zipWithIndex
+      .map { case (sg, i) => (i.toLong, math.rint(sg * 1e4) / 1e4) }
+      .toSeq.toDF("component", "sigma")
+  }
+
+  /** F8's oracle-green half: full-rank SVD invariants. Σσ² equals the
+    * sample's squared Frobenius norm (DuckDB: plain sum of squares —
+    * no eigendecomposition needed), σ comes out descending, and the
+    * right singular vectors are orthonormal (driver-side k×k
+    * residual, oracle literal 0.0). */
+  def qSvdInvariants(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (svd, n) = graft.ml.Reduction.svdOnHead(
+      featureFrame(s, d), featCols, nFit = 500, orderCol = "vec_id")
+    val sg = svd.s.toArray
+    val v = svd.V
+    var resid = 0.0
+    for (i <- 0 until v.numCols; j <- 0 until v.numCols) {
+      var dot = 0.0
+      for (r <- 0 until v.numRows) dot += v(r, i) * v(r, j)
+      resid = math.max(resid, math.abs(dot - (if (i == j) 1.0 else 0.0)))
+    }
+    val desc = sg.zip(sg.drop(1)).forall { case (a, b) => a >= b }
+    Seq((math.rint(sg.map(x => x * x).sum * 1e4) / 1e4,
+      if (desc) 1L else 0L,
+      math.rint(resid * 1e6) / 1e6, n))
+      .toDF("sum_sigma_sq", "sigma_desc", "v_ortho_resid", "n")
   }
 
   val queries: Map[String, Q] = Map(
     "q_forward_select"   -> qForwardSelect,
     "q_pca_reduce"       -> qPcaReduce,
+    "q_svd_topk"         -> qSvdTopk,
+    "q_svd_invariants"   -> qSvdInvariants,
     "q_reduction_tune"   -> qReductionTune,
     "q_hyperband"        -> qHyperband,
     "q_successive_halving" -> qSuccessiveHalving,
@@ -386,6 +458,43 @@ object MlPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // PCA spectrum invariants: trace(C) / trace(C^2) over the 500-row
+    // fit head, trace over the full table, all eigendecomposition-free
+    // (power sums of the eigenvalues come straight from the covariance
+    // entries); ortho_resid pinned at literal 0.0
+    "q_pca_reduce" ->
+      """WITH h AS (SELECT vec_id, embedding FROM embeddings
+        |           ORDER BY vec_id LIMIT 500),
+        |e0 AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM h),
+        |e AS (SELECT * FROM e0 WHERE pos <= 8),
+        |ft AS (SELECT sum(v) AS t FROM
+        |       (SELECT var_samp(x) AS v FROM e GROUP BY pos)),
+        |cv AS (SELECT a.pos AS pa, b.pos AS pb, covar_samp(a.x, b.x) AS c
+        |       FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |fts AS (SELECT sum(c * c) AS t2 FROM cv),
+        |ef0 AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |ef AS (SELECT * FROM ef0 WHERE pos <= 8),
+        |fl AS (SELECT sum(v) AS t FROM
+        |       (SELECT var_samp(x) AS v FROM ef GROUP BY pos)),
+        |nn AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT round(ft.t, 5) AS fit_trace, round(fts.t2, 5) AS fit_trace_sq,
+        |  round(fl.t, 5) AS full_trace, nn.n AS n, 0.0 AS ortho_resid
+        |FROM ft, fts, fl, nn""".stripMargin,
+    // SVD invariants: the squared Frobenius norm of the head sample is
+    // the full spectrum's Σσ² — a plain sum of squares in SQL
+    "q_svd_invariants" ->
+      """WITH h AS (SELECT vec_id, embedding FROM embeddings
+        |           ORDER BY vec_id LIMIT 500),
+        |e AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos FROM h),
+        |ss AS (SELECT round(sum(x * x), 4) AS s FROM e WHERE pos <= 8),
+        |nn AS (SELECT count(*) AS n FROM h)
+        |SELECT ss.s AS sum_sigma_sq, CAST(1 AS BIGINT) AS sigma_desc,
+        |  0.0 AS v_ortho_resid, nn.n AS n
+        |FROM ss, nn""".stripMargin,
     // the full successive-halving bracket unrolled: rung fractions
     // 1/4 -> 1/2 -> 1 with keeps 4 -> 2, ranked by (rmse, alpha) —
     // deterministic because configs are a grid and the rung subset is

@@ -67,6 +67,12 @@ object TextPack extends QueryPack {
     * [[maxShingleDfFor]] of the corpus doc count at call time. */
   val ScaleRelativeDf: Long = -1L
 
+  /** Per-dir doc-count memo for the scale-relative df floor. SAME-JVM
+    * IMMUTABILITY ASSUMPTION: like the memoized pair tables
+    * ([[memoizedTable]]), a data dir is assumed not to be overwritten
+    * or appended within one JVM — the memo would otherwise keep a
+    * stale corpus size. Rewriting a dir in-session requires a new dir
+    * name (the fixture suites' convention) or a JVM restart. */
   private val docCounts = scala.collection.concurrent.TrieMap[String, Long]()
 
   private def resolveMaxDf(s: SparkSession, d: String, maxDf: Long): Long =
@@ -459,6 +465,12 @@ object TextPack extends QueryPack {
     * small sessions keep deterministic small outputs. */
   def defaultPackShards(s: SparkSession): Long =
     math.max(8L, s.conf.get("spark.sql.shuffle.partitions", "8").toLong)
+
+  /** [[packBatches]] with the shard count resolved from the session —
+    * the production entry point (the oracle query pins nShards = 8
+    * explicitly; everything else should track cluster parallelism). */
+  def packBatches(s: SparkSession, docs: DataFrame): DataFrame =
+    packBatches(docs, defaultPackShards(s))
 
   /** The packing operator behind [[qPackBatches]]: per-(lang, shard)
     * running token count, batch id = tokens-before-this-doc div

@@ -49,6 +49,15 @@ class CurationSpec extends AnyFunSuite {
     assert(TextPack.defaultPackShards(spark) >= 8L)
   }
 
+  test("packBatches session overload resolves the parallelism-relative shards") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val viaSession = TextPack.packBatches(spark, docs)
+    val explicit = TextPack.packBatches(docs, TextPack.defaultPackShards(spark))
+    assert(viaSession.except(explicit).isEmpty && explicit.except(viaSession).isEmpty)
+    val maxShard = viaSession.agg(max(col("shard"))).head().getLong(0)
+    assert(maxShard < TextPack.defaultPackShards(spark))
+  }
+
   test("bloom prefilter never drops a true member (no false negatives)") {
     val keys = (1L to 500L).map(i => i * 7).toDF("k")
     val bf = BloomFunctions.buildKeyFilter(keys, "k", expectedItems = 1000L)

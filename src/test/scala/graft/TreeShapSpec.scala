@@ -165,6 +165,34 @@ class TreeShapSpec extends AnyFunSuite {
     }
   }
 
+  test("fromMllib rejects categorical splits loudly, never misattributes") {
+    // a future MLlib change that routed CategoricalSplit through the
+    // continuous arm would silently produce wrong attributions; the
+    // pinned error message keeps the guard observable
+    import org.apache.spark.ml.attribute.{Attribute, AttributeGroup, NominalAttribute}
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.ml.regression.DecisionTreeRegressor
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // label pattern {1}→5, {0,2}→1 forces a category-set split
+    val df = Seq(
+      (Vectors.dense(0.0), 1.0), (Vectors.dense(0.0), 1.0),
+      (Vectors.dense(1.0), 5.0), (Vectors.dense(1.0), 5.0),
+      (Vectors.dense(2.0), 1.0), (Vectors.dense(2.0), 1.0))
+      .toDF("features", "label")
+    val meta = new AttributeGroup("features", Array[Attribute](
+      NominalAttribute.defaultAttr.withName("c").withNumValues(3))).toMetadata()
+    val tagged = df.select(col("features").as("features", meta), col("label"))
+    val model = new DecisionTreeRegressor().setMaxDepth(2).setSeed(1).fit(tagged)
+    assert(model.rootNode.isInstanceOf[org.apache.spark.ml.tree.InternalNode],
+      "fixture must actually split")
+    val ex = intercept[IllegalArgumentException] {
+      TreeShap.fromMllib(model.rootNode,
+        Array(Array(0.0), Array(1.0), Array(2.0)))
+    }
+    assert(ex.getMessage.contains("continuous splits only"), ex.getMessage)
+  }
+
   test("q_shap_rf emits one ranked row per feature") {
     val out = graft.queries.MlPack.qShapRf(spark, TestSpark.sf).collect()
     assert(out.length == 8)
