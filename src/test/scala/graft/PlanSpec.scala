@@ -217,4 +217,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(1500))
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("seeded sample is a scan-local filter: no exchange, no sort, no count pre-pass") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Sampling
+      .seededBernoulli(Tables.orders(spark, TestSpark.sf),
+        col("o_orderkey"), fraction = 0.2, seed = 7)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Sort"), p.take(800))
+    assert(p.contains("Filter"), p.take(800))
+  }
 }
