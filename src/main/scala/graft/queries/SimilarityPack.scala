@@ -142,6 +142,111 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"))
   }
 
+  /** IVF ANN, ORACLE-CHECKED end to end: same index pipeline as
+    * [[qAnnIvf]] — assign each vector to its nearest coarse centroid,
+    * probe the 4 closest posting lists per query, exact cosine rerank
+    * within them — but with SEEDED centroids (the 16 smallest-id
+    * vectors) instead of a k-means fit, so every stage is a
+    * deterministic relational expression DuckDB replays verbatim:
+    * assignment distance is sqrt(Σ(aᵢ−bᵢ)²) summed in index order
+    * (bitwise `list_distance`), ties break toward the lower centroid
+    * id, and the rerank is the proven [[qAnnCosine]] cosine.
+    *
+    * Scale shape: assignment is a broadcast-16 fan-out folded by a
+    * partial `min_by` aggregate (map-side combine — the 16× blowup
+    * never crosses the shuffle); the probe relation is (10 queries ×
+    * 4 lists) broadcast; candidates join on the cluster key only.
+    * The Lloyd-fitted [[qAnnIvf]] stays as the quality path (better
+    * centroids → better recall); this twin pins the MACHINERY. */
+  def qAnnIvfSeeded(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = broadcast(e.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    def l2(a: Column, b: Column): Column = {
+      val diff = zip_with(a, b, _ - _)
+      sqrt(dot(diff, diff))
+    }
+    val posting = e.crossJoin(cents)
+      .select(col("vec_id"), col("v"), col("cid"), l2(col("v"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
+        first(col("v")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val probes = q.crossJoin(cents)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(l2(col("qv"), col("cv")), col("cid"))))
+      .filter(col("rn") <= 4)
+      .select(col("q_id"), col("cid").as("cluster"))
+    val cand = posting.join(broadcast(probes), "cluster")
+      .join(broadcast(q), "q_id")
+    cand.select(col("q_id"), col("vec_id"), col("v"), col("nrm"), col("qv"), col("qn"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** PQ ANN, ORACLE-CHECKED end to end (the [[qAnnIvfSeeded]] pattern
+    * for product quantization): 8 subspaces × 16 codewords taken from
+    * the 16 smallest-id vectors' subvectors instead of a k-means fit,
+    * so encode and ADC search are deterministic relational expressions
+    * DuckDB replays verbatim. Encode: per (vector, subspace), the
+    * codeword minimizing the index-ordered squared L2, ties to the
+    * lower codeword id — a 128-way broadcast fan-out folded by a
+    * partial `min_by` (map-side combine). Search: the 10×128 query LUT
+    * broadcasts against the CODE relation only (PQ's point: the scan
+    * reads 8 codes per vector, not 64 floats), and the 8 per-subspace
+    * distances fold in FIXED m order (a float sum over an unordered
+    * aggregate would be merge-order-dependent on both engines).
+    * Ranking is on the rounded distance with a vec_id tie-break, the
+    * engine-stable selection convention. [[qAnnPq]] stays as the
+    * quality path (fitted codebooks → lower distortion); this twin
+    * pins the MACHINERY. */
+  def qAnnPqSeeded(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val ms = s.range(0, 8).select(col("id").cast("int").as("m"))
+    val base = e.orderBy(col("vec_id")).limit(16)
+      .withColumn("j",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("int") - 1)
+    val cb = broadcast(base.crossJoin(ms)
+      .select(col("m"), col("j"), expr("slice(v, m*8+1, 8)").as("cw")))
+    def d2(a: Column, b: Column): Column = {
+      val diff = zip_with(a, b, _ - _)
+      dot(diff, diff)
+    }
+    val sub = e.crossJoin(broadcast(ms))
+      .select(col("vec_id"), col("m"), expr("slice(v, m*8+1, 8)").as("sv"))
+    val codes = sub.join(cb, "m")
+      .select(col("vec_id"), col("m"), col("j"), d2(col("sv"), col("cw")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
+    val lut = broadcast(sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("m").as("lm"), col("sv"))
+      .join(cb, col("lm") === col("m"))
+      .select(col("q_id"), col("lm"), col("j"), d2(col("sv"), col("cw")).as("d2")))
+    val percell = codes
+      .join(lut, codes("m") === lut("lm") && codes("code") === lut("j"))
+      .select(col("q_id"), col("vec_id"), col("m"), col("d2"))
+    percell.groupBy(col("q_id"), col("vec_id"))
+      .agg((0 to 7).map(i => max(when(col("m") === i, col("d2"))))
+        .reduce(_ + _).as("dist2"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_d2", round(col("dist2"), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_d2"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adc_d2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** PQ ANN with recall measurement ([[graft.operators.Pq]]): 8
     * subspaces x 16 codewords (vectors stored as 8 codes — 32x
     * compression), ADC search against the code relation only, recall@5
@@ -347,6 +452,8 @@ object SimilarityPack extends QueryPack {
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_ann_ivf"         -> qAnnIvf,
+    "q_ann_ivf_seeded"  -> qAnnIvfSeeded,
+    "q_ann_pq_seeded"   -> qAnnPqSeeded,
     "q_ann_pq"          -> qAnnPq,
     "q_embed_quantize"  -> qEmbedQuantize,
   )
@@ -405,6 +512,74 @@ object SimilarityPack extends QueryPack {
         |         FROM dist)
         |SELECT label, cl AS pred, count(*) AS n FROM pred WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the full PQ pipeline replayed relationally: seeded codebooks
+    // (subvectors of the 16 smallest ids), index-ordered squared-L2
+    // encode with lower-j tie break, LUT ADC search over codes, the
+    // 8 subspace distances folded in fixed m order
+    "q_ann_pq_seeded" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS j
+        |      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |ms AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS m),
+        |cb AS (SELECT m, j, list_slice(v, m*8 + 1, m*8 + 8) AS cw FROM b, ms),
+        |sub AS (SELECT vec_id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sv FROM e, ms),
+        |enc AS (SELECT s.vec_id, s.m, cb.j,
+        |    list_sum(list_transform(list_zip(s.sv, cb.cw),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        |  FROM sub s JOIN cb ON s.m = cb.m),
+        |codes AS (SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        |    FROM enc) WHERE rn = 1),
+        |lut AS (SELECT s.vec_id AS q_id, s.m, cb.j,
+        |    list_sum(list_transform(list_zip(s.sv, cb.cw),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        |  FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < 10),
+        |percell AS (SELECT l.q_id, c.vec_id, c.m, l.d2
+        |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code),
+        |tot AS (SELECT q_id, vec_id,
+        |    (max(CASE WHEN m = 0 THEN d2 END) + max(CASE WHEN m = 1 THEN d2 END)
+        |     + max(CASE WHEN m = 2 THEN d2 END) + max(CASE WHEN m = 3 THEN d2 END)
+        |     + max(CASE WHEN m = 4 THEN d2 END) + max(CASE WHEN m = 5 THEN d2 END)
+        |     + max(CASE WHEN m = 6 THEN d2 END) + max(CASE WHEN m = 7 THEN d2 END))
+        |      AS dist2
+        |  FROM percell GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, vec_id AS n_id, round(dist2, 6) AS adc_d2,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(dist2, 6), vec_id) AS BIGINT) AS rank
+        |  FROM tot WHERE vec_id <> q_id)
+        |SELECT q_id, n_id, adc_d2, rank FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // the full IVF pipeline replayed relationally: seeded centroids
+    // (16 smallest ids), list_distance assignment with lower-cid tie
+    // break, nprobe=4 probe lists, cosine rerank within candidates
+    "q_ann_ivf_seeded" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |          SELECT e.vec_id, c.cid,
+        |            row_number() OVER (PARTITION BY e.vec_id
+        |              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |          FROM e, c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (SELECT q_id, cid AS cluster FROM (
+        |             SELECT q.q_id, c.cid,
+        |               row_number() OVER (PARTITION BY q.q_id
+        |                 ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
+        |             FROM q, c) WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, a.vec_id FROM probes p
+        |         JOIN asg a ON p.cluster = a.cluster
+        |         WHERE a.vec_id <> p.q_id),
+        |scored AS (SELECT cand.q_id, cand.vec_id AS n_id,
+        |    round(list_cosine_similarity(ev.v, q.qv), 6) AS cos
+        |  FROM cand JOIN e ev ON cand.vec_id = ev.vec_id
+        |  JOIN q ON cand.q_id = q.q_id),
+        |ranked AS (SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+        |      AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "q_ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
