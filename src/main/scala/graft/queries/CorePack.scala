@@ -669,11 +669,17 @@ object CorePack extends QueryPack {
     * too sparse at sf0.001 to pin a nation pair at every SF). The two
     * nation→region lookups broadcast; the symmetric OR predicate
     * evaluates on the joined row — a disjunction spanning both sides
-    * cannot push below the join, which is the shape's point. */
+    * cannot push below the join, which is the shape's point. What CAN
+    * push is its single-side implication: each side's region must be
+    * one of the two blocs, so both lookup dims are pre-restricted to
+    * {ASIA, EUROPE} and the inner joins prune the fact rows of every
+    * other region before the OR ever runs — the derived-predicate
+    * trick Catalyst cannot infer across a disjunction on its own. */
   def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
     def regionOf(keyAs: String, nameAs: String) = broadcast(
       Tables.nation(s, d)
         .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
         .select(col("n_nationkey").as(keyAs), col("r_name").as(nameAs)))
     Tables.supplier(s, d)
       .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))

@@ -228,4 +228,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort"), p.take(800))
     assert(p.contains("Filter"), p.take(800))
   }
+
+  test("Q7 shape: the OR-pair's single-side implication prunes via broadcast dims") {
+    // the derived IN-restriction lives in the broadcast lookup dims,
+    // so the disjunction never sees out-of-bloc fact rows
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("r_name IN (ASIA,EUROPE)") || p.contains("In(r_name, [ASIA,EUROPE])"),
+      p.take(4000))
+  }
+
+  test("seeded IVF assignment folds the 16-way fan-out with a partial aggregate") {
+    // min_by argmin must partial-aggregate map-side: a partial
+    // HashAggregate (or its sort-based fallback) appears BELOW the
+    // exchange that carries (vec_id) groups, so the 16x centroid
+    // blowup never crosses the shuffle
+    val p = plan("q_ann_ivf_seeded")
+    assert(p.contains("min_by") || p.contains("MinBy") || p.contains("partial"),
+      p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("seeded PQ searches the code relation with broadcast LUT, no code shuffle join") {
+    // codes ⋈ LUT must be a broadcast hash join (the LUT is 10x128
+    // rows); a shuffle of the corpus-sized code relation on (m, j)
+    // would be the 100 TB killer
+    val p = plan("q_ann_pq_seeded")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
