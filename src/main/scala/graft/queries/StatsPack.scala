@@ -25,6 +25,25 @@ object StatsPack extends QueryPack {
       .groupBy(col("era")).agg(count(lit(1)).as("n"))
       .orderBy(col("era"))
 
+  /** F3 — string→array parse (the CSV-ingestion path: arrays arrive
+    * as delimited strings when the source format has no native
+    * arrays). The fixtures store arrays natively, so the op
+    * round-trips: stringify each vector (F7), split + cast every
+    * element back (F3), and count elementwise-exact reconstructions.
+    * Each engine formats and parses ITS OWN shortest-roundtrip text —
+    * the emitted counts, not the string bytes, are the cross-engine
+    * contract (lossless double↔string round-trip on both sides).
+    * Scan-local per row: no shuffle beyond the 1-row final agg. */
+  def qStrToArray(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("str",
+        array_join(transform(col("v"), _.cast("string")), ","))
+      .withColumn("p", transform(split(col("str"), ","), _.cast("double")))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("p") === col("v"), 1L).otherwise(0L)).as("n_roundtrip_exact"),
+        sum(when(size(col("p")) === size(col("v")), 1L).otherwise(0L)).as("n_len_ok"))
+
   /** A11 — distance correlation (`distance_func.py:38-74`) of quantity
     * vs extendedprice on a deterministic 100-row head sample: the
     * O(n^2) double-centering runs on the bounded sample (SURVEY A11),
@@ -437,6 +456,7 @@ object StatsPack extends QueryPack {
     "q_sketch_quantile" -> qSketchQuantile,
     "q_count_distinct" -> qCountDistinct,
     "q_era_parse"      -> qEraParse,
+    "q_str_to_array"   -> qStrToArray,
     "q_dcor"           -> qDcor,
     "q_dcor_pval"      -> qDcorPval,
     "q_maxcorr"        -> qMaxcorr,
@@ -572,6 +592,20 @@ object StatsPack extends QueryPack {
       """SELECT CAST(regexp_replace('era' || month(o_orderdate), '^era', '') AS BIGINT) AS era,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_str_to_array" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  array_to_string(list_transform(v, x -> CAST(x AS VARCHAR)), ',') AS str
+        |  FROM e),
+        |p AS (SELECT vec_id, v,
+        |  list_transform(string_split(str, ','), x -> CAST(x AS DOUBLE)) AS pv
+        |  FROM s)
+        |SELECT count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN pv = v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_roundtrip_exact,
+        |  CAST(sum(CASE WHEN len(pv) = len(v) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_len_ok
+        |FROM p""".stripMargin,
     "q_dcor" ->
       """WITH base AS (
         |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS i,
