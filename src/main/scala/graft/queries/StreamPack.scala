@@ -68,6 +68,15 @@ object StreamPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-static enrichment join drained to completion: the event
+    * stream broadcast-joined to the static customer-segment dim (no
+    * streaming state — see [[EventStream.enrichedSegmentTotals]]),
+    * aggregated per (segment, event type); must equal the batch
+    * join + agg exactly. */
+  def qStreamEnrich(s: SparkSession, d: String): DataFrame =
+    EventStream.runEnrichOnce(s, d, s"graft_stream_e${runSeq.incrementAndGet()}")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+
   /** Streaming session windows reduced to the batch summary: the
     * complete-mode drain leaves the final per-user session set in the
     * sink; summarizing it must reproduce the batch gaps-and-islands
@@ -97,9 +106,17 @@ object StreamPack extends QueryPack {
     "q_stream_stats"       -> qStreamStats,
     "q_stream_session"     -> qStreamSession,
     "q_stream_join"        -> qStreamJoin,
+    "q_stream_enrich"      -> qStreamEnrich,
   )
 
   val oracles: Map[String, String] = Map(
+    // the stream-static join has no streaming state: drained complete,
+    // it must equal the plain batch join + aggregate
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON CAST(user_id AS BIGINT) = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_stats" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
         | round(sum(value), 2) AS total,

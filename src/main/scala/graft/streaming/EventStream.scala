@@ -159,6 +159,32 @@ object EventStream {
                   name: String = "graft_stream_join"): DataFrame =
     drain(spark, clickPurchasePairs(spark, dir), name, mode = "append")
 
+  /** Stream-static ENRICHMENT join — the canonical production shape
+    * missing from the join family: an unbounded event stream joined to
+    * a bounded dimension (customer segments) loaded as a plain batch
+    * relation. Spark broadcasts the static side into every micro-batch
+    * with NO streaming state (unlike stream-stream joins there is no
+    * watermark bookkeeping — the dim is re-resolvable at any time), so
+    * at 100 TB/day the stream side never shuffles for the join; only
+    * the downstream aggregation does. Drained in complete mode, the
+    * result must equal the batch join+agg exactly — the oracle is
+    * plain SQL over the same two fixtures. */
+  def enrichedSegmentTotals(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("value"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Drain [[enrichedSegmentTotals]] synchronously (complete mode). */
+  def runEnrichOnce(spark: SparkSession, dir: String,
+                    name: String = "graft_stream_enrich"): DataFrame =
+    drain(spark, enrichedSegmentTotals(spark, dir), name)
+
   case class UserTotals(user_id: Long, n_events: Long, total: Double)
 
   /** Stateful streaming (custom per-key state via mapGroupsWithState):
