@@ -642,7 +642,7 @@ object CorePack extends QueryPack {
 
   // ── TPC-H remainder shapes (round 8): with these, every TPC-H query
   // whose shape the fixtures can express is covered (Q4 ≡
-  // q_exists_correlated; Q20's agg-key semi ≡ Q18's). Adaptations
+  // q_exists_correlated). Adaptations
   // follow the committed conventions (COVERAGE.md): no partsupp →
   // lineitem is the part-supplier relation with a derived unit cost;
   // no receipt/commit dates → "late" = shipped >N days after the order
@@ -892,7 +892,35 @@ object CorePack extends QueryPack {
         |    WHERE ps2.pk = p_partkey AND r2.r_name = 'ASIA')
         |ORDER BY unit_cost_c, p_partkey, s_name""".stripMargin)
 
+  /** TPC-H Q20 shape — dominant-supplier promotion (availqty has no
+    * fixture column, so "dominant" = supplied >25% of the part's
+    * annual shipped volume): a semi-join key list built by a GROUP BY
+    * whose HAVING compares against a CORRELATED scalar aggregate on
+    * the group key — the one decorrelation shape the Q2/Q17/Q21
+    * family doesn't cover (correlation INTO a post-aggregate filter).
+    * Catalyst decorrelates the HAVING subquery to a per-part aggregate
+    * joined on the part key; quantities are integer-valued doubles, so
+    * the 4·sum > total comparison is exact integer arithmetic. */
+  def q20DominantSupplier(s: SparkSession, d: String): DataFrame =
+    sqlOnFixtures(s, d, Seq("supplier", "nation", "part", "lineitem"),
+      """SELECT s_suppkey, s_name, n_name
+        |FROM graft_supplier JOIN graft_nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM graft_lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM graft_part
+        |                         WHERE p_name LIKE '%widget%')
+        |    AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING 4 * CAST(sum(l1.l_quantity) AS BIGINT) > (
+        |    SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM graft_lineitem l2
+        |    WHERE l2.l_partkey = l1.l_partkey
+        |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+        |ORDER BY s_suppkey""".stripMargin)
+
   val queries: Map[String, Q] = Map(
+    "q20_dominant_supplier" -> q20DominantSupplier,
     "q2_min_cost"          -> q2MinCost,
     "q6_forecast_revenue"  -> q6ForecastRevenue,
     "q7_volume_shipping"   -> q7VolumeShipping,
@@ -949,6 +977,22 @@ object CorePack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_dominant_supplier" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE '%widget%')
+        |    AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING 4 * CAST(sum(l1.l_quantity) AS BIGINT) > (
+        |    SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem l2
+        |    WHERE l2.l_partkey = l1.l_partkey
+        |      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+        |ORDER BY s_suppkey""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
         |  AS BIGINT)) AS BIGINT) AS revenue_e4, count(*) AS n_items
