@@ -249,6 +249,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("Q20 shape: the correlated HAVING decorrelates — no nested loop, no cartesian") {
+    val p = plan("q20_dominant_supplier")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("seeded PQ searches the code relation with broadcast LUT, no code shuffle join") {
     // codes ⋈ LUT must be a broadcast hash join (the LUT is 10x128
     // rows); a shuffle of the corpus-sized code relation on (m, j)

@@ -42,7 +42,10 @@ class TpchRemainderSpec extends AnyFunSuite {
       (1L, "P1", "Brand#1", "STANDARD", 9, 1.0),   // q2 subject
       (2L, "P2", "Brand#1", "STANDARD", 9, 1.0),   // q2 tie subject
       (3L, "P3", "Brand#3", "STANDARD", 20, 1.0),  // q19 arm 3: size 20 > 15
-      (4L, "P4", "Brand#12", "STANDARD", 5, 1.0)   // q19 arm 1 match
+      (4L, "P4", "Brand#12", "STANDARD", 5, 1.0),  // q19 arm 1 match
+      // q20 subject: name matches '%widget%'; size 3 keeps it out of
+      // q2 (size 9) and Brand#9 out of every q19 arm
+      (5L, "blue widget", "Brand#9", "STANDARD", 3, 1.0)
     ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
       .write.mode("overwrite").parquet(s"$d/part.parquet")
     Seq(
@@ -72,7 +75,13 @@ class TpchRemainderSpec extends AnyFunSuite {
       (23L, 2L, 1L, 1, 5.0, 5.0, 0.0, 0.0, "N", "O", q1),            // P2@S1 100c: tie
       (23L, 2L, 2L, 2, 5.0, 5.0, 0.0, 0.0, "N", "O", q1),            // P2@S2 100c: tie
       (23L, 3L, 2L, 3, 25.0, 5.0, 0.0, 0.0, "N", "O", q1),           // q19 arm 3 qty ok, size not
-      (23L, 4L, 3L, 4, 5.0, 7.0, 0.0, 0.0, "A", "O", ts("1997-06-01")) // q19 arm 1; q12 late low
+      (23L, 4L, 3L, 4, 5.0, 7.0, 0.0, 0.0, "A", "O", ts("1997-06-01")), // q19 arm 1; q12 late low
+      // q20 widget-part lines, April (outside q15's quarter, inside
+      // q20's year, on time for q12: O23 + 180d = 1997-05-30):
+      // S1 ships 30/40 = 75% (> 25%, dominant), S2 ships 10/40 = 25%
+      // EXACTLY — 4·10 > 40 is false, the strict boundary excludes it
+      (23L, 5L, 1L, 5, 30.0, 5.0, 0.0, 0.0, "N", "O", ts("1997-04-15")),
+      (23L, 5L, 2L, 6, 10.0, 5.0, 0.0, 0.0, "N", "O", ts("1997-04-15"))
     ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",
       "l_returnflag", "l_linestatus", "l_shipdate")
@@ -111,6 +120,14 @@ class TpchRemainderSpec extends AnyFunSuite {
     // L1 (urgent order, 246d) -> N/high; L3 (5-LOW, 397d) -> N/low;
     // L7 (5-LOW, 182d) -> A/low; L2 at the exact boundary drops out.
     assert(rows.toSeq == Seq(("A", 0L, 1L), ("N", 1L, 1L)), rows.mkString(";"))
+  }
+
+  test("q20: >25% is dominant, exactly 25% is not (strict correlated-HAVING boundary)") {
+    val rows = CorePack.q20DominantSupplier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    // S1 ships 75% of the widget part's annual volume; S2's exact 25%
+    // fails the strict 4·sum > total; S3 ships none of it.
+    assert(rows.toSeq == Seq((1L, "N_A")), rows.mkString(";"))
   }
 
   test("q19: a row matching an arm's brand but failing its size conjunct stays out") {
