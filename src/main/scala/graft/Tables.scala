@@ -23,16 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/
-    * Bench/test sessions). Normalize back to a microsecond timestamp —
-    * the same ns→us truncation DuckDB applies.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some
+    * fixture generations and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * in others; normalize BOTH to a session-tz TIMESTAMP so every
+    * downstream `unix_micros`/window call sees one type:
+    *  - NANOS + `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *    Verify/Bench/test sessions) reads as LONG → truncate ns→us,
+    *    the same truncation DuckDB applies;
+    *  - MICROS without UTC adjustment reads as TIMESTAMP_NTZ → cast
+    *    to TIMESTAMP, exact under the UTC session timezone all entry
+    *    points pin (and the interpretation DuckDB gives the column).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

@@ -268,9 +268,15 @@ object EventStream {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(stagedStreamPath(path))
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // same NTZ→session-tz normalization as Tables.events (UTC
+        // sessions ⇒ exact); watermarks/windows need TIMESTAMP
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Drain the stream synchronously into a memory sink and return the
