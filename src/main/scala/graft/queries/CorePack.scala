@@ -919,7 +919,84 @@ object CorePack extends QueryPack {
         |      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
         |ORDER BY s_suppkey""".stripMargin)
 
+  /** Z-ORDER clustered scan (engine-new; SCALE.md scans row): the
+    * lineitem fact rewritten ONCE per dataset in (l_partkey,
+    * l_suppkey) Morton order ([[graft.operators.ZOrder]]), then
+    * filtered on EACH dimension independently. Z-ordering is pure
+    * layout — content is untouched — so the oracle runs the identical
+    * aggregates on the ORIGINAL table; what the layout buys is
+    * row-group min/max pruning on BOTH columns at once (a plain sort
+    * only serves its leading column), which `ZOrderSpec` proves from
+    * the written parquet footers. Quantities are integer-valued
+    * doubles summed as BIGINT — exact on both engines. */
+  private val zorderDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def zorderedLineitem(s: SparkSession, d: String): DataFrame = {
+    val path = zorderDirs.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder_")
+      val p = out.toAbsolutePath.toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(out.toFile)
+      }))
+      graft.operators.ZOrder.writeZOrdered(
+        Tables.lineitem(s, d), "l_partkey", "l_suppkey", p,
+        bits = 12, blockSize = 128 * 1024)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  def qZorderScan(s: SparkSession, d: String): DataFrame = {
+    val z = zorderedLineitem(s, d)
+    def arm(tag: String, pred: Column): DataFrame =
+      z.filter(pred)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(lit(tag).as("dim"), col("n_rows"), col("sum_qty"))
+    arm("partkey", col("l_partkey").between(1, 40))
+      .unionAll(arm("suppkey", col("l_suppkey").between(1, 4)))
+      .orderBy(col("dim"))
+  }
+
+  /** MERGE/CDC apply (engine-new — [[graft.operators.MergeOps]]): a
+    * deterministic change batch derived from the orders fact itself
+    * (keys ending in 3 → DELETE; keys ending in 7 → UPDATE to status
+    * 'X' at double price; keys ≡ 11 mod 100 → INSERT shifted beyond
+    * the key domain), applied as one anti-join + full-outer upsert,
+    * then audited per status. The oracle reconstructs the merged
+    * relation set-algebraically (kept ∪ updates ∪ inserts) — the two
+    * formulations agree only if the merge semantics are exactly
+    * row-level MERGE. Complements `EventsPack.qUpsert` (an ADDITIVE
+    * aggregate merge): this is the row-replacement MERGE with delete
+    * markers. Key sums are BIGINT-exact; the money sum follows the
+    * round-0 emission policy. */
+  def qMergeChanges(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val dels = o.withColumn("op", lit("D"))
+      .filter(col("o_orderkey") % 10 === 3)
+    val upds = o.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("op", lit("U"))
+    val ins = o.filter(col("o_orderkey") % 100 === 11)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("op", lit("U"))
+    val changes = dels.unionByName(upds).unionByName(ins)
+    graft.operators.MergeOps.applyChanges(o, changes, "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        round(sum(col("o_totalprice")), 0).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_merge_changes"      -> qMergeChanges,
+    "q_zorder_scan"        -> qZorderScan,
     "q20_dominant_supplier" -> q20DominantSupplier,
     "q2_min_cost"          -> q2MinCost,
     "q6_forecast_revenue"  -> q6ForecastRevenue,
@@ -977,6 +1054,39 @@ object CorePack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // set-algebraic reconstruction of the MERGE: rows whose keys end
+    // in 3 (deleted) or 7 (replaced) leave the base, then the update
+    // and insert images union back in
+    "q_merge_changes" ->
+      """WITH ch_upd AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |ch_ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 11),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)
+        |  UNION ALL SELECT * FROM ch_upd
+        |  UNION ALL SELECT * FROM ch_ins)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        | round(sum(o_totalprice), 0) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the z-ordered copy is a LAYOUT of lineitem, so the oracle runs
+    // the same aggregates on the original table
+    "q_zorder_scan" ->
+      """SELECT 'partkey' AS dim, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_partkey BETWEEN 1 AND 40
+        |UNION ALL
+        |SELECT 'suppkey' AS dim, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_suppkey BETWEEN 1 AND 4
+        |ORDER BY dim""".stripMargin,
     "q20_dominant_supplier" ->
       """SELECT s_suppkey, s_name, n_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey

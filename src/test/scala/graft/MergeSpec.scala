@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MergeOps
+
+/** Row-level MERGE semantics: replacement (nulls included), insert,
+  * delete, idempotence, and the duplicate-change-key misuse signal. */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "tag", "v")
+
+  test("upsert replaces matched rows entirely (null fields win) and inserts the rest") {
+    val updates = Seq(
+      (2L, null.asInstanceOf[String], 99.0), // replace, null tag wins
+      (4L, "d", 40.0)                        // insert
+    ).toDF("k", "tag", "v")
+    val got = MergeOps.upsert(target, updates, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10.0), (2L, null, 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("applyChanges deletes marked keys, no-ops absent keys, and is idempotent") {
+    val changes = Seq(
+      (3L, "x", 0.0, "D"),   // delete
+      (9L, "x", 0.0, "D"),   // absent key: no-op
+      (1L, "a2", 11.0, "U"), // replace
+      (5L, "e", 50.0, "U")   // insert
+    ).toDF("k", "tag", "v", "op")
+    val once = MergeOps.applyChanges(target, changes, "k")
+    val twice = MergeOps.applyChanges(once, changes, "k")
+    val want = Seq((1L, "a2", 11.0), (2L, "b", 20.0), (5L, "e", 50.0))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(snap(once) == want)
+    assert(snap(twice) == want)
+  }
+
+  test("duplicate change keys fan out — the observable cardinality-violation signal") {
+    val dup = Seq((2L, "p", 1.0), (2L, "q", 2.0)).toDF("k", "tag", "v")
+    assert(MergeOps.upsert(target, dup, "k").filter(col("k") === 2L).count() == 2L)
+  }
+
+  test("upsert rejects mismatched schemas") {
+    val bad = Seq((1L, "a")).toDF("k", "tag")
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.upsert(target, bad, "k")
+    }
+    assert(e.getMessage.contains("column mismatch"))
+  }
+}
