@@ -99,7 +99,24 @@ object StreamPack extends QueryPack {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("user_id"))
 
+  /** Custom-state sessionization (flatMapGroupsWithState + event-time
+    * timeout) driver-checked: the append stream of CLOSED sessions.
+    * After the fixture replay's single data batch, the engine runs one
+    * more batch against the end-of-stream watermark (max event time
+    * minus the 1 h delay), firing timeouts for trailing sessions the
+    * watermark already closed. The checkable result is therefore:
+    * every non-last session per user (eager close), plus each last
+    * session whose `end + gap` horizon fell strictly behind the final
+    * watermark in Spark's millisecond timeout arithmetic — which the
+    * oracle reproduces with exact integer math. The timeout arm is
+    * also MemoryStream-driven in `StatefulSessionSpec`. */
+  def qStreamSessionsClosed(s: SparkSession, d: String): DataFrame =
+    EventStream.runClosedSessionsOnce(
+        s, d, s"graft_stream_c${runSeq.incrementAndGet()}")
+      .orderBy(col("user_id"), col("start_us"))
+
   val queries: Map[String, Q] = Map(
+    "q_stream_sessions_closed" -> qStreamSessionsClosed,
     "q_stream_tumbling"    -> qStreamTumbling,
     "q_stream_dedup"       -> qStreamDedup,
     "q_stream_user_totals" -> qStreamUserTotals,
@@ -110,6 +127,31 @@ object StreamPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // batch gaps-and-islands, emitted iff eager-closed (a later
+    // session exists for the user) OR timed out under the final
+    // watermark: wm_ms = max_event_us//1000 - 3600000 (Spark floors
+    // event times to ms before the delay subtraction) and the fire
+    // rule is timeout_ms < wm_ms with timeout_ms = (end+gap)//1000+1
+    // — all integer arithmetic, exact on both engines
+    "q_stream_sessions_closed" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS es FROM events),
+        |f AS (SELECT user_id, es,
+        |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
+        |      > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id, es,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY es) AS sid
+        |  FROM f),
+        |sess AS (SELECT user_id, sid, min(es) AS start_us, max(es) AS end_us,
+        |    count(*) AS n
+        |  FROM g GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(sid) AS mx FROM sess GROUP BY 1),
+        |wm AS (SELECT (max(es) // 1000) - 3600000 AS wm_ms FROM e)
+        |SELECT s.user_id, s.start_us, s.end_us, s.n
+        |FROM sess s JOIN last l ON s.user_id = l.user_id, wm
+        |WHERE s.sid < l.mx
+        |   OR ((s.end_us + 1800000000) // 1000) + 1 < wm.wm_ms
+        |ORDER BY 1, 2""".stripMargin,
     // the stream-static join has no streaming state: drained complete,
     // it must equal the plain batch join + aggregate
     "q_stream_enrich" ->

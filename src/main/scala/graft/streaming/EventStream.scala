@@ -283,4 +283,80 @@ object EventStream {
     * completed result (test/driver harness helper). */
   def runOnce(spark: SparkSession, dir: String, name: String = "graft_stream"): DataFrame =
     drain(spark, windowedAgg(spark, dir), name)
+
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n: Long)
+  case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+  /** CLOSED gap-sessions as an APPEND stream — the custom-state
+    * sessionization `session_window` cannot express in append mode:
+    * each session is emitted exactly once, either when a later event
+    * lands beyond the gap (eager close: its successor dominates it) or
+    * when the event-time watermark passes `last + gap` and the
+    * EventTimeTimeout fires for the trailing open session. State is
+    * the O(1) open-session interval per key — bounded at any stream
+    * length, the flatMapGroupsWithState twin of the reference-free
+    * session aggregate.
+    *
+    * Batch-internal disorder is handled exactly (per-key sort, then
+    * interval merge against the carried state, so a late batch that
+    * straddles the open session merges instead of mis-splitting);
+    * cross-batch lateness is bounded by the 1-hour watermark like
+    * every other stream in this battery. On the fixture replay the
+    * data arrives in one batch, then the engine runs a final batch
+    * against the end-of-stream watermark, timing out every trailing
+    * session whose `last + gap` horizon the watermark already passed —
+    * so the driver-checked result is the batch session set minus only
+    * the sessions STILL open under that final watermark (the oracle
+    * reproduces Spark's ms-floor timeout arithmetic exactly).
+    * `StatefulSessionSpec` drives the timeout and cross-batch-merge
+    * paths with a MemoryStream. */
+  def closedSessions(events: DataFrame, gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start_us, s.last_us, s.n))
+          } else {
+            // sorted singleton intervals + the carried open session,
+            // merged on the gap: everything but the trailing interval
+            // is dominated by a later event and closes now
+            val intervals =
+              (rows.map(r => OpenSession(r._2, r._2, 1)).toSeq ++
+                state.getOption.toSeq).sortBy(_.start_us)
+            val merged = intervals.foldLeft(List.empty[OpenSession]) {
+              (acc, iv) => acc match {
+                case h :: t if iv.start_us <= h.last_us + gapUs =>
+                  OpenSession(h.start_us, math.max(h.last_us, iv.last_us),
+                    h.n + iv.n) :: t
+                case _ => iv :: acc
+              }
+            }.reverse
+            val open = merged.last
+            state.update(open)
+            // fire once the watermark passes the gap horizon (ms API)
+            state.setTimeoutTimestamp((open.last_us + gapUs) / 1000L + 1L)
+            merged.init.iterator
+              .map(c => SessionOut(uid, c.start_us, c.last_us, c.n))
+          }
+      }
+  }
+
+  /** Drain [[closedSessions]] over the fixture replay (append mode —
+    * closed sessions are final by construction). */
+  def runClosedSessionsOnce(spark: SparkSession, dir: String,
+                            name: String = "graft_stream_closed"): DataFrame =
+    drain(spark, closedSessions(eventsStream(spark, dir)).toDF(), name,
+      mode = "append")
 }

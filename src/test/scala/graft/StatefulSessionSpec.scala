@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.SessionOut
+
+/** The flatMapGroupsWithState sessionization arms the driver query
+  * can't reach on a one-batch replay: the event-time TIMEOUT close
+  * ("the watermark passed last+gap with no successor event") and
+  * cross-batch state carry/merge. */
+class StatefulSessionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("eager close within a batch, timeout close across batches, open stays silent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStream.closedSessions(
+      input.toDS().toDF("user_id", "ts"), gapMinutes = 30)
+
+    val name = "graft_stateful_session_spec"
+    val q = sessions.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1 — user 1: two events 5 min apart, then a 55-min jump:
+      // the first session closes eagerly; [01:00] stays open
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:05:00")),
+        (1L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // batch 2 — user 2 far in the future: advances the watermark
+      // (1h delay) past user 1's 01:30 timeout horizon
+      input.addData((2L, ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      // batch 3 — timeouts fire against the batch-2 watermark
+      input.addData((2L, ts("2024-01-01 05:01:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table(name).as[SessionOut].collect().toSet
+    def us(s: String): Long = ts(s).getTime * 1000L
+    assert(got == Set(
+      // eager close: dominated by the 01:00 successor
+      SessionOut(1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:05:00"), 2L),
+      // timeout close: no successor, watermark passed 01:30
+      SessionOut(1L, us("2024-01-01 01:00:00"), us("2024-01-01 01:00:00"), 1L)))
+    // user 2's session is still open — nothing emitted for it
+    assert(!got.exists(_.user_id == 2L))
+  }
+
+  test("late batch straddling the open session merges instead of mis-splitting") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStream.closedSessions(
+      input.toDS().toDF("user_id", "ts"), gapMinutes = 30)
+
+    val name = "graft_stateful_session_spec2"
+    val q = sessions.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData((7L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      // a late-but-inside-watermark event 10 min BEFORE the open
+      // session start must extend it backwards, not open a new one
+      input.addData((7L, ts("2024-01-01 01:50:00")))
+      q.processAllAvailable()
+      // successor beyond the gap closes the merged session eagerly
+      input.addData((7L, ts("2024-01-01 04:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table(name).as[SessionOut].collect().toSet
+    def us(s: String): Long = ts(s).getTime * 1000L
+    assert(got == Set(
+      SessionOut(7L, us("2024-01-01 01:50:00"), us("2024-01-01 02:00:00"), 2L)))
+  }
+}
