@@ -46,15 +46,52 @@ object MergeOps {
   }
 
   /** Apply a CDC batch: `changes` carries the target's columns plus
-    * `opCol` ∈ {'U','D'} — upsert or delete. Change keys must be
-    * unique per batch (caller contract — the ANSI MERGE cardinality
-    * rule; a duplicate key would fan out the join and duplicate the
-    * row, which `MergeSpec` pins as the observable misuse signal). */
+    * `opCol` — 'D' deletes by key; everything else ('U' update, 'I'
+    * insert — both are upserts, the distinction is informational) is
+    * applied by [[upsert]]. Change keys must be unique per batch
+    * (caller contract — the ANSI MERGE cardinality rule; a duplicate
+    * key would fan out the join and duplicate the row, which
+    * `MergeSpec` pins as the observable misuse signal). */
   def applyChanges(target: DataFrame, changes: DataFrame, key: String,
                    opCol: String = "op"): DataFrame = {
     val dels = changes.filter(col(opCol) === "D").select(col(key))
-    val ups = changes.filter(col(opCol) === "U").drop(opCol)
+    val ups = changes.filter(col(opCol) =!= "D").drop(opCol)
     val kept = target.join(dels, Seq(key), "left_anti")
     upsert(kept, ups, key)
+  }
+
+  /** The inverse of [[applyChanges]]: CDC GENERATION by snapshot diff.
+    * Emits one change row per differing key — `'D'` (old image) for
+    * keys absent from `next`, `'I'` (new image) for keys absent from
+    * `prev`, `'U'` (new image) for keys whose row changed under
+    * null-safe column equality; unchanged keys emit nothing, so the
+    * batch is minimal. Round-trip law (pinned in `MergeSpec`):
+    * `applyChanges(prev, diff(prev, next)) == next` as a multiset.
+    * One keyed full-outer join — same scale shape as the apply side. */
+  def diff(prev: DataFrame, next: DataFrame, key: String,
+           opCol: String = "op"): DataFrame = {
+    require(prev.columns.sorted.sameElements(next.columns.sorted),
+      s"column mismatch: ${prev.columns.mkString(",")} vs ${next.columns.mkString(",")}")
+    val cols = prev.columns.toSeq
+    val rest = cols.filterNot(_ == key)
+    val o = prev.select(col(key) +: rest.map(c => col(c).as(s"__o_$c")): _*)
+      .withColumn("__in_o", lit(true))
+    val n = next.select(col(key) +: rest.map(c => col(c).as(s"__n_$c")): _*)
+      .withColumn("__in_n", lit(true))
+    val changed = rest.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn(opCol,
+        when(col("__in_n").isNull, "D")
+          .when(col("__in_o").isNull, "I")
+          .when(changed, "U"))
+      .filter(col(opCol).isNotNull)
+      .select(cols.map { c =>
+        val out: Column =
+          if (c == key) col(key)
+          // D carries the old image (informative); I/U the new one
+          else when(col(opCol) === "D", col(s"__o_$c")).otherwise(col(s"__n_$c"))
+        out.as(c)
+      } :+ col(opCol): _*)
   }
 }

@@ -929,6 +929,10 @@ object CorePack extends QueryPack {
     * only serves its leading column), which `ZOrderSpec` proves from
     * the written parquet footers. Quantities are integer-valued
     * doubles summed as BIGINT — exact on both engines. */
+  /** Per-dir memo of the one-time z-ordered copy. SAME-JVM
+    * IMMUTABILITY ASSUMPTION as TextPack's memos: a data dir is not
+    * rewritten within one JVM (the fixture suites' convention); a
+    * regenerated dataset needs a new dir name or a JVM restart. */
   private val zorderDirs = scala.collection.concurrent.TrieMap[String, String]()
 
   private def zorderedLineitem(s: SparkSession, d: String): DataFrame = {
@@ -994,7 +998,35 @@ object CorePack extends QueryPack {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** CDC GENERATION — snapshot diff ([[graft.operators.MergeOps.diff]],
+    * the inverse of the apply side): diffing the base snapshot against
+    * the merged result of `qMergeChanges`'s change batch must recover
+    * exactly that batch — 'D' for keys ending in 3, 'U' for keys
+    * ending in 7 (status+price changed, never equal to the original),
+    * 'I' for the shifted inserts — audited as per-op counts and
+    * BIGINT key sums. The round-trip law `apply(prev, diff(prev,
+    * next)) == next` is pinned in `MergeSpec`. */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val upds = o.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("op", lit("U"))
+    val ins = o.filter(col("o_orderkey") % 100 === 11)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("op", lit("U"))
+    val dels = o.withColumn("op", lit("D"))
+      .filter(col("o_orderkey") % 10 === 3)
+    val next = graft.operators.MergeOps.applyChanges(
+      o, dels.unionByName(upds).unionByName(ins), "o_orderkey")
+    graft.operators.MergeOps.diff(o, next, "o_orderkey")
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("op"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_snapshot_diff"      -> qSnapshotDiff,
     "q_merge_changes"      -> qMergeChanges,
     "q_zorder_scan"        -> qZorderScan,
     "q20_dominant_supplier" -> q20DominantSupplier,
@@ -1054,6 +1086,18 @@ object CorePack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // the diff of (base, base-with-changes-applied) is the change
+    // batch itself: the three op sets are known closed-form
+    "q_snapshot_diff" ->
+      """SELECT 'D' AS op, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT 'I' AS op, count(*) AS n, CAST(sum(o_orderkey + 10000000) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 100 = 11
+        |UNION ALL
+        |SELECT 'U' AS op, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 10 = 7
+        |ORDER BY op""".stripMargin,
     // set-algebraic reconstruction of the MERGE: rows whose keys end
     // in 3 (deleted) or 7 (replaced) leave the base, then the update
     // and insert images union back in

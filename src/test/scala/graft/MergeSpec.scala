@@ -47,6 +47,28 @@ class MergeSpec extends AnyFunSuite {
     assert(MergeOps.upsert(target, dup, "k").filter(col("k") === 2L).count() == 2L)
   }
 
+  test("diff round-trips: applyChanges(prev, diff(prev, next)) == next") {
+    val prev = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "tag", "v")
+    val next = Seq(
+      (1L, "a", 10.0),              // unchanged
+      (2L, "b2", 20.0),             // updated field
+      (4L, null.asInstanceOf[String], 40.0), // updated to null
+      (5L, "e", 50.0)               // inserted; 3 deleted
+    ).toDF("k", "tag", "v")
+    val d = MergeOps.diff(prev, next, "k")
+    val ops = d.select("k", "op").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // minimal: unchanged key 1 emits nothing
+    assert(ops == Set((2L, "U"), (3L, "D"), (4L, "U"), (5L, "I")))
+    val rt = MergeOps.applyChanges(prev, d, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val want = next.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rt == want)
+    // diff of identical snapshots is empty
+    assert(MergeOps.diff(next, next, "k").isEmpty)
+  }
+
   test("upsert rejects mismatched schemas") {
     val bad = Seq((1L, "a")).toDF("k", "tag")
     val e = intercept[IllegalArgumentException] {

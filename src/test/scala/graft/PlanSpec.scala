@@ -263,4 +263,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_ann_pq_seeded")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("z-order scan pushes each dimension's filter into the parquet read") {
+    // both arms must reach the z-ordered copy as pushed range filters
+    // — that is what converts the layout's tight row-group stats into
+    // actual skipped IO at 100 TB
+    val p = plan("q_zorder_scan")
+    assert(p.contains("GreaterThanOrEqual(l_partkey,1), LessThanOrEqual(l_partkey,40)"),
+      p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_suppkey,1), LessThanOrEqual(l_suppkey,4)"),
+      p.take(2000))
+  }
+
+  test("merge applies with joins on the key only — no cartesian, no nested loop") {
+    // the CDC apply is one anti join (deletes) + one outer join
+    // (upserts), both keyed on o_orderkey; any nested-loop shape here
+    // would be quadratic in the fact at scale
+    val p = plan("q_merge_changes")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
