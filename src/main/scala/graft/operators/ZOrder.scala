@@ -32,12 +32,21 @@ object ZOrder {
   /** Morton-interleave two binned non-negative ints (`bits` each,
     * ≤ 21 so the result fits a long): bit i of `a` lands at 2i, bit i
     * of `b` at 2i+1. Pure `Column` composition — codegen'd, no UDF. */
-  def interleaveBits(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 21, s"bits must be in [1,21], got $bits")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(a.bitwiseAND(lit(1L << i)), i))
-        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    interleaveBitsN(Seq(a, b), bits)
+
+  /** The k-column generalization: bit i of column j lands at i·k + j,
+    * so every dimension shares the curve's locality equally. Result
+    * must fit a long: k·bits ≤ 62. */
+  def interleaveBitsN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"need at least 2 columns, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"k*bits must be in [k,62], got $k*$bits")
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc0, (c, j)) =>
+      (0 until bits).foldLeft(acc0) { (acc, i) =>
+        acc.bitwiseOR(shiftleft(c.bitwiseAND(lit(1L << i)), i * (k - 1) + j))
+      }
     }
   }
 
@@ -48,18 +57,22 @@ object ZOrder {
     ((c.cast("long") - lit(lo)) * lit(1L << bits) / lit(domain)).cast("long")
   }
 
-  /** The Morton key of two long columns of `df`, binned by their
-    * observed min/max (one bounded aggregate — four driver scalars,
+  /** The Morton key of k long columns of `df`, binned by their
+    * observed min/max (one bounded aggregate — 2k driver scalars,
     * the documented collect-at-edges exception). */
-  def mortonKey(df: DataFrame, ca: String, cb: String, bits: Int): Column = {
+  def mortonKey(df: DataFrame, cols: Seq[String], bits: Int): Column = {
     val r = df.agg(
-      min(col(ca)).cast("long"), max(col(ca)).cast("long"),
-      min(col(cb)).cast("long"), max(col(cb)).cast("long")).head()
-    interleaveBits(
-      bin(col(ca), r.getLong(0), r.getLong(1), bits),
-      bin(col(cb), r.getLong(2), r.getLong(3), bits),
-      bits)
+      min(col(cols.head)).cast("long"), max(col(cols.head)).cast("long") +:
+        cols.tail.flatMap(c =>
+          Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))): _*).head()
+    interleaveBitsN(
+      cols.zipWithIndex.map { case (c, j) =>
+        bin(col(c), r.getLong(2 * j), r.getLong(2 * j + 1), bits)
+      }, bits)
   }
+
+  def mortonKey(df: DataFrame, ca: String, cb: String, bits: Int): Column =
+    mortonKey(df, Seq(ca, cb), bits)
 
   /** Write `df` z-ordered by `(ca, cb)`: range-partition then sort
     * partition-locally by the Morton key (the key is a sort EXPRESSION,

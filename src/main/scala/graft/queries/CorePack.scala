@@ -1025,7 +1025,37 @@ object CorePack extends QueryPack {
       .orderBy(col("op"))
   }
 
+  /** ANALYZE-style statistics collection (the engine-support op that
+    * feeds a cost-based optimizer / data catalog): ONE pass over the
+    * fact computes per-column non-null count, null count, EXACT ndv,
+    * and min/max for six numeric lineitem columns, emitted one row
+    * per column. The multi-distinct lowers to a single Expand over
+    * one scan (the `q_count_distinct` shape — never six scans). At
+    * 100 TB exact ndv swaps for the mergeable HLL sketch
+    * (`q_sketch_distinct`) with the identical plan minus the Expand;
+    * min/max are grid-exact doubles, so no rounding is needed. */
+  def qAnalyzeStats(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"n_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c"))
+    }
+    val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"n_$c").as("n"),
+        col(s"nn_$c").as("n_null"), col(s"ndv_$c").as("ndv"),
+        col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("st")).select("st.*")
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_analyze_stats"      -> qAnalyzeStats,
     "q_snapshot_diff"      -> qSnapshotDiff,
     "q_merge_changes"      -> qMergeChanges,
     "q_zorder_scan"        -> qZorderScan,
@@ -1086,6 +1116,19 @@ object CorePack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // one UNION arm per analyzed column; counts/ndv BIGINT both
+    // sides, min/max as DOUBLE (grid-exact inputs, no rounding)
+    "q_analyze_stats" -> {
+      val arms = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           | count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS ndv,
+           | CAST(min($c) AS DOUBLE) AS min_v,
+           | CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""".stripMargin
+      }
+      arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     // the diff of (base, base-with-changes-applied) is the change
     // batch itself: the three op sets are known closed-form
     "q_snapshot_diff" ->

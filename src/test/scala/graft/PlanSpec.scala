@@ -275,6 +275,12 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("analyze stats is one scan + one Expand, never a scan per column") {
+    val p = plan("q_analyze_stats")
+    assert(p.contains("Expand"), p.take(1500))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
   test("merge applies with joins on the key only — no cartesian, no nested loop") {
     // the CDC apply is one anti join (deletes) + one outer join
     // (upserts), both keyed on o_orderkey; any nested-loop shape here

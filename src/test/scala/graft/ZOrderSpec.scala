@@ -35,6 +35,27 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("interleaveBitsN(k=3) matches the reference k-ary Morton code") {
+    def ref(vs: Seq[Long], bits: Int): Long = {
+      val k = vs.size
+      vs.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+        (0 until bits).foldLeft(acc) { (a, i) =>
+          a | ((v >> i & 1L) << (i * k + j))
+        }
+      }
+    }
+    val rows = for (a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L)
+      yield (a, b, c)
+    val got = rows.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        ZOrder.interleaveBitsN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .collect()
+    got.foreach { r =>
+      val vs = Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == ref(vs, 3), vs.toString)
+    }
+  }
+
   test("bin maps [lo,hi] onto [0,2^bits) monotonically, endpoints included") {
     val vals = (0L to 1000L).toDF("v")
       .select(ZOrder.bin(col("v"), 0L, 1000L, 6).as("b"))
