@@ -69,6 +69,39 @@ class MergeSpec extends AnyFunSuite {
     assert(MergeOps.diff(next, next, "k").isEmpty)
   }
 
+  test("upsert on key-bucketed tables plans with no shuffle exchange") {
+    // SCALE.md's merge claim: the full-outer upsert join is co-located
+    // when both sides are bucketed on the merge key — the CDC shape
+    // that makes repeated 100 TB applies shuffle-free
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v")
+    val upd = Seq((2L, 99.0), (5L, 50.0)).toDF("k", "v")
+    Seq("graft_merge_t", "graft_merge_u").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    graft.operators.Bucketing.writeBucketed(base, "graft_merge_t", "k", 4)
+    graft.operators.Bucketing.writeBucketed(upd, "graft_merge_u", "k", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = MergeOps.upsert(
+        spark.table("graft_merge_t"), spark.table("graft_merge_u"), "k")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      val got = merged.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("upsert rejects mismatched schemas") {
     val bad = Seq((1L, "a")).toDF("k", "tag")
     val e = intercept[IllegalArgumentException] {
