@@ -1054,7 +1054,47 @@ object CorePack extends QueryPack {
       .orderBy(col("col_name"))
   }
 
+  /** Edit-distance fuzzy join (engine-new — the text-family matcher
+    * the shingle/minhash/simhash battery lacks: typo-class near-dups
+    * that share no 3-gram signature bucket). A deterministic "dirty"
+    * twin of every part name (one character deleted at a key-derived
+    * position ≥ 2) is matched back against the clean vocabulary:
+    * candidates are generated by BLOCKING on (first char, ±1 length
+    * band) — never an all-pairs cross join — then filtered on
+    * `levenshtein ≤ 2` (codegen'd) and reduced to each dirty row's
+    * best match (min distance, then min clean key). At 100 TB the
+    * block key widens to (prefix-4, length bucket) with a hot-block
+    * cap, the same guard shape as the shingle df floor. Emitted as
+    * the per-distance match census with the self-recovery count —
+    * all BIGINT-exact. */
+  def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+    // delete the character at 1-indexed position pos ∈ [2, len-1]
+    // (key-derived, first char always preserved for the block key)
+    val dirty = p.select(
+      col("p_partkey").as("dk"),
+      concat(
+        expr("substring(p_name, 1, pmod(p_partkey, length(p_name) - 2) + 1)"),
+        expr("substring(p_name, pmod(p_partkey, length(p_name) - 2) + 3, 1000)"))
+        .as("dname"))
+    val clean = p.select(col("p_partkey").as("ck"), col("p_name").as("cname"))
+    val cand = dirty.join(clean,
+      substring(col("dname"), 1, 1) === substring(col("cname"), 1, 1) &&
+        abs(length(col("dname")) - length(col("cname"))) <= 1)
+      .withColumn("dist", levenshtein(col("dname"), col("cname")))
+      .filter(col("dist") <= 2)
+    val w = Window.partitionBy(col("dk"))
+      .orderBy(col("dist"), col("ck"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("dist").cast("long").as("dist"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ck") === col("dk"), 1L).otherwise(0L)).as("n_self"))
+      .orderBy(col("dist"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_fuzzy_join"         -> qFuzzyJoin,
     "q_analyze_stats"      -> qAnalyzeStats,
     "q_snapshot_diff"      -> qSnapshotDiff,
     "q_merge_changes"      -> qMergeChanges,
@@ -1116,6 +1156,27 @@ object CorePack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // same key-derived one-char deletion, same (first char, ±1 len)
+    // block, same best-match reduction — DuckDB's levenshtein is the
+    // same DP distance Spark computes
+    "q_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part),
+        |dirty AS (SELECT p_partkey AS dk,
+        |    substring(p_name, 1, (p_partkey % (length(p_name) - 2)) + 1) ||
+        |    substring(p_name, (p_partkey % (length(p_name) - 2)) + 3, 1000) AS dname
+        |  FROM p),
+        |clean AS (SELECT p_partkey AS ck, p_name AS cname FROM p),
+        |cand AS (SELECT dk, ck, levenshtein(dname, cname) AS dist
+        |  FROM dirty JOIN clean
+        |    ON substring(dname, 1, 1) = substring(cname, 1, 1)
+        |   AND abs(length(dname) - length(cname)) <= 1
+        |  WHERE levenshtein(dname, cname) <= 2),
+        |best AS (SELECT dk, ck, dist,
+        |    row_number() OVER (PARTITION BY dk ORDER BY dist, ck) AS rn
+        |  FROM cand)
+        |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n,
+        | CAST(sum(CASE WHEN ck = dk THEN 1 ELSE 0 END) AS BIGINT) AS n_self
+        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     // one UNION arm per analyzed column; counts/ndv BIGINT both
     // sides, min/max as DOUBLE (grid-exact inputs, no rounding)
     "q_analyze_stats" -> {

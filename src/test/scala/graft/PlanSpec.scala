@@ -281,6 +281,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("fuzzy join hash-joins on the block key; levenshtein is a residual filter") {
+    // the blocked candidate join must extract the substring equality
+    // as the hash key (BNLJ/cartesian here would be all-pairs edit
+    // distance — quadratic in the vocabulary at scale)
+    val p = plan("q_fuzzy_join")
+    assert(p.contains("HashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("merge applies with joins on the key only — no cartesian, no nested loop") {
     // the CDC apply is one anti join (deletes) + one outer join
     // (upserts), both keyed on o_orderkey; any nested-loop shape here
