@@ -1059,30 +1059,41 @@ object CorePack extends QueryPack {
     * that share no 3-gram signature bucket). A deterministic "dirty"
     * twin of every part name (one character deleted at a key-derived
     * position ≥ 2) is matched back against the clean vocabulary:
-    * candidates are generated by BLOCKING on (first char, ±1 length
-    * band) — never an all-pairs cross join — then filtered on
-    * `levenshtein ≤ 2` (codegen'd) and reduced to each dirty row's
-    * best match (min distance, then min clean key). At 100 TB the
-    * block key widens to (prefix-4, length bucket) with a hot-block
-    * cap, the same guard shape as the shingle df floor. Emitted as
-    * the per-distance match census with the self-recovery count —
-    * all BIGINT-exact. */
+    * candidates are generated by BLOCKING on (first char, length) as
+    * a full EQUI-key — the ±1 length band is realized by replicating
+    * the clean side to its three neighbor length buckets (constant
+    * 3×, the `bandPairs` bin trick), so block populations shrink by
+    * the length-histogram factor and no band predicate rides the
+    * hash join as a residual. The distance is the THRESHOLDED
+    * `levenshtein(d, c, 2)` (early-exit DP, -1 beyond the cap), and
+    * the probe side is `Tables.spread` so the string kernel runs at
+    * full parallelism, not at the single-file scan's width. Reduced
+    * to each dirty row's best match (min distance, then min clean
+    * key). At 100 TB the block key widens to (prefix-4, length) with
+    * a hot-block cap, the same guard shape as the shingle df floor.
+    * Emitted as the per-distance match census with the self-recovery
+    * count — all BIGINT-exact. */
   def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
     // delete the character at 1-indexed position pos ∈ [2, len-1]
     // (key-derived, first char always preserved for the block key)
-    val dirty = p.select(
+    val dirty = Tables.spread(s, p).select(
       col("p_partkey").as("dk"),
       concat(
         expr("substring(p_name, 1, pmod(p_partkey, length(p_name) - 2) + 1)"),
         expr("substring(p_name, pmod(p_partkey, length(p_name) - 2) + 3, 1000)"))
         .as("dname"))
+    // each clean name serves length buckets {len-1, len, len+1}: a
+    // candidate with |len(d)-len(c)| <= 1 matches exactly one bucket
     val clean = p.select(col("p_partkey").as("ck"), col("p_name").as("cname"))
+      .withColumn("lb", explode(array(
+        length(col("cname")) - 1, length(col("cname")),
+        length(col("cname")) + 1)))
     val cand = dirty.join(clean,
       substring(col("dname"), 1, 1) === substring(col("cname"), 1, 1) &&
-        abs(length(col("dname")) - length(col("cname"))) <= 1)
-      .withColumn("dist", levenshtein(col("dname"), col("cname")))
-      .filter(col("dist") <= 2)
+        length(col("dname")) === col("lb"))
+      .withColumn("dist", levenshtein(col("dname"), col("cname"), 2))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
     val w = Window.partitionBy(col("dk"))
       .orderBy(col("dist"), col("ck"))
     cand.withColumn("rn", row_number().over(w))
