@@ -300,16 +300,21 @@ object CorePack extends QueryPack {
                             tables: Seq[String], sql: String): DataFrame = {
     val suffix = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    // word-boundary match, not plain replace: with prefix-related
-    // table names (part / partsupp) a plain replace would corrupt the
-    // longer placeholder depending on fold order
-    val rewritten = tables.foldLeft(sql) { (q, t) =>
-      val view = s"graft_${t}_$suffix"
-      Tables.table(s, d, t).createOrReplaceTempView(view)
-      q.replaceAll(s"\\bgraft_$t\\b", view)
-    }
-    s.sql(rewritten)
+    tables.foreach(t =>
+      Tables.table(s, d, t).createOrReplaceTempView(s"graft_${t}_$suffix"))
+    s.sql(rewritePlaceholders(sql, tables, suffix))
   }
+
+  /** The facade's placeholder splice, extracted pure so the
+    * prefix-table hazard is spec-pinned (`SqlFacadeSpec`): word-boundary
+    * match, not plain replace — with prefix-related table names
+    * (part / partsupp) a plain replace would corrupt the longer
+    * placeholder depending on fold order. */
+  private[graft] def rewritePlaceholders(sql: String, tables: Seq[String],
+                                         suffix: String): String =
+    tables.foldLeft(sql) { (q, t) =>
+      q.replaceAll(s"\\bgraft_$t\\b", s"graft_${t}_$suffix")
+    }
 
   /** Correlated EXISTS (TPC-H Q4 shape) through the SQL facade —
     * fixture tables registered as temp views, query text through
@@ -323,6 +328,30 @@ object CorePack extends QueryPack {
         |  AND EXISTS (SELECT 1 FROM graft_lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** TPC-H Q4 — order-priority checking, the canonical correlated
+    * EXISTS count, completing the 22-shape sweep (Q4 was previously
+    * covered only by its facade twin [[qExistsCorrelated]], which runs
+    * the same shape through `spark.sql`). Adaptation per COVERAGE.md:
+    * no commit/receipt dates in the fixture, so "late line" =
+    * shipped more than 30 days after the order date; window is one
+    * quarter. Expressed DataFrame-first as a left-semi join with the
+    * lateness residual on the equi key — exactly the decorrelated plan
+    * Catalyst produces for the EXISTS form, so at 100 TB this is one
+    * shuffle (or broadcast at small SF) on `orderkey` with the quarter
+    * filter pushed to the orders scan; no per-row re-probe. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(lines, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   /** Scalar subquery through the SQL facade: orders above 1.9x the
     * average price, counted per status. */
@@ -1130,6 +1159,7 @@ object CorePack extends QueryPack {
     "q3_shipping_priority" -> q3ShippingPriority,
     "q_bloom_prefilter"  -> qBloomPrefilter,
     "q_exists_correlated"  -> qExistsCorrelated,
+    "q4_order_priority"    -> q4OrderPriority,
     "q16_supplier_cnt"     -> q16SupplierCnt,
     "q18_big_orders"       -> q18BigOrders,
     "q21_sole_late"        -> q21SoleLate,
@@ -1540,6 +1570,15 @@ object CorePack extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o_orderstatus, count(*) AS n, round(min(o_totalprice), 2) AS min_price

@@ -67,6 +67,23 @@ class TextInfoSpec extends AnyFunSuite {
     assert(vixy >= 0)
   }
 
+  test("norm-VI on a degenerate single-cell joint is 0.0, not NaN/NULL") {
+    // All mass in one (bi, bj) cell: H(X,Y) = 0 and VI = 0, so the
+    // naive VI/H(X,Y) is 0/0. The guard must emit exactly 0.0 — the
+    // same value the oracle's CASE WHEN renders — because NaN/NULL
+    // rendering differs between Spark and DuckDB.
+    val const = Seq.fill(50)((3.0, 3.0)).toDF("x", "y")
+    val joint = InfoTheory.histogram2d(const, col("x"), col("y"), 0, 7, 0, 7, 5)
+    assert(joint.count() == 1) // genuinely degenerate
+    val got = InfoTheory.variationOfInformation(joint, norm = true)
+      .as[Double].head()
+    assert(!got.isNaN)
+    assert(got == 0.0)
+    // and the unnormalized path stays finite-zero on the same joint
+    val vi = InfoTheory.variationOfInformation(joint).as[Double].head()
+    assert(math.abs(vi) < 1e-9)
+  }
+
   test("histogram2d counts sum to row count and buckets are clamped") {
     val df = Seq(-5.0, 0.0, 2.5, 5.0, 99.0).map(x => (x, x)).toDF("x", "y")
     val h = InfoTheory.histogram2d(df, col("x"), col("y"), 0, 5, 0, 5, 5)
