@@ -23,12 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object MergeOps {
 
+  /** The merge internals fabricate `__`-prefixed helper columns
+    * (`__u_*`, `__upd`, `__o_*`, `__n_*`, `__in_o`, `__in_n`); an
+    * input that legitimately carries such a name would collide with
+    * them and silently corrupt the merge, so it is rejected up front. */
+  private def requireNoReservedCols(df: DataFrame, what: String): Unit = {
+    val bad = df.columns.filter(_.startsWith("__"))
+    require(bad.isEmpty,
+      s"$what columns ${bad.mkString(",")} use the reserved '__' prefix " +
+        "(internal merge helper namespace)")
+  }
+
   /** Row-level upsert: `updates` rows replace same-key `target` rows
     * and insert otherwise. Column sets must match; output keeps the
     * target's column order. */
   def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
     require(target.columns.sorted.sameElements(updates.columns.sorted),
       s"column mismatch: ${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    requireNoReservedCols(target, "target")
     val cols = target.columns.toSeq
     val marked = updates
       .select(col(key) +: cols.filterNot(_ == key)
@@ -72,6 +84,7 @@ object MergeOps {
            opCol: String = "op"): DataFrame = {
     require(prev.columns.sorted.sameElements(next.columns.sorted),
       s"column mismatch: ${prev.columns.mkString(",")} vs ${next.columns.mkString(",")}")
+    requireNoReservedCols(prev, "prev")
     val cols = prev.columns.toSeq
     val rest = cols.filterNot(_ == key)
     val o = prev.select(col(key) +: rest.map(c => col(c).as(s"__o_$c")): _*)

@@ -65,6 +65,12 @@ object ZOrder {
       min(col(cols.head)).cast("long"), max(col(cols.head)).cast("long") +:
         cols.tail.flatMap(c =>
           Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))): _*).head()
+    // min/max are null on an empty frame or an all-null column; fail
+    // with the column name, not an opaque NPE from inside the write
+    cols.zipWithIndex.foreach { case (c, j) =>
+      require(!r.isNullAt(2 * j) && !r.isNullAt(2 * j + 1),
+        s"z-order column '$c' has no non-null values; cannot derive a bin range")
+    }
     interleaveBitsN(
       cols.zipWithIndex.map { case (c, j) =>
         bin(col(c), r.getLong(2 * j), r.getLong(2 * j + 1), bits)

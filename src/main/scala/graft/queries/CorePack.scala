@@ -961,11 +961,17 @@ object CorePack extends QueryPack {
   /** Per-dir memo of the one-time z-ordered copy. SAME-JVM
     * IMMUTABILITY ASSUMPTION as TextPack's memos: a data dir is not
     * rewritten within one JVM (the fixture suites' convention); a
-    * regenerated dataset needs a new dir name or a JVM restart. */
-  private val zorderDirs = scala.collection.concurrent.TrieMap[String, String]()
+    * regenerated dataset needs a new dir name or a JVM restart.
+    * ConcurrentHashMap.computeIfAbsent (NOT TrieMap.getOrElseUpdate,
+    * which may run the thunk twice under a concurrent first call):
+    * the thunk is a full z-ordered write of lineitem, so a duplicate
+    * evaluation would burn a redundant write job and leak a temp dir
+    * until JVM shutdown. computeIfAbsent blocks the second caller
+    * until the first write finishes — at-most-once by contract. */
+  private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def zorderedLineitem(s: SparkSession, d: String): DataFrame = {
-    val path = zorderDirs.getOrElseUpdate(d, {
+    val path = zorderDirs.computeIfAbsent(d, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft_zorder_")
       val p = out.toAbsolutePath.toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -1007,6 +1013,19 @@ object CorePack extends QueryPack {
     * aggregate merge): this is the row-replacement MERGE with delete
     * markers. Key sums are BIGINT-exact; the money sum follows the
     * round-0 emission policy. */
+  /** Insert-key shift for the synthetic change batches: the next
+    * power of 10 above max(o_orderkey), derived from the data (one
+    * bounded single-row aggregate) so shifted inserts can NEVER
+    * collide with existing keys at any SF — a fixed shift would
+    * collide once max(o_orderkey) crosses it (TPC-H sf ≳ 1.7 for
+    * 10^7), making the row-replacing upsert and the oracle's blind
+    * UNION ALL diverge. Decimal-digit-count form keeps it exact in
+    * BIGINT; the oracle derives the identical value in SQL. */
+  private def insertKeyShift(o: DataFrame): Long = {
+    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    math.pow(10, mx.toString.length).toLong
+  }
+
   def qMergeChanges(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val dels = o.withColumn("op", lit("D"))
@@ -1016,7 +1035,7 @@ object CorePack extends QueryPack {
       .withColumn("o_totalprice", col("o_totalprice") * 2)
       .withColumn("op", lit("U"))
     val ins = o.filter(col("o_orderkey") % 100 === 11)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(insertKeyShift(o)))
       .withColumn("op", lit("U"))
     val changes = dels.unionByName(upds).unionByName(ins)
     graft.operators.MergeOps.applyChanges(o, changes, "o_orderkey")
@@ -1042,7 +1061,7 @@ object CorePack extends QueryPack {
       .withColumn("o_totalprice", col("o_totalprice") * 2)
       .withColumn("op", lit("U"))
     val ins = o.filter(col("o_orderkey") % 100 === 11)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(insertKeyShift(o)))
       .withColumn("op", lit("U"))
     val dels = o.withColumn("op", lit("D"))
       .filter(col("o_orderkey") % 10 === 3)
@@ -1232,13 +1251,18 @@ object CorePack extends QueryPack {
       arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
     // the diff of (base, base-with-changes-applied) is the change
-    // batch itself: the three op sets are known closed-form
+    // batch itself: the three op sets are known closed-form. The
+    // insert shift is data-derived (next power of 10 above the max
+    // key — decimal digit count, exact integer math both engines)
     "q_snapshot_diff" ->
-      """SELECT 'D' AS op, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      """WITH shift AS (
+        |  SELECT CAST(power(10, length(CAST(max(o_orderkey) AS VARCHAR)))
+        |              AS BIGINT) AS sv FROM orders)
+        |SELECT 'D' AS op, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 10 = 3
         |UNION ALL
-        |SELECT 'I' AS op, count(*) AS n, CAST(sum(o_orderkey + 10000000) AS BIGINT) AS key_sum
-        |FROM orders WHERE o_orderkey % 100 = 11
+        |SELECT 'I' AS op, count(*) AS n, CAST(sum(o_orderkey + sv) AS BIGINT) AS key_sum
+        |FROM orders, shift WHERE o_orderkey % 100 = 11
         |UNION ALL
         |SELECT 'U' AS op, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 10 = 7
@@ -1247,14 +1271,17 @@ object CorePack extends QueryPack {
     // in 3 (deleted) or 7 (replaced) leave the base, then the update
     // and insert images union back in
     "q_merge_changes" ->
-      """WITH ch_upd AS (
+      """WITH shift AS (
+        |  SELECT CAST(power(10, length(CAST(max(o_orderkey) AS VARCHAR)))
+        |              AS BIGINT) AS sv FROM orders),
+        |ch_upd AS (
         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
         |         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 10 = 7),
         |ch_ins AS (
-        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |  SELECT o_orderkey + sv AS o_orderkey, o_custkey, o_orderstatus,
         |         o_totalprice, o_orderdate, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 100 = 11),
+        |  FROM orders, shift WHERE o_orderkey % 100 = 11),
         |merged AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |         o_orderdate, o_orderpriority

@@ -101,14 +101,17 @@ object StreamPack extends QueryPack {
 
   /** Custom-state sessionization (flatMapGroupsWithState + event-time
     * timeout) driver-checked: the append stream of CLOSED sessions.
-    * After the fixture replay's single data batch, the engine runs one
-    * more batch against the end-of-stream watermark (max event time
-    * minus the 1 h delay), firing timeouts for trailing sessions the
-    * watermark already closed. The checkable result is therefore:
-    * every non-last session per user (eager close), plus each last
-    * session whose `end + gap` horizon fell strictly behind the final
-    * watermark in Spark's millisecond timeout arithmetic — which the
-    * oracle reproduces with exact integer math. The timeout arm is
+    * Closes are watermark-gated — a session is emitted exactly when
+    * the watermark passes its `end + gap` horizon, never merely
+    * because a successor event exists (an in-watermark late event in
+    * a later batch may still merge into the gap). After the fixture
+    * replay's single data batch, the engine runs one more batch
+    * against the end-of-stream watermark (max event time minus the
+    * 1 h delay), firing the timeouts. The checkable result is
+    * therefore: each batch gaps-and-islands session whose `end + gap`
+    * horizon fell strictly behind the final watermark in Spark's
+    * millisecond timeout arithmetic — which the oracle reproduces
+    * with exact integer math. The timeout and late-merge arms are
     * also MemoryStream-driven in `StatefulSessionSpec`. */
   def qStreamSessionsClosed(s: SparkSession, d: String): DataFrame =
     EventStream.runClosedSessionsOnce(
@@ -127,12 +130,14 @@ object StreamPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
-    // batch gaps-and-islands, emitted iff eager-closed (a later
-    // session exists for the user) OR timed out under the final
-    // watermark: wm_ms = max_event_us//1000 - 3600000 (Spark floors
-    // event times to ms before the delay subtraction) and the fire
-    // rule is timeout_ms < wm_ms with timeout_ms = (end+gap)//1000+1
-    // — all integer arithmetic, exact on both engines
+    // batch gaps-and-islands, emitted iff watermark-closed under the
+    // final watermark: wm_ms = max_event_us//1000 - 3600000 (Spark
+    // floors event times to ms before the delay subtraction) and the
+    // fire rule is timeout_ms < wm_ms with timeout_ms =
+    // (end+gap)//1000+1 — all integer arithmetic, exact on both
+    // engines. No successor-existence arm: closes are purely
+    // watermark-gated so in-watermark cross-batch stragglers can
+    // still merge.
     "q_stream_sessions_closed" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS es FROM events),
         |f AS (SELECT user_id, es,
@@ -145,12 +150,10 @@ object StreamPack extends QueryPack {
         |sess AS (SELECT user_id, sid, min(es) AS start_us, max(es) AS end_us,
         |    count(*) AS n
         |  FROM g GROUP BY 1, 2),
-        |last AS (SELECT user_id, max(sid) AS mx FROM sess GROUP BY 1),
         |wm AS (SELECT (max(es) // 1000) - 3600000 AS wm_ms FROM e)
         |SELECT s.user_id, s.start_us, s.end_us, s.n
-        |FROM sess s JOIN last l ON s.user_id = l.user_id, wm
-        |WHERE s.sid < l.mx
-        |   OR ((s.end_us + 1800000000) // 1000) + 1 < wm.wm_ms
+        |FROM sess s, wm
+        |WHERE ((s.end_us + 1800000000) // 1000) + 1 < wm.wm_ms
         |ORDER BY 1, 2""".stripMargin,
     // the stream-static join has no streaming state: drained complete,
     // it must equal the plain batch join + aggregate

@@ -286,70 +286,84 @@ object EventStream {
 
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n: Long)
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
+  case class OpenSessions(intervals: Seq[OpenSession])
 
   /** CLOSED gap-sessions as an APPEND stream — the custom-state
     * sessionization `session_window` cannot express in append mode:
-    * each session is emitted exactly once, either when a later event
-    * lands beyond the gap (eager close: its successor dominates it) or
-    * when the event-time watermark passes `last + gap` and the
-    * EventTimeTimeout fires for the trailing open session. State is
-    * the O(1) open-session interval per key — bounded at any stream
-    * length, the flatMapGroupsWithState twin of the reference-free
-    * session aggregate.
+    * each session is emitted exactly once, when the event-time
+    * watermark passes its `last + gap` horizon (watermark-gated
+    * close). An interval is held in state until then even when a
+    * later event already started a successor interval, because an
+    * in-watermark late event arriving in a LATER batch can still land
+    * in the gap and merge with it — the eager successor-domination
+    * close this replaces emitted such a session early and then
+    * mis-split the late straggler into a spurious one-event session.
+    * Holding ALL open intervals makes the operator exact for every
+    * in-watermark arrival order; beyond-watermark lateness is bounded
+    * by the 1-hour delay like every other stream in this battery.
     *
-    * Batch-internal disorder is handled exactly (per-key sort, then
-    * interval merge against the carried state, so a late batch that
-    * straddles the open session merges instead of mis-splitting);
-    * cross-batch lateness is bounded by the 1-hour watermark like
-    * every other stream in this battery. On the fixture replay the
-    * data arrives in one batch, then the engine runs a final batch
-    * against the end-of-stream watermark, timing out every trailing
-    * session whose `last + gap` horizon the watermark already passed —
-    * so the driver-checked result is the batch session set minus only
-    * the sessions STILL open under that final watermark (the oracle
-    * reproduces Spark's ms-floor timeout arithmetic exactly).
-    * `StatefulSessionSpec` drives the timeout and cross-batch-merge
-    * paths with a MemoryStream. */
+    * State is the per-key list of open intervals. Its length is
+    * bounded by the watermark window, not the stream length: an
+    * interval leaves state as soon as the watermark passes its
+    * horizon, so at most ~(delay + gap)/gap ≈ 4 intervals per key can
+    * coexist — O(1) state per key at any scale, the
+    * flatMapGroupsWithState twin of the reference-free session
+    * aggregate. The per-key timeout is armed at the EARLIEST open
+    * horizon, so every close still fires exactly once.
+    *
+    * On the fixture replay the data arrives in one batch (watermark
+    * still 0, nothing closes in-batch), then the engine runs a final
+    * batch against the end-of-stream watermark, firing the timeout
+    * that closes every session whose `last + gap` horizon the
+    * watermark passed — so the driver-checked result is exactly the
+    * batch session set restricted to watermark-closed sessions (the
+    * oracle reproduces Spark's ms-floor timeout arithmetic).
+    * `StatefulSessionSpec` drives the timeout, cross-batch-merge, and
+    * gap-before-open-interval late-merge paths with a MemoryStream. */
   def closedSessions(events: DataFrame, gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
+    // first ms tick strictly after the merge horizon; close when the
+    // watermark passes it (Spark fires EventTimeTimeout at tts < wm,
+    // and late-filters input at ts_ms < wm, so an event that could
+    // still merge with an interval can never arrive once it closes)
+    def horizonMs(iv: OpenSession): Long = (iv.last_us + gapUs) / 1000L + 1L
     events
       .select(col("user_id").cast("long").as("user_id"),
         unix_micros(col("ts")).as("t"), col("ts"))
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, SessionOut](
+      .flatMapGroupsWithState[OpenSessions, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(uid, s.start_us, s.last_us, s.n))
-          } else {
-            // sorted singleton intervals + the carried open session,
-            // merged on the gap: everything but the trailing interval
-            // is dominated by a later event and closes now
-            val intervals =
-              (rows.map(r => OpenSession(r._2, r._2, 1)).toSeq ++
-                state.getOption.toSeq).sortBy(_.start_us)
-            val merged = intervals.foldLeft(List.empty[OpenSession]) {
-              (acc, iv) => acc match {
-                case h :: t if iv.start_us <= h.last_us + gapUs =>
-                  OpenSession(h.start_us, math.max(h.last_us, iv.last_us),
-                    h.n + iv.n) :: t
-                case _ => iv :: acc
-              }
-            }.reverse
-            val open = merged.last
-            state.update(open)
-            // fire once the watermark passes the gap horizon (ms API)
-            state.setTimeoutTimestamp((open.last_us + gapUs) / 1000L + 1L)
-            merged.init.iterator
-              .map(c => SessionOut(uid, c.start_us, c.last_us, c.n))
+          val wm = state.getCurrentWatermarkMs()
+          // sorted singleton intervals + every carried open interval,
+          // merged on the gap (data and timeout invocations share the
+          // path: a timeout call just merges zero new events)
+          val intervals =
+            (rows.map(r => OpenSession(r._2, r._2, 1)).toSeq ++
+              state.getOption.map(_.intervals).getOrElse(Seq.empty))
+              .sortBy(_.start_us)
+          val merged = intervals.foldLeft(List.empty[OpenSession]) {
+            (acc, iv) => acc match {
+              case h :: t if iv.start_us <= h.last_us + gapUs =>
+                OpenSession(h.start_us, math.max(h.last_us, iv.last_us),
+                  h.n + iv.n) :: t
+              case _ => iv :: acc
+            }
+          }.reverse
+          val (closed, open) = merged.partition(horizonMs(_) < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            // re-arm at the earliest open horizon (clamped above the
+            // watermark: the API rejects a timestamp at/behind it)
+            state.setTimeoutTimestamp(math.max(open.map(horizonMs).min, wm + 1L))
           }
+          closed.iterator.map(c => SessionOut(uid, c.start_us, c.last_us, c.n))
       }
   }
 

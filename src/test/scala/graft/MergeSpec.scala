@@ -102,6 +102,19 @@ class MergeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("reserved '__' columns are rejected, not silently corrupted") {
+    // '__upd' is one of the fabricated helper names: an input carrying
+    // it would collide with the merge internals
+    val poisoned = Seq((1L, "a", true)).toDF("k", "tag", "__upd")
+    val p2 = Seq((2L, "b", false)).toDF("k", "tag", "__upd")
+    val e1 = intercept[IllegalArgumentException](
+      MergeOps.upsert(poisoned, p2, "k"))
+    assert(e1.getMessage.contains("__upd"))
+    val e2 = intercept[IllegalArgumentException](
+      MergeOps.diff(poisoned, p2, "k"))
+    assert(e2.getMessage.contains("reserved"))
+  }
+
   test("upsert rejects mismatched schemas") {
     val bad = Seq((1L, "a")).toDF("k", "tag")
     val e = intercept[IllegalArgumentException] {

@@ -17,7 +17,7 @@ class StatefulSessionSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
-  test("eager close within a batch, timeout close across batches, open stays silent") {
+  test("watermark closes both sessions, open stays silent") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[(Long, Timestamp)]
@@ -29,14 +29,14 @@ class StatefulSessionSpec extends AnyFunSuite {
       .outputMode("append").format("memory").queryName(name).start()
     try {
       // batch 1 — user 1: two events 5 min apart, then a 55-min jump:
-      // the first session closes eagerly; [01:00] stays open
+      // two open intervals; nothing closes (watermark still 0)
       input.addData(
         (1L, ts("2024-01-01 00:00:00")),
         (1L, ts("2024-01-01 00:05:00")),
         (1L, ts("2024-01-01 01:00:00")))
       q.processAllAvailable()
       // batch 2 — user 2 far in the future: advances the watermark
-      // (1h delay) past user 1's 01:30 timeout horizon
+      // (1h delay) past BOTH of user 1's horizons (00:35 and 01:30)
       input.addData((2L, ts("2024-01-01 05:00:00")))
       q.processAllAvailable()
       // batch 3 — timeouts fire against the batch-2 watermark
@@ -47,9 +47,9 @@ class StatefulSessionSpec extends AnyFunSuite {
     val got = spark.table(name).as[SessionOut].collect().toSet
     def us(s: String): Long = ts(s).getTime * 1000L
     assert(got == Set(
-      // eager close: dominated by the 01:00 successor
+      // watermark (04:00) passed 00:35
       SessionOut(1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:05:00"), 2L),
-      // timeout close: no successor, watermark passed 01:30
+      // watermark passed 01:30
       SessionOut(1L, us("2024-01-01 01:00:00"), us("2024-01-01 01:00:00"), 1L)))
     // user 2's session is still open — nothing emitted for it
     assert(!got.exists(_.user_id == 2L))
@@ -72,7 +72,8 @@ class StatefulSessionSpec extends AnyFunSuite {
       // session start must extend it backwards, not open a new one
       input.addData((7L, ts("2024-01-01 01:50:00")))
       q.processAllAvailable()
-      // successor beyond the gap closes the merged session eagerly
+      // successor beyond the gap; the merged session closes once the
+      // watermark (04:00 - 1h -> 03:00) passes its 02:30 horizon
       input.addData((7L, ts("2024-01-01 04:00:00")))
       q.processAllAvailable()
     } finally q.stop()
@@ -81,5 +82,39 @@ class StatefulSessionSpec extends AnyFunSuite {
     def us(s: String): Long = ts(s).getTime * 1000L
     assert(got == Set(
       SessionOut(7L, us("2024-01-01 01:50:00"), us("2024-01-01 02:00:00"), 2L)))
+  }
+
+  test("in-watermark straggler in the gap BEFORE the open interval merges, not mis-splits") {
+    // The eager successor-domination close got this wrong: batch 1
+    // closed [00:00] the moment [01:20] appeared, so batch 2's
+    // in-watermark 00:25 event (watermark only 00:20) became a
+    // spurious one-event session — two wrong rows where exact
+    // sessionization yields one merged [00:00, 00:25] session.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStream.closedSessions(
+      input.toDS().toDF("user_id", "ts"), gapMinutes = 30)
+
+    val name = "graft_stateful_session_spec3"
+    val q = sessions.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(
+        (9L, ts("2024-01-01 00:00:00")),
+        (9L, ts("2024-01-01 01:20:00")))
+      q.processAllAvailable() // watermark -> 00:20; both intervals open
+      input.addData((9L, ts("2024-01-01 00:25:00")))
+      q.processAllAvailable() // merges backward into [00:00, 00:25]
+      // advance the watermark past every horizon to flush the closes
+      input.addData((9L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table(name).as[SessionOut].collect().toSet
+    def us(s: String): Long = ts(s).getTime * 1000L
+    assert(got == Set(
+      SessionOut(9L, us("2024-01-01 00:00:00"), us("2024-01-01 00:25:00"), 2L),
+      SessionOut(9L, us("2024-01-01 01:20:00"), us("2024-01-01 01:20:00"), 1L)))
   }
 }

@@ -88,6 +88,17 @@ class ZOrderSpec extends AnyFunSuite {
   private def overlapFrac(ranges: Seq[(Long, Long)], lo: Long, hi: Long): Double =
     ranges.count { case (mn, mx) => mn <= hi && mx >= lo }.toDouble / ranges.size
 
+  test("mortonKey fails with the column name on empty / all-null input, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException](ZOrder.mortonKey(empty, "a", "b", 8))
+    assert(e1.getMessage.contains("'a'"))
+    val nulls = Seq((Some(1L), Option.empty[Long]), (Some(2L), Option.empty[Long]))
+      .toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException](ZOrder.mortonKey(nulls, "a", "b", 8))
+    assert(e2.getMessage.contains("'b'"))
+  }
+
   test("z-order prunes row groups on both dimensions; a plain sort only on one") {
     // the sf0.01 fixture: enough rows (~60k) for ~70 row groups at a
     // 64 KiB block size — at sf0.001 the layout collapses to ~8 coarse
