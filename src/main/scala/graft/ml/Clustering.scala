@@ -45,20 +45,29 @@ object Clustering {
 
   /** Mean silhouette coefficient of a labeling over a distance matrix
     * (`feature_clustering.py`'s selection criterion). */
-  def silhouette(dist: Array[Array[Double]], labels: Array[Int]): Double = {
-    val n = dist.length
+  /** Per-point silhouette terms `(a_i, b_i, s_i)` — mean intra-cluster
+    * distance, min mean other-cluster distance, and the score
+    * `(b-a)/max(a,b)` (0 for singletons, sklearn's convention).
+    * Requires >= 2 labels (the [[silhouette]] wrapper guards). */
+  def silhouetteTerms(dist: Array[Array[Double]],
+                      labels: Array[Int]): IndexedSeq[(Double, Double, Double)] = {
     val byLabel = labels.indices.groupBy(labels(_))
-    if (byLabel.size < 2) return -1.0
-    val scores = (0 until n).map { i =>
+    dist.indices.map { i =>
       val own = byLabel(labels(i)).filterNot(_ == i)
       val a = if (own.isEmpty) 0.0 else own.map(dist(i)).sum / own.size
       val b = byLabel.collect {
         case (l, members) if l != labels(i) =>
           members.map(dist(i)).sum / members.size
       }.min
-      if (own.isEmpty) 0.0 else (b - a) / math.max(a, b)
+      val s = if (own.isEmpty) 0.0 else (b - a) / math.max(a, b)
+      (a, b, s)
     }
-    scores.sum / n
+  }
+
+  def silhouette(dist: Array[Array[Double]], labels: Array[Int]): Double = {
+    if (labels.distinct.length < 2) return -1.0
+    val scores = silhouetteTerms(dist, labels).map(_._3)
+    scores.sum / dist.length
   }
 
   /** k-medoids over a precomputed distance matrix — the reference's
@@ -69,7 +78,13 @@ object Clustering {
     * deterministic stand-in for k-medoids++ seeding) and best-swap
     * refinement to a local optimum. Labels are densely re-numbered by
     * smallest member index, same convention as [[agglomerate]]. */
-  def kMedoids(dist: Array[Array[Double]], k: Int, maxIter: Int = 200): Array[Int] = {
+  /** PAM's deterministic BUILD seeding, exposed on its own: the first
+    * medoid minimizes total distance; each next medoid maximizes cost
+    * reduction; ties break by smaller index. Pure relational
+    * arithmetic over the distance matrix (sums, argmin/argmax), which
+    * is what lets `q_cluster_silhouette` recompute it in the DuckDB
+    * oracle and put this seeding under the hash check. */
+  def buildInit(dist: Array[Array[Double]], k: Int): Seq[Int] = {
     val n = dist.length
     require(k >= 1 && k <= n)
     val medoids = scala.collection.mutable.ArrayBuffer[Int]()
@@ -80,6 +95,12 @@ object Clustering {
         .maxBy(c => ((0 until n).map(j => math.max(0.0, nearest(j) - dist(c)(j))).sum, -c))
       medoids += cand
     }
+    medoids.toSeq
+  }
+
+  def kMedoids(dist: Array[Array[Double]], k: Int, maxIter: Int = 200): Array[Int] = {
+    val n = dist.length
+    val medoids = scala.collection.mutable.ArrayBuffer[Int](buildInit(dist, k): _*)
     def cost(ms: Seq[Int]): Double =
       (0 until n).map(j => ms.map(dist(j)).min).sum
     var cur = medoids.toVector.sorted

@@ -79,12 +79,30 @@ object Reduction {
                     metric: String = "spearman"): Seq[(Int, Double)] = {
     if (ks.isEmpty) return Seq.empty
     val (reduced, _) = pcaFitTransformOnHead(df, featCols, ks.max, nFit, orderCol)
+    tuneOverKs(reduced, k => (0 until k).map(i => s"pc_$i"), ks, eraCol,
+      folds, fitterFor, score, metric)
+  }
+
+  /** The candidate-scan/CV/leaderboard loop of [[tuneReduction]],
+    * decoupled from the PCA step: score `colsFor(k)` for each k by
+    * era-fold CV of the supplied fitter, return the leaderboard
+    * best-first. With an identity "reducer" (`colsFor = featCols.take`)
+    * every stage is ANSI-recomputable, which is what lets
+    * `q_reduction_tune_ols` put this exact loop under the DuckDB
+    * oracle while `q_reduction_tune` runs it on the PCA projection
+    * (the seeded-ANN-twin pattern). The frame is persisted across the
+    * fold loops and released on exit. */
+  def tuneOverKs(reduced: DataFrame, colsFor: Int => Seq[String],
+                 ks: Seq[Int], eraCol: String, folds: Int,
+                 fitterFor: Seq[String] => DataFrame => (DataFrame => DataFrame),
+                 score: DataFrame => DataFrame,
+                 metric: String = "spearman"): Seq[(Int, Double)] = {
+    if (ks.isEmpty) return Seq.empty
     val cached = reduced.persist()
     try {
       ks.map { k =>
-        val pcCols = (0 until k).map(i => s"pc_$i")
         val perFold = CrossVal.kfoldScores(cached, eraCol, folds,
-          fitterFor(pcCols), score)
+          fitterFor(colsFor(k)), score)
         val mean = perFold.agg(avg(col(metric))).head().getDouble(0)
         k -> mean
       }.sortBy(-_._2)

@@ -100,6 +100,72 @@ object MlPack extends QueryPack {
       .orderBy(col("label"))
   }
 
+  /** M15's oracle-green twin (the seeded-ANN-twin pattern): k-medoids
+    * BUILD seeding + nearest-medoid assignment + per-feature
+    * silhouette terms over the SAME corr-distance matrix
+    * `qFeatureClusters` clusters — every stage recomputed by the
+    * DuckDB oracle from the embeddings table. Distances are exact
+    * integers in 1e-5 units (derived from the round-5 corr matrix the
+    * oracle already matches hash-exactly), so the BUILD argmin/argmax,
+    * the assignment, and the silhouette numerators/denominators are
+    * all integer arithmetic on both engines; only the final score
+    * `s = (b-a)/max(a,b)` divides, and it divides identical integers.
+    * The library functions themselves ([[Clustering.buildInit]],
+    * [[Clustering.silhouetteTerms]]) produce the emitted values, so a
+    * seeding or silhouette regression fails the hash check — the
+    * agglomerative/HDBSCAN merge logic that stays driver-only is
+    * pinned by `ClusteringMultimodalSpec`. The 28-edge collect is the
+    * bounded matrix edge (8 features). */
+  def qClusterSilhouette(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = InfoPack.qPairwiseCorr(s, d).collect()
+    val n = 8
+    val de5 = Array.fill(n, n)(0L)
+    edges.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+      val dv = 100000L - math.round(math.abs(r.getDouble(2)) * 100000.0)
+      de5(i)(j) = dv; de5(j)(i) = dv
+    }
+    val dist = de5.map(_.map(_.toDouble))
+    val medoids = Clustering.buildInit(dist, 2)
+    val labels = Array.tabulate(n)(j => medoids.minBy(m => (dist(j)(m), m)))
+    val terms = Clustering.silhouetteTerms(dist, labels)
+    val rows = (0 until n).map { i =>
+      val own = (0 until n).filter(j => j != i && labels(j) == labels(i))
+      val oth = (0 until n).filter(j => labels(j) != labels(i))
+      (s"e_$i", (labels(i) + 1).toLong,
+        own.map(de5(i)).sum, own.size.toLong,
+        oth.map(de5(i)).sum, oth.size.toLong, terms(i)._3)
+    }
+    rows.toDF("feature", "medoid_pos", "a_num", "a_den", "b_num", "b_den", "s_raw")
+      .select(col("feature"), col("medoid_pos"), col("a_num"), col("a_den"),
+        col("b_num"), col("b_den"), round(col("s_raw"), 6).as("s"))
+      .orderBy(col("feature"))
+  }
+
+  /** M12's oracle-green twin: [[graft.ml.Reduction.tuneOverKs]] — the
+    * exact candidate-scan/CV/leaderboard loop `q_reduction_tune` runs
+    * on the PCA projection — driven with the identity reducer
+    * (first-k raw features), which makes every stage ANSI SQL: the
+    * round-robin era folds, the additive univariate-OLS fitter's
+    * cov/var/mean model, the within-era pct-rank (method=first), and
+    * the rank-vs-target Pearson. Emitted sorted by k with the score
+    * carrying the ranking (the float-boundary row-order rule
+    * `q_reduction_tune` itself follows). */
+  def qReductionTuneOls(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.ml.{Reduction, Scoring}
+    val lb = Reduction.tuneOverKs(featureFrame(s, d), k => featCols.take(k),
+      Seq(2, 4, 6), "era", 2,
+      pcs => olsFitter(pcs, "target"),
+      sc => Scoring.scores(sc, col("era"), col("pred"), col("target"),
+        9.0, col("vec_id")))
+    lb.sortBy(_._1)
+      .toDF("k", "spearman_raw")
+      .select(col("k").cast("long").as("k"),
+        round(col("spearman_raw"), 6).as("spearman"))
+  }
+
   /** M11 — fit-on-head standardizer applied distributed
     * (`utils.py:132-167`), fully oracle-checked: stats from the first
     * 500 orders by key become plan literals. */
@@ -454,10 +520,101 @@ object MlPack extends QueryPack {
     "q_mda_rf"           -> qMdaRf,
     "q_shap_rf"          -> qShapRf,
     "q_feature_clusters" -> qFeatureClusters,
+    "q_cluster_silhouette" -> qClusterSilhouette,
+    "q_reduction_tune_ols" -> qReductionTuneOls,
     "q_standardize"      -> qStandardize,
   )
 
   val oracles: Map[String, String] = Map(
+    // PAM BUILD (min total distance, then max cost reduction, ties by
+    // index) + nearest-medoid assignment + silhouette terms, all on
+    // the 1e-5-integer corr-distance matrix: every argmin/argmax and
+    // every numerator/denominator is BIGINT arithmetic; only the
+    // final s divides, and it divides identical integers
+    "q_cluster_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |f AS (SELECT vec_id, pos, x FROM e WHERE pos <= 8),
+        |cp AS (SELECT a.pos AS pa, b.pos AS pb, round(corr(a.x, b.x), 5) AS c
+        |       FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.pos < b.pos
+        |       GROUP BY 1, 2),
+        |dm AS (SELECT pa AS i, pb AS j,
+        |         CAST(100000 - round(abs(c) * 100000, 0) AS BIGINT) AS dv FROM cp
+        |       UNION ALL
+        |       SELECT pb, pa, CAST(100000 - round(abs(c) * 100000, 0) AS BIGINT) FROM cp
+        |       UNION ALL
+        |       SELECT DISTINCT pos, pos, CAST(0 AS BIGINT) FROM f),
+        |tot AS (SELECT i, sum(dv) AS t FROM dm GROUP BY 1),
+        |m1 AS (SELECT i AS m FROM tot ORDER BY t, i LIMIT 1),
+        |nr AS (SELECT dm.i AS j, dm.dv AS nd FROM dm JOIN m1 ON dm.j = m1.m),
+        |red AS (SELECT dm.i AS c, sum(greatest(0, nr.nd - dm.dv)) AS r
+        |        FROM dm JOIN nr ON dm.j = nr.j
+        |        WHERE dm.i <> (SELECT m FROM m1) GROUP BY 1),
+        |m2 AS (SELECT c AS m FROM red ORDER BY r DESC, c LIMIT 1),
+        |md AS (SELECT m1.m AS ma, m2.m AS mb FROM m1, m2),
+        |asg AS (SELECT dm.i,
+        |          max(CASE WHEN dm.j = md.ma THEN dm.dv END) AS d1,
+        |          max(CASE WHEN dm.j = md.mb THEN dm.dv END) AS d2,
+        |          any_value(md.ma) AS ma, any_value(md.mb) AS mb
+        |        FROM dm, md WHERE dm.j IN (md.ma, md.mb) GROUP BY 1),
+        |lab AS (SELECT i, CASE WHEN d1 < d2 THEN ma WHEN d2 < d1 THEN mb
+        |                       ELSE least(ma, mb) END AS medoid_pos FROM asg),
+        |sil AS (SELECT d.i, l.medoid_pos,
+        |          CAST(COALESCE(sum(CASE WHEN lo.medoid_pos = l.medoid_pos
+        |                                  AND d.j <> d.i THEN d.dv END), 0)
+        |               AS BIGINT) AS a_num,
+        |          count(CASE WHEN lo.medoid_pos = l.medoid_pos
+        |                      AND d.j <> d.i THEN 1 END) AS a_den,
+        |          CAST(sum(CASE WHEN lo.medoid_pos <> l.medoid_pos
+        |                        THEN d.dv END) AS BIGINT) AS b_num,
+        |          count(CASE WHEN lo.medoid_pos <> l.medoid_pos THEN 1 END) AS b_den
+        |        FROM dm d JOIN lab l ON d.i = l.i JOIN lab lo ON d.j = lo.i
+        |        GROUP BY 1, 2)
+        |SELECT 'e_' || CAST(i - 1 AS VARCHAR) AS feature, medoid_pos,
+        |  a_num, a_den, b_num, b_den,
+        |  CASE WHEN a_den = 0 THEN 0.0
+        |       ELSE round((CAST(b_num AS DOUBLE)/b_den - CAST(a_num AS DOUBLE)/a_den)
+        |            / greatest(CAST(b_num AS DOUBLE)/b_den,
+        |                       CAST(a_num AS DOUBLE)/a_den), 6)
+        |  END AS s
+        |FROM sil ORDER BY feature""".stripMargin,
+    // the identity-reducer leaderboard: round-robin era folds,
+    // additive univariate-OLS model (cov/var slope + means on the
+    // train complement), within-era pct-rank method=first, Pearson of
+    // rank vs target, fold-mean per k — generated per (k, fold)
+    "q_reduction_tune_ols" -> {
+      val ks = Seq(2, 4, 6)
+      def mdl(k: Int, f: Int): String = {
+        val aggs = (0 until k).map(i =>
+          s"covar_samp(e_$i, target)/var_samp(e_$i) AS b_$i, avg(e_$i) AS mx_$i")
+          .mkString(", ")
+        s"mdl_${k}_$f AS (SELECT avg(target) AS my, $aggs FROM d WHERE fold <> $f)"
+      }
+      def pr(k: Int, f: Int): String = {
+        val terms = (0 until k).map(i =>
+          s"(d.e_$i - m.mx_$i) * COALESCE(m.b_$i, 0)").mkString(" + ")
+        s"pr_${k}_$f AS (SELECT d.era, d.target, d.vec_id, m.my + $terms AS pred " +
+          s"FROM d, mdl_${k}_$f m WHERE d.fold = $f)"
+      }
+      def sc(k: Int, f: Int): String =
+        s"sc_${k}_$f AS (SELECT round(corr(target, r), 6) AS sp FROM (" +
+          "SELECT target, CAST(row_number() OVER (PARTITION BY era ORDER BY pred, vec_id) AS DOUBLE)" +
+          s" / count(*) OVER (PARTITION BY era) AS r FROM pr_${k}_$f))"
+      val ctes = ks.flatMap(k => Seq(mdl(k, 0), mdl(k, 1), pr(k, 0), pr(k, 1), sc(k, 0), sc(k, 1)))
+      val arms = ks.map(k =>
+        s"SELECT CAST($k AS BIGINT) AS k, round((a.sp + b.sp)/2, 6) AS spearman " +
+          s"FROM sc_${k}_0 a, sc_${k}_1 b")
+      val feats = (0 until 8).map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS e_$i").mkString(", ")
+      s"""WITH e0 AS (SELECT vec_id, CAST(vec_id % 10 AS BIGINT) AS era,
+         |    CAST(label AS DOUBLE) AS target, $feats
+         |  FROM embeddings),
+         |folds AS (SELECT era, CAST((row_number() OVER (ORDER BY era) - 1) % 2 AS BIGINT) AS fold
+         |          FROM (SELECT DISTINCT era FROM e0)),
+         |d AS (SELECT e0.*, f.fold FROM e0 JOIN folds f USING (era)),
+         |${ctes.mkString(",\n")}
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY k""".stripMargin
+    },
     // PCA spectrum invariants: trace(C) / trace(C^2) over the 500-row
     // fit head, trace over the full table, all eigendecomposition-free
     // (power sums of the eigenvalues come straight from the covariance

@@ -13,16 +13,30 @@ object EventStream {
 
   /** The file stream source requires a directory; the fixtures are
     * single files, so stage each behind a symlink in a temp dir (in
-    * production the source is already a directory of arriving files). */
-  private def stagedStreamPath(path: String): String = {
-    val src = new java.io.File(path)
-    if (src.isFile) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      java.nio.file.Files.createSymbolicLink(
-        tmp.resolve(src.getName), src.toPath.toAbsolutePath)
-      tmp.toString
-    } else path
-  }
+    * production the source is already a directory of arriving files).
+    * Memoized per path — the 8-query × 2-pass bench otherwise creates
+    * 16 identical staging dirs; computeIfAbsent for at-most-once
+    * creation (same JVM-lifetime immutability convention as the
+    * TextPack/zorder memos). */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedStreamPath(path: String): String =
+    stagedDirs.computeIfAbsent(path, _ => {
+      val src = new java.io.File(path)
+      if (src.isFile) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(
+          tmp.resolve(src.getName), src.toPath.toAbsolutePath)
+        tmp.toString
+      } else path
+    })
+
+  /** Per-path memo of the batch schema peek (streaming sources need an
+    * explicit schema; reading it is a driver file-listing + footer
+    * read that the bench would otherwise repeat per stream query). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
 
   /** Streaming plan over the events fixture directory. The file source
     * replays the parquet as a stream; schema comes from a batch peek
@@ -45,7 +59,7 @@ object EventStream {
     * harness form keeps full state, which the fixture bounds. */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     spark.readStream.schema(schema).parquet(stagedStreamPath(path))
       .select(col("lang"), sha2(col("text"), 256).as("h"))
       .dropDuplicates("lang", "h")
@@ -266,7 +280,7 @@ object EventStream {
     * with the corpus; pinned by EngineSpec). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaOf(spark, path)
     val raw = spark.readStream.schema(schema).parquet(stagedStreamPath(path))
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
