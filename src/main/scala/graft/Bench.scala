@@ -46,9 +46,15 @@ object Bench {
     // spike while staying honest about plan cost (per-pass clearCache
     // keeps pass 2 from reading pass 1's persisted frames; OS page
     // cache stays warm in both, as it would be in steady state)
+    // streaming queries get a third pass: their per-pass variance is
+    // micro-batch scheduling (start/stop, state-store setup, no-data
+    // watermark batches), not cache state, and two passes leave a
+    // single scheduler hiccup in the min ~1 run in 3 (r8/r9 detail:
+    // same stream query 0.85 s and 4.1 s across quiet-host runs)
     val results = ("_shared_pairs" -> (sharedOk, sharedSec)) +:
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val passes = (1 to 2).map { _ =>
+        val nPasses = if (name.startsWith("q_stream")) 3 else 2
+        val passes = (1 to nPasses).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
           // drop per-query persisted frames so cache pressure from one

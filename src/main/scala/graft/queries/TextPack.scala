@@ -73,11 +73,12 @@ object TextPack extends QueryPack {
     * or appended within one JVM — the memo would otherwise keep a
     * stale corpus size. Rewriting a dir in-session requires a new dir
     * name (the fixture suites' convention) or a JVM restart. */
-  private val docCounts = scala.collection.concurrent.TrieMap[String, Long]()
+  private val docCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def resolveMaxDf(s: SparkSession, d: String, maxDf: Long): Long =
     if (maxDf != ScaleRelativeDf) maxDf
-    else maxShingleDfFor(docCounts.getOrElseUpdate(d, Tables.documents(s, d).count()))
+    else maxShingleDfFor(
+      docCounts.computeIfAbsent(d, _ => Tables.documents(s, d).count()))
 
   /** Bucket size above which an LSH bucket (band signature) is
     * dropped before the candidate self-join: a degenerate bucket
@@ -141,7 +142,11 @@ object TextPack extends QueryPack {
                    maxDf: Long = ScaleRelativeDf): DataFrame =
     jaccardPairsFrom(shingleRelation(s, d, maxDf), minJac)
 
-  private val pairTableDirs = scala.collection.concurrent.TrieMap[String, String]()
+  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate:
+  // the thunk materializes the full shingle pipeline, and TrieMap may
+  // evaluate a racing first call's thunk twice (the zorderDirs fix,
+  // applied to the same pattern here)
+  private val pairTableDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val cleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -205,15 +210,15 @@ object TextPack extends QueryPack {
       registerScratch(s, out)
       out
     }
-    val path = pairTableDirs.getOrElseUpdate(key, materialize())
+    val path = pairTableDirs.computeIfAbsent(key, _ => materialize())
     // belt-and-braces re-check: if anything outside this JVM removed
     // the memoized table (warehouse wipe, external cleanup), drop the
     // stale memo and re-materialize instead of failing mid-read
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val live = if (fs.exists(p)) path else {
-      pairTableDirs.remove(key)
-      pairTableDirs.getOrElseUpdate(key, materialize())
+      pairTableDirs.remove(key, path)
+      pairTableDirs.computeIfAbsent(key, _ => materialize())
     }
     s.read.parquet(live)
   }
