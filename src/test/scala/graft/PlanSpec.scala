@@ -30,6 +30,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_join_star").contains("BroadcastHashJoin"))
   }
 
+  test("q4 decorrelates to one semi join with the quarter filter in the scan") {
+    val p = plan("q4_order_priority")
+    // the EXISTS shape: exactly a left-semi hash join on the order
+    // key with the lateness residual, never a per-row re-probe; the
+    // date window reaches the orders parquet scan
+    assert(p.contains("LeftSemi"), p.take(900))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p.take(1200))
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a full sort") {
     assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
   }
