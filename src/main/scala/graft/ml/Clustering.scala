@@ -52,6 +52,12 @@ object Clustering {
   def silhouetteTerms(dist: Array[Array[Double]],
                       labels: Array[Int]): IndexedSeq[(Double, Double, Double)] = {
     val byLabel = labels.indices.groupBy(labels(_))
+    // b_i is a min over OTHER clusters: with a single label it is a
+    // min over nothing — fail loudly here instead of an opaque
+    // UnsupportedOperationException from .min ([[silhouette]] maps
+    // this case to -1.0 before calling)
+    require(byLabel.size >= 2,
+      s"silhouette needs >= 2 clusters, got ${byLabel.size}")
     dist.indices.map { i =>
       val own = byLabel(labels(i)).filterNot(_ == i)
       val a = if (own.isEmpty) 0.0 else own.map(dist(i)).sum / own.size

@@ -128,6 +128,13 @@ object MlPack extends QueryPack {
     }
     val dist = de5.map(_.map(_.toDouble))
     val medoids = Clustering.buildInit(dist, 2)
+    // zero-distance medoids would collapse the assignment to one
+    // cluster (every tie resolves to the lower medoid): the engine
+    // would then throw from silhouetteTerms while the oracle renders
+    // NULLs — fail loudly and identically-diagnosably instead. Two
+    // features must be |corr| = 1 at 5 decimals to trip this.
+    require(de5(medoids(0))(medoids(1)) != 0L,
+      s"degenerate corr-distance matrix: BUILD medoids ${medoids.mkString(",")} coincide")
     val labels = Array.tabulate(n)(j => medoids.minBy(m => (dist(j)(m), m)))
     val terms = Clustering.silhouetteTerms(dist, labels)
     val rows = (0 until n).map { i =>

@@ -27,6 +27,30 @@ class ClusteringMultimodalSpec extends AnyFunSuite {
     assert(bestK == 2)
   }
 
+  test("single-label input: silhouette is -1.0, silhouetteTerms fails loudly") {
+    val d = Array.tabulate(3, 3)((i, j) => if (i == j) 0.0 else 0.5)
+    val oneLabel = Array(0, 0, 0)
+    assert(Clustering.silhouette(d, oneLabel) == -1.0)
+    val e = intercept[IllegalArgumentException](
+      Clustering.silhouetteTerms(d, oneLabel))
+    assert(e.getMessage.contains("2 clusters"))
+  }
+
+  test("buildInit: first medoid minimizes total distance, second maximizes reduction") {
+    // point 1 is central (total 0.2+0.2=0.4 smallest); after picking
+    // it, point 3 (far block) reduces cost most
+    val d = Array(
+      Array(0.0, 0.2, 0.4, 1.0),
+      Array(0.2, 0.0, 0.2, 1.0),
+      Array(0.4, 0.2, 0.0, 1.0),
+      Array(1.0, 1.0, 1.0, 0.0))
+    assert(Clustering.buildInit(d, 1) == Seq(1))
+    assert(Clustering.buildInit(d, 2) == Seq(1, 3))
+    // ties break by smaller index: all-equidistant points
+    val u = Array.tabulate(3, 3)((i, j) => if (i == j) 0.0 else 1.0)
+    assert(Clustering.buildInit(u, 2) == Seq(0, 1))
+  }
+
   test("dbscan: separates blobs, marks isolated points noise, deterministic") {
     // indices 0-2 one blob, 3-5 another, 6 isolated far from both
     val n = 7
