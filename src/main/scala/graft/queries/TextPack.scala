@@ -256,11 +256,27 @@ object TextPack extends QueryPack {
   /** Force the shared tables for `d` to exist. Bench calls this
     * before timing queries so the shared materialization cost shows
     * up as its own entry instead of hiding inside whichever consumer
-    * happens to run first. */
+    * happens to run first. The two builds are independent pipelines
+    * (shingle self-join vs banded minhash self-join), so they run as
+    * CONCURRENT Spark actions: each has driver-side stage gaps
+    * (planning, file commit) the other fills — same wall-clock trick
+    * a multi-tenant cluster plays, safe because the memo keys differ
+    * and each build persists/unpersists only its own frames. */
   def prepareShared(s: SparkSession, d: String): Unit = {
-    sharedJaccardPairs(s, d)
-    sharedMinhashCandidates(s, d)
-    ()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fJac = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { sharedJaccardPairs(s, d); () }
+      })
+      val fMh = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { sharedMinhashCandidates(s, d); () }
+      })
+      // unwrap so callers (Bench's try/catch) see the real cause
+      def join(f: java.util.concurrent.Future[Unit]): Unit =
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      join(fJac); join(fMh)
+    } finally pool.shutdown()
   }
 
   /** n-gram Jaccard near-dup: distinct 3-word shingles per doc, pairs
