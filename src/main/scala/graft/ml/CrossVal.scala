@@ -33,12 +33,28 @@ object CrossVal {
     }
     // persisted: every fold branch re-reads the same fact+fold join
     val withFold = df.join(broadcast(folds), eraCol).persist()
-    val perFold = (0 until k).map { f =>
-      val train = withFold.filter(col("fold") =!= f).drop("fold")
-      val test = withFold.filter(col("fold") === f).drop("fold")
-      val predict = fit(train)
-      score(predict(test)).withColumn("fold", lit(f.toLong))
-    }
+    // folds fit CONCURRENTLY: `fit` runs its MLlib jobs eagerly, and
+    // the k fits are independent — a thread per fold overlaps their
+    // driver-side planning and job gaps (the prepareShared trick).
+    // Futures are joined in fold order, so the unioned result and
+    // every seeded fit are byte-identical to the sequential loop.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
+    val perFold =
+      try {
+        val futs = (0 until k).map { f =>
+          pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = {
+              val train = withFold.filter(col("fold") =!= f).drop("fold")
+              val test = withFold.filter(col("fold") === f).drop("fold")
+              val predict = fit(train)
+              score(predict(test)).withColumn("fold", lit(f.toLong))
+            }
+          })
+        }
+        futs.map(f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      } finally pool.shutdown()
     val all = perFold.reduce(_ unionByName _)
     val metrics = all.columns.filterNot(_ == "fold")
     all.select((col("fold") +: metrics.map(col)): _*).orderBy(col("fold"))

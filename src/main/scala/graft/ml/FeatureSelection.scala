@@ -55,7 +55,12 @@ object FeatureSelection {
     import org.apache.spark.sql.expressions.Window
     val folds = Folds.foldAssignment(df.select(col(eraCol)).distinct(), eraCol, k)
     val withFold = df.join(broadcast(folds), eraCol).persist()
-    val rows = (0 until k).flatMap { f =>
+    // per-fold fit + permutation scoring run CONCURRENTLY (the
+    // kfoldScores pattern): each fold's RF fit and collect are
+    // independent jobs; futures joined in fold order keep the output
+    // rows and every seeded permutation identical to the sequential
+    // loop
+    def foldRows(f: Int): Seq[(String, Long, Double)] = {
       val train = withFold.filter(col("fold") =!= f).drop("fold")
       val test = withFold.filter(col("fold") === f).drop("fold").persist()
       val predict = fit(train)
@@ -87,6 +92,18 @@ object FeatureSelection {
         (feat, f.toLong, imp)
       }
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
+    val rows =
+      try {
+        val futs = (0 until k).map { f =>
+          pool.submit(new java.util.concurrent.Callable[Seq[(String, Long, Double)]] {
+            def call(): Seq[(String, Long, Double)] = foldRows(f)
+          })
+        }
+        futs.flatMap(fu =>
+          try fu.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      } finally pool.shutdown()
     rows.toDF("feature", "fold", "importance")
       .groupBy(col("feature"))
       .agg(round(avg(col("importance")), 6).as("importance"))
