@@ -100,12 +100,27 @@ object Reduction {
     if (ks.isEmpty) return Seq.empty
     val cached = reduced.persist()
     try {
-      ks.map { k =>
-        val perFold = CrossVal.kfoldScores(cached, eraCol, folds,
-          fitterFor(colsFor(k)), score)
-        val mean = perFold.agg(avg(col(metric))).head().getDouble(0)
-        k -> mean
-      }.sortBy(-_._2)
+      // candidates score CONCURRENTLY over the shared persisted frame
+      // (each spawns its own per-fold fit threads inside kfoldScores);
+      // futures join in ks order, so the leaderboard is identical to
+      // the sequential scan
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.length)
+      val scored =
+        try {
+          val futs = ks.map { k =>
+            pool.submit(new java.util.concurrent.Callable[(Int, Double)] {
+              def call(): (Int, Double) = {
+                val perFold = CrossVal.kfoldScores(cached, eraCol, folds,
+                  fitterFor(colsFor(k)), score)
+                k -> perFold.agg(avg(col(metric))).head().getDouble(0)
+              }
+            })
+          }
+          futs.map(f =>
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+        } finally pool.shutdown()
+      scored.sortBy(-_._2)
     } finally cached.unpersist()
   }
 }
