@@ -13,6 +13,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the streaming drains' stop() emits benign "Failed to cancel job
+    // group" WARN pairs from DAGScheduler at teardown; they land in
+    // the harness's ~2KB log tail and can push the bench JSON line out
+    // of it, so pin that one logger to ERROR for the bench run
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warm-up: JIT/janino-compile the common codegen paths
     // (scan, hash agg, window, broadcast join) so per-query timings
     // measure plan execution, not first-use compiler latency
@@ -40,29 +47,40 @@ object Bench {
     // fixed (sorted) query order: Map iteration order reshuffles as
     // queries are added, which moves warm-up costs between rounds and
     // makes per-query timings incomparable round over round
-    // two timed passes per query, MIN reported: three rounds of driver
-    // benches swung 85→539 s on identical code from host contention,
-    // and the min of two spaced passes strips a one-off contention
-    // spike while staying honest about plan cost (per-pass clearCache
-    // keeps pass 2 from reading pass 1's persisted frames; OS page
-    // cache stays warm in both, as it would be in steady state)
-    // streaming queries get a third pass: their per-pass variance is
+    // min over TWO COMPLETE SWEEPS of the sorted list (not two
+    // back-to-back passes per query): three rounds of driver benches
+    // swung 85→539 s on identical code from host contention, and
+    // back-to-back passes put both samples of a query inside the same
+    // contention window — a sustained multi-minute load spike inflated
+    // exactly the first-in-order queries 3–17× in the r9 driver run
+    // while later queries matched the quiet host to the millisecond.
+    // Spacing the two samples a full sweep (~minutes) apart means only
+    // a load window spanning the entire run survives the min.
+    // per-query clearCache keeps a later sample from reading an
+    // earlier one's persisted frames; OS page cache stays warm in
+    // both sweeps, as it would be in steady state
+    // streaming queries get a third sweep: their per-sweep variance is
     // micro-batch scheduling (start/stop, state-store setup, no-data
-    // watermark batches), not cache state, and two passes leave a
+    // watermark batches), not cache state, and two samples leave a
     // single scheduler hiccup in the min ~1 run in 3 (r8/r9 detail:
     // same stream query 0.85 s and 4.1 s across quiet-host runs)
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    def sweep(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      qs.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        // drop per-query persisted frames so cache pressure from one
+        // query never skews the next one's timing
+        spark.catalog.clearCache()
+        name -> (ok, (System.nanoTime() - t0) / 1e9)
+      }
+    val sweepA = sweep(sorted)
+    val sweepB = sweep(sorted)
+    val sweepC = sweep(sorted.filter(_._1.startsWith("q_stream"))).toMap
     val results = ("_shared_pairs" -> (sharedOk, sharedSec)) +:
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val nPasses = if (name.startsWith("q_stream")) 3 else 2
-        val passes = (1 to nPasses).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-          // drop per-query persisted frames so cache pressure from one
-          // query never skews the next one's timing
-          spark.catalog.clearCache()
-          (ok, (System.nanoTime() - t0) / 1e9)
-        }
-        name -> (passes.forall(_._1), passes.map(_._2).min)
+      sweepA.zip(sweepB).map { case ((name, (okA, tA)), (_, (okB, tB))) =>
+        val samples = Seq((okA, tA), (okB, tB)) ++ sweepC.get(name)
+        name -> (samples.forall(_._1), samples.map(_._2).min)
       }
     // locale-pinned formatting: the f interpolator uses the JVM
     // default locale, and a comma-decimal locale would break the JSON

@@ -1022,8 +1022,14 @@ object CorePack extends QueryPack {
     * UNION ALL diverge. Decimal-digit-count form keeps it exact in
     * BIGINT; the oracle derives the identical value in SQL. */
   private def insertKeyShift(o: DataFrame): Long = {
-    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
-    math.pow(10, mx.toString.length).toLong
+    // cast to long BEFORE the driver read: a regenerated fixture can
+    // flip the parquet physical type (INT32 vs INT64 — events.ts did
+    // exactly that), and getLong on an Integer row throws; an empty
+    // orders table yields a null max — fall back to the legacy fixed
+    // shift rather than NPE
+    val mxRow = o.agg(max(col("o_orderkey")).cast("long")).head()
+    if (mxRow.isNullAt(0)) 10000000L
+    else math.pow(10, mxRow.getLong(0).toString.length).toLong
   }
 
   def qMergeChanges(s: SparkSession, d: String): DataFrame = {

@@ -391,9 +391,13 @@ object MlPack extends QueryPack {
       if (v == null) 0.0 else v.doubleValue()
     }
     val my = num("my")
+    // fold starting from my (my + t0 + t1 + …), matching the DuckDB
+    // oracle's left-to-right evaluation order exactly: double addition
+    // is non-associative, and a (Σ terms) + my grouping can differ by
+    // ulps, flipping a (pred, vec_id) row_number at a float boundary
     test => test.withColumn("pred",
-      feats.map(f => lit(num(s"b_$f"))
-        * (col(f) - lit(num(s"mx_$f")))).reduce(_ + _) + lit(my))
+      feats.foldLeft(lit(my): org.apache.spark.sql.Column)((acc, f) =>
+        acc + lit(num(s"b_$f")) * (col(f) - lit(num(s"mx_$f")))))
   }
 
   /** M12 — `tune_reduction_dask` (`tuners.py:149-252`, `:255-373`) as a

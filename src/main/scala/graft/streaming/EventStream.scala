@@ -32,11 +32,20 @@ object EventStream {
 
   /** Per-path memo of the batch schema peek (streaming sources need an
     * explicit schema; reading it is a driver file-listing + footer
-    * read that the bench would otherwise repeat per stream query). */
+    * read that the bench would otherwise repeat per stream query).
+    * Keyed on (path, mtime, size) — unlike the staging-dir memo, whose
+    * symlink re-resolves, a cached StructType would silently survive a
+    * mid-session fixture rewrite (the test driver has regenerated
+    * /root/testdata and flipped parquet physical types before); a
+    * rewritten file misses the cache instead of feeding readStream a
+    * stale schema. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-  private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
+  private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val f = new java.io.File(path)
+    schemaCache.computeIfAbsent((path, f.lastModified, f.length),
+      _ => spark.read.parquet(path).schema)
+  }
 
   /** Streaming plan over the events fixture directory. The file source
     * replays the parquet as a stream; schema comes from a batch peek
@@ -325,6 +334,28 @@ object EventStream {
     * aggregate. The per-key timeout is armed at the EARLIEST open
     * horizon, so every close still fires exactly once.
     *
+    * The bound holds in CATCH-UP batches too (a backfill delivering
+    * the whole history while the engine watermark still lags — e.g.
+    * the fixture replay, where everything arrives in batch 1 with
+    * watermark 0): the close test uses the PROSPECTIVE watermark
+    * max(engine wm, this batch's max event time − the 1 h delay),
+    * which is a lower bound on every future engine watermark, so an
+    * interval whose horizon it passes can never receive another
+    * in-watermark event — closing it immediately is exact, and state
+    * never holds more than the ~4-interval tail of the replayed
+    * history instead of every session in it.
+    *
+    * Known 1 ms edge (Spark API limit, unreachable on the fixture
+    * replay): if an open interval's horizon EQUALS the current
+    * watermark, the timeout must be armed at wm+1 (the API rejects
+    * timestamps at/behind the watermark) and Spark fires only when
+    * the watermark passes the armed value — so a stream that ends
+    * with its final watermark at exactly horizon+1 never fires that
+    * close and drops the session even though horizon < final wm.
+    * Closing such intervals early instead would diverge the other way
+    * whenever the watermark stops AT the horizon, so the strict rule
+    * is kept and the edge documented.
+    *
     * On the fixture replay the data arrives in one batch (watermark
     * still 0, nothing closes in-batch), then the engine runs a final
     * batch against the end-of-stream watermark, firing the timeout
@@ -339,6 +370,9 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
+    // must match the withWatermark delay below: the prospective
+    // watermark reproduces Spark's ms-floored maxEventTime − delay
+    val delayMs = 3600000L
     // first ms tick strictly after the merge horizon; close when the
     // watermark passes it (Spark fires EventTimeTimeout at tts < wm,
     // and late-filters input at ts_ms < wm, so an event that could
@@ -357,9 +391,9 @@ object EventStream {
           // sorted singleton intervals + every carried open interval,
           // merged on the gap (data and timeout invocations share the
           // path: a timeout call just merges zero new events)
+          val newRows = rows.map(r => OpenSession(r._2, r._2, 1)).toSeq
           val intervals =
-            (rows.map(r => OpenSession(r._2, r._2, 1)).toSeq ++
-              state.getOption.map(_.intervals).getOrElse(Seq.empty))
+            (newRows ++ state.getOption.map(_.intervals).getOrElse(Seq.empty))
               .sortBy(_.start_us)
           val merged = intervals.foldLeft(List.empty[OpenSession]) {
             (acc, iv) => acc match {
@@ -369,7 +403,17 @@ object EventStream {
               case _ => iv :: acc
             }
           }.reverse
-          val (closed, open) = merged.partition(horizonMs(_) < wm)
+          // close against the PROSPECTIVE watermark: this key's max
+          // event time this batch, ms-floored minus the delay (exactly
+          // Spark's watermark arithmetic), is ≤ every future engine
+          // watermark, so an interval it passes can never see another
+          // in-watermark event — closing now keeps state bounded even
+          // in a catch-up batch where the engine watermark lags the
+          // data (e.g. the whole fixture arriving at watermark 0)
+          val prospectiveWm =
+            if (newRows.isEmpty) wm
+            else math.max(wm, newRows.map(_.last_us).max / 1000L - delayMs)
+          val (closed, open) = merged.partition(horizonMs(_) < prospectiveWm)
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenSessions(open))
