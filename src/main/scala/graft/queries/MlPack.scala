@@ -73,6 +73,45 @@ object MlPack extends QueryPack {
       .orderBy(col("score").desc, col("feature"))
   }
 
+  /** M10's oracle-green twin (the last `no_oracle` query to get one):
+    * TreeSHAP local accuracy under the driver's DuckDB gate. The same
+    * RF fit + explainer run as [[qShapRf]], but what's emitted is the
+    * per-row additivity residual `(Σφ + base) − f(x)` scaled to an
+    * integer at 1e-6 (the `q_cluster_silhouette` integer-emission
+    * convention): TreeSHAP's defining invariant (Lundberg et al. 2018,
+    * local accuracy) makes every residual exactly 0 up to float noise
+    * orders of magnitude below the scale, so the oracle can enumerate
+    * the expected rows — the 1000 lowest vec_ids, residual 0 — from
+    * the embeddings table alone, with no model on the DuckDB side. A
+    * regression anywhere in the flatten/cover/attribution pipeline
+    * breaks additivity for some row and fails the hash; the |SHAP|
+    * ranking itself stays rows-only in `q_shap_rf` (RF split structure
+    * is engine-specific) with the brute-force-Shapley fuzz in
+    * `TreeShapSpec` pinning the values. */
+  def qShapLocalAccuracy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.RandomForestRegressor
+    val ff = featureFrame(s, d).orderBy(col("vec_id")).limit(1000)
+    val va = new VectorAssembler()
+      .setInputCols(featCols.toArray).setOutputCol("graft_fv")
+    val model = new RandomForestRegressor()
+      .setFeaturesCol("graft_fv").setLabelCol("target")
+      .setNumTrees(10).setMaxDepth(4).setSeed(42)
+      .fit(va.transform(ff))
+    // single bounded collect keeps ids and feature rows aligned
+    val rows = ff.select((col("vec_id").cast("long") +: featCols.map(col)): _*)
+      .collect()
+      .map(r => (r.getLong(0), Array.tabulate(featCols.length)(i => r.getDouble(i + 1))))
+    val sample = rows.map(_._2)
+    val (phis, base) = TreeShap.forestShap(model, sample, sample, featCols.length)
+    rows.zip(phis).map { case ((id, x), phi) =>
+      val pred = model.predict(org.apache.spark.ml.linalg.Vectors.dense(x))
+      (id, math.rint((phi.sum + base - pred) * 1e6).toLong)
+    }.toSeq.toDF("vec_id", "resid")
+      .orderBy(col("vec_id"))
+  }
+
   /** M14+M15 — pairwise corr-distance over 8 embedding components
     * (distributed agg) → driver-side agglomerative clustering with
     * silhouette scan over k=2..4 (`feature_clustering.py:39-132`).
@@ -530,6 +569,7 @@ object MlPack extends QueryPack {
     "q_cv_rf"            -> qCvRf,
     "q_mda_rf"           -> qMdaRf,
     "q_shap_rf"          -> qShapRf,
+    "q_shap_local_accuracy" -> qShapLocalAccuracy,
     "q_feature_clusters" -> qFeatureClusters,
     "q_cluster_silhouette" -> qClusterSilhouette,
     "q_reduction_tune_ols" -> qReductionTuneOls,
@@ -537,6 +577,14 @@ object MlPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // TreeSHAP local accuracy: (Σφ + base) − f(x) is identically 0,
+    // so the oracle enumerates the explained sample (the 1000 lowest
+    // vec_ids) with a literal-zero residual; any additivity break in
+    // the engine's flatten/cover/attribution path fails the hash
+    "q_shap_local_accuracy" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS resid
+        |FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1000)
+        |ORDER BY vec_id""".stripMargin,
     // PAM BUILD (min total distance, then max cost reduction, ties by
     // index) + nearest-medoid assignment + silhouette terms, all on
     // the 1e-5-integer corr-distance matrix: every argmin/argmax and
