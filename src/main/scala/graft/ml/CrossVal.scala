@@ -37,8 +37,9 @@ object CrossVal {
     // the k fits are independent — a thread per fold overlaps their
     // driver-side planning and job gaps (the prepareShared trick).
     // Futures are joined in fold order, so the unioned result and
-    // every seeded fit are byte-identical to the sequential loop.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
+    // every seeded fit are byte-identical to the sequential loop at
+    // any pool width (ConcurrencySpec pins width-1 vs width-k).
+    val pool = graft.Pools.newPool(k)
     val perFold =
       try {
         val futs = (0 until k).map { f =>

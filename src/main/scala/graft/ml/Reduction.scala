@@ -104,7 +104,7 @@ object Reduction {
       // (each spawns its own per-fold fit threads inside kfoldScores);
       // futures join in ks order, so the leaderboard is identical to
       // the sequential scan
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.length)
+      val pool = graft.Pools.newPool(ks.length)
       val scored =
         try {
           val futs = ks.map { k =>

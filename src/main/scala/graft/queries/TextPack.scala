@@ -263,7 +263,7 @@ object TextPack extends QueryPack {
     * a multi-tenant cluster plays, safe because the memo keys differ
     * and each build persists/unpersists only its own frames. */
   def prepareShared(s: SparkSession, d: String): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val pool = graft.Pools.newPool(2)
     try {
       val fJac = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = { sharedJaccardPairs(s, d); () }
