@@ -55,6 +55,42 @@ class StatefulSessionSpec extends AnyFunSuite {
     assert(!got.exists(_.user_id == 2L))
   }
 
+  test("catch-up batch closes history against the prospective watermark") {
+    // A backfill delivers a whole multi-day history in ONE batch while
+    // the engine watermark is still 0. The close test runs against the
+    // prospective watermark (batch max event time - 1h), so the three
+    // old sessions must be emitted IN batch 0 — holding them until the
+    // engine watermark catches up would make state O(total sessions)
+    // for the whole replayed history instead of its ~4-interval tail.
+    // Trigger.Once runs exactly one micro-batch and stops, so the
+    // engine-watermark timeout batch never runs: only the prospective
+    // close can put rows in the sink here.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStream.closedSessions(
+      input.toDS().toDF("user_id", "ts"), gapMinutes = 30)
+
+    val name = "graft_stateful_session_spec4"
+    input.addData(
+      (5L, ts("2024-01-01 00:00:00")),
+      (5L, ts("2024-01-01 03:00:00")),
+      (5L, ts("2024-01-01 06:00:00")),
+      (5L, ts("2024-01-02 00:00:00")))
+    val q = sessions.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.table(name).as[SessionOut].collect().toSet
+    def us(s: String): Long = ts(s).getTime * 1000L
+    assert(got == Set(
+      SessionOut(5L, us("2024-01-01 00:00:00"), us("2024-01-01 00:00:00"), 1L),
+      SessionOut(5L, us("2024-01-01 03:00:00"), us("2024-01-01 03:00:00"), 1L),
+      SessionOut(5L, us("2024-01-01 06:00:00"), us("2024-01-01 06:00:00"), 1L)))
+  }
+
   test("late batch straddling the open session merges instead of mis-splitting") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
