@@ -11,6 +11,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the whole-stage-codegen compile cache defaults to 100 entries;
+      // ~195 queries × several codegen stages evict it within one
+      // sweep, so the spaced-sweep min would re-pay janino compilation
+      // (~0.2-0.5 s/query) in EVERY sweep — back-to-back passes hid
+      // that by re-running while still cached. Sized to hold the whole
+      // battery so the min measures plan execution, not recompilation.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the streaming drains' stop() emits benign "Failed to cancel job

@@ -104,10 +104,11 @@ object StreamPack extends QueryPack {
     * Closes are watermark-gated — a session is emitted exactly when
     * the watermark passes its `end + gap` horizon, never merely
     * because a successor event exists (an in-watermark late event in
-    * a later batch may still merge into the gap). After the fixture
-    * replay's single data batch, the engine runs one more batch
-    * against the end-of-stream watermark (max event time minus the
-    * 1 h delay), firing the timeouts. The checkable result is
+    * a later batch may still merge into the gap). On the fixture
+    * replay's single data batch most closes fire immediately against
+    * the prospective watermark (per-key max event time minus the 1 h
+    * delay); one more engine batch against the end-of-stream
+    * watermark fires the remaining timeouts. The checkable result is
     * therefore: each batch gaps-and-islands session whose `end + gap`
     * horizon fell strictly behind the final watermark in Spark's
     * millisecond timeout arithmetic — which the oracle reproduces

@@ -357,12 +357,15 @@ object EventStream {
     * is kept and the edge documented.
     *
     * On the fixture replay the data arrives in one batch (watermark
-    * still 0, nothing closes in-batch), then the engine runs a final
-    * batch against the end-of-stream watermark, firing the timeout
-    * that closes every session whose `last + gap` horizon the
-    * watermark passed — so the driver-checked result is exactly the
-    * batch session set restricted to watermark-closed sessions (the
-    * oracle reproduces Spark's ms-floor timeout arithmetic).
+    * still 0): the prospective-watermark test closes every session
+    * whose horizon sits behind the per-key batch maximum minus the
+    * delay, then the engine runs a final batch against the
+    * end-of-stream watermark, firing the timeouts that close the
+    * rest. Both paths apply the same `horizon < wm` rule against
+    * watermarks that only grow toward the final one, so the emitted
+    * set is exactly the batch session set restricted to
+    * watermark-closed sessions (the oracle reproduces Spark's
+    * ms-floor timeout arithmetic).
     * `StatefulSessionSpec` drives the timeout, cross-batch-merge, and
     * gap-before-open-interval late-merge paths with a MemoryStream. */
   def closedSessions(events: DataFrame, gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
