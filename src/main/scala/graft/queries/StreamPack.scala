@@ -68,6 +68,18 @@ object StreamPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Watermark-bounded streaming dedup drained and summarized: the
+    * union-duplicated event stream collapsed by
+    * `dropDuplicatesWithinWatermark` (finite state at any corpus
+    * size — the scale path plain `dropDuplicates` lacks) must
+    * reproduce the batch per-type aggregate exactly. */
+  def qStreamDedupWm(s: SparkSession, d: String): DataFrame =
+    EventStream.runDedupWmOnce(
+        s, d, s"graft_stream_dw${runSeq.incrementAndGet()}")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
   /** Stream-static enrichment join drained to completion: the event
     * stream broadcast-joined to the static customer-segment dim (no
     * streaming state — see [[EventStream.enrichedSegmentTotals]]),
@@ -123,6 +135,7 @@ object StreamPack extends QueryPack {
     "q_stream_sessions_closed" -> qStreamSessionsClosed,
     "q_stream_tumbling"    -> qStreamTumbling,
     "q_stream_dedup"       -> qStreamDedup,
+    "q_stream_dedup_wm"    -> qStreamDedupWm,
     "q_stream_user_totals" -> qStreamUserTotals,
     "q_stream_stats"       -> qStreamStats,
     "q_stream_session"     -> qStreamSession,
@@ -178,6 +191,11 @@ object StreamPack extends QueryPack {
     "q_stream_dedup" ->
       """SELECT lang, count(DISTINCT text) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the union doubles every event and the watermark-bounded dedup
+    // must collapse it back: the drained rows ARE the events relation
+    "q_stream_dedup_wm" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_user_totals" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
         | round(sum(value), 2) AS total

@@ -80,6 +80,28 @@ object EventStream {
                    name: String = "graft_stream_dedup"): DataFrame =
     drain(spark, dedupCounts(spark, dir), name)
 
+  /** Watermark-BOUNDED streaming dedup — the 100 TB scale path that
+    * [[dedupCounts]]' plain `dropDuplicates` is not: its key state
+    * grows with the corpus, while `dropDuplicatesWithinWatermark`
+    * evicts keys once the watermark passes them, holding only the
+    * in-flight window at any stream length. Exercised here by
+    * union-duplicating the event stream (two reads of the same
+    * source): the dedup must collapse the union back to the original
+    * rows — every duplicate pair arrives inside one watermark window,
+    * so the drained result equals the batch relation exactly and the
+    * driver's plain-SQL oracle checks the streaming path. Append-mode
+    * rows, aggregated AFTER the drain (the qStreamSession pattern). */
+  def dedupWithinWatermark(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir).union(eventsStream(spark, dir))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Drain [[dedupWithinWatermark]] in APPEND mode (each surviving
+    * row is emitted exactly once, when first seen). */
+  def runDedupWmOnce(spark: SparkSession, dir: String,
+                     name: String = "graft_stream_dedup_wm"): DataFrame =
+    drain(spark, dedupWithinWatermark(spark, dir), name, mode = "append")
+
   /** Drain [[runningUserTotals]] in UPDATE mode: the sink accumulates
     * every per-key state update; the caller reduces to final state
     * (n_events is strictly increasing per key, so the max-n_events row
