@@ -84,7 +84,21 @@ object Bench {
     val sweepA = sweep(sorted)
     val sweepB = sweep(sorted)
     val sweepC = sweep(sorted.filter(_._1.startsWith("q_stream"))).toMap
-    val results = ("_shared_pairs" -> (sharedOk, sharedSec)) +:
+    // second timed shared build under a probe memo tag, spaced two
+    // full sweeps from the first: _shared_pairs was the one remaining
+    // single-sample timing, fully exposed to a load window at run
+    // start; the min across the two spaced builds gives it the same
+    // contention defense as every query (the probe table is never
+    // read — both warehouse copies are shutdown-hook-deleted)
+    val tShared2 = System.nanoTime()
+    val shared2Ok =
+      try { graft.queries.TextPack.prepareShared(spark, sfDir, "_probe"); true }
+      catch { case _: Throwable => false }
+    val shared2Sec = (System.nanoTime() - tShared2) / 1e9
+    spark.catalog.clearCache()
+    val sharedEntry =
+      (sharedOk && shared2Ok, math.min(sharedSec, shared2Sec))
+    val results = ("_shared_pairs" -> sharedEntry) +:
       sweepA.zip(sweepB).map { case ((name, (okA, tA)), (_, (okB, tB))) =>
         val samples = Seq((okA, tA), (okB, tB)) ++ sweepC.get(name)
         name -> (samples.forall(_._1), samples.map(_._2).min)

@@ -223,8 +223,9 @@ object TextPack extends QueryPack {
     s.read.parquet(live)
   }
 
-  private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
-    memoizedTable(s, d, "pairs") { out =>
+  private def sharedJaccardPairs(s: SparkSession, d: String,
+                                 tagSuffix: String = ""): DataFrame =
+    memoizedTable(s, d, "pairs" + tagSuffix) { out =>
       // cache both stages for the one materializing action: raw feeds
       // the hot-set aggregate AND the anti-join probe (once, not
       // twice), the guarded relation feeds sizes + both self-join
@@ -240,8 +241,9 @@ object TextPack extends QueryPack {
   /** The minhash CANDIDATE table shared by `q_minhash_lsh`,
     * `q_minhash_est` and `q_lsh_recall` — same checkpoint rationale
     * as the pair table: three consumers, one banded self-join. */
-  private def sharedMinhashCandidates(s: SparkSession, d: String): DataFrame =
-    memoizedTable(s, d, "mhcand") { out =>
+  private def sharedMinhashCandidates(s: SparkSession, d: String,
+                                      tagSuffix: String = ""): DataFrame =
+    memoizedTable(s, d, "mhcand" + tagSuffix) { out =>
       // the persist is scoped to this one materializing action: the
       // stacked relation feeds the hot-bucket aggregate and both
       // self-join sides, then unpersists (no leaked cached relation
@@ -261,15 +263,20 @@ object TextPack extends QueryPack {
     * CONCURRENT Spark actions: each has driver-side stage gaps
     * (planning, file commit) the other fills — same wall-clock trick
     * a multi-tenant cluster plays, safe because the memo keys differ
-    * and each build persists/unpersists only its own frames. */
-  def prepareShared(s: SparkSession, d: String): Unit = {
+    * and each build persists/unpersists only its own frames.
+    * `tagSuffix` keys the memo under a distinct tag: Bench passes
+    * "_probe" to time a SECOND full build spaced a whole sweep from
+    * the first, so `_shared_pairs` gets the same min-of-2 contention
+    * defense as every query (consumers always use the default). */
+  def prepareShared(s: SparkSession, d: String,
+                    tagSuffix: String = ""): Unit = {
     val pool = graft.Pools.newPool(2)
     try {
       val fJac = pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = { sharedJaccardPairs(s, d); () }
+        def call(): Unit = { sharedJaccardPairs(s, d, tagSuffix); () }
       })
       val fMh = pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = { sharedMinhashCandidates(s, d); () }
+        def call(): Unit = { sharedMinhashCandidates(s, d, tagSuffix); () }
       })
       // unwrap so callers (Bench's try/catch) see the real cause
       def join(f: java.util.concurrent.Future[Unit]): Unit =
