@@ -52,8 +52,12 @@ object MlPack extends QueryPack {
     * [[graft.ml.TreeShap]] itself is pinned by TreeShapSpec against a
     * brute-force subset-enumeration Shapley and model-prediction
     * additivity. */
-  def qShapRf(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The ONE RF fit both SHAP queries explain (the reference's
+    * 1000-row capped sample as both fit data and background): factored
+    * so `q_shap_rf` and its oracle twin `q_shap_local_accuracy` can
+    * never drift apart on sample cap, seed, or tree shape — the
+    * twin's oracle contract is that it checks THIS fit's explainer. */
+  private def shapFit(s: SparkSession, d: String): (DataFrame, org.apache.spark.ml.regression.RandomForestRegressionModel) = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.regression.RandomForestRegressor
     val ff = featureFrame(s, d).orderBy(col("vec_id")).limit(1000)
@@ -63,6 +67,12 @@ object MlPack extends QueryPack {
       .setFeaturesCol("graft_fv").setLabelCol("target")
       .setNumTrees(10).setMaxDepth(4).setSeed(42)
       .fit(va.transform(ff))
+    (ff, model)
+  }
+
+  def qShapRf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (ff, model) = shapFit(s, d)
     val sample = ff.select(featCols.map(col): _*).collect()
       .map(r => Array.tabulate(featCols.length)(r.getDouble))
     val (phis, base) = TreeShap.forestShap(model, sample, sample, featCols.length)
@@ -90,15 +100,7 @@ object MlPack extends QueryPack {
     * `TreeShapSpec` pinning the values. */
   def qShapLocalAccuracy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.regression.RandomForestRegressor
-    val ff = featureFrame(s, d).orderBy(col("vec_id")).limit(1000)
-    val va = new VectorAssembler()
-      .setInputCols(featCols.toArray).setOutputCol("graft_fv")
-    val model = new RandomForestRegressor()
-      .setFeaturesCol("graft_fv").setLabelCol("target")
-      .setNumTrees(10).setMaxDepth(4).setSeed(42)
-      .fit(va.transform(ff))
+    val (ff, model) = shapFit(s, d)
     // single bounded collect keeps ids and feature rows aligned
     val rows = ff.select((col("vec_id").cast("long") +: featCols.map(col)): _*)
       .collect()

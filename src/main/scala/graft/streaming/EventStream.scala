@@ -41,9 +41,22 @@ object EventStream {
     * stale schema. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
+  // (max-mtime, total-bytes + file-count) folded RECURSIVELY: a
+  // directory-shaped parquet source keeps its own mtime/length when a
+  // part file is rewritten in place, so the top-level stat alone would
+  // still serve a stale schema after a fixture regeneration
+  private def sourceFingerprint(f: java.io.File): (Long, Long) =
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.foldLeft((f.lastModified, kids.length.toLong)) {
+        case ((mt, sz), k) =>
+          val (km, ks) = sourceFingerprint(k)
+          (math.max(mt, km), sz + ks)
+      }
+    } else (f.lastModified, f.length)
   private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
-    val f = new java.io.File(path)
-    schemaCache.computeIfAbsent((path, f.lastModified, f.length),
+    val (mtime, size) = sourceFingerprint(new java.io.File(path))
+    schemaCache.computeIfAbsent((path, mtime, size),
       _ => spark.read.parquet(path).schema)
   }
 

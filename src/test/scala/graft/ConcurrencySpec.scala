@@ -34,8 +34,15 @@ class ConcurrencySpec extends AnyFunSuite {
       round(avg(col("target")), 9).as("mt"), count(lit(1)).as("n"))
 
   private def withPoolSize[A](n: Int)(body: => A): A = {
+    // restore, don't delete: a preset -Dgraft.pool.size (the operator
+    // escape hatch) must survive the spec, and deleting it would also
+    // let a preset width-1 make the full-width comparison vacuous
+    val prev = sys.props.get("graft.pool.size")
     sys.props("graft.pool.size") = n.toString
-    try body finally sys.props -= "graft.pool.size"
+    try body finally prev match {
+      case Some(v) => sys.props("graft.pool.size") = v
+      case None => sys.props -= "graft.pool.size"
+    }
   }
 
   private def rowsOf(df: DataFrame): Seq[String] =
@@ -55,7 +62,9 @@ class ConcurrencySpec extends AnyFunSuite {
     def run(): Seq[String] = rowsOf(
       ml.CrossVal.kfoldScores(ff, "era", 3, meanFitter, scoreOf))
     val sequential = withPoolSize(1)(run())
-    val concurrent = run()
+    // explicit over-cap (clamped to full width) so a preset width-1
+    // JVM property can't make this the same run twice
+    val concurrent = withPoolSize(64)(run())
     assert(sequential === concurrent)
     assert(sequential.nonEmpty)
   }
@@ -70,7 +79,7 @@ class ConcurrencySpec extends AnyFunSuite {
           score = sc => sc.agg(
             round(corr(col("pred"), col("target")), 6).as("spearman")))
       val sequential = withPoolSize(1)(run())
-      val concurrent = run()
+      val concurrent = withPoolSize(64)(run())
       assert(sequential === concurrent)
       assert(sequential.map(_._1).toSet === Set(2, 4))
     } finally ff.unpersist()

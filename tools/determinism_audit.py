@@ -15,12 +15,19 @@ import pandas as pd
 
 def main():
     a_dir, b_dir = sys.argv[1], sys.argv[2]
-    names = sorted(os.path.basename(p) for p in glob.glob(os.path.join(a_dir, "*"))
-                   if os.path.isdir(p))
+    # union of both dumps: a query present only in B (rename, addition
+    # between dumps) must flag as a diff, not silently escape the audit
+    names = sorted(
+        {os.path.basename(p) for d in (a_dir, b_dir)
+         for p in glob.glob(os.path.join(d, "*")) if os.path.isdir(p)})
     n_same = 0
     diffs = []
     for name in names:
+        pa = os.path.join(a_dir, name)
         pb = os.path.join(b_dir, name)
+        if not os.path.isdir(pa):
+            diffs.append((name, "missing in A"))
+            continue
         if not os.path.isdir(pb):
             diffs.append((name, "missing in B"))
             continue
