@@ -68,6 +68,17 @@ object StreamPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming MERGE sink driver-checked: each micro-batch's updated
+    * per-user totals are CDC-applied (row-replacement upsert) into a
+    * running parquet snapshot — the foreachBatch "streaming MERGE
+    * INTO" pattern over [[graft.operators.MergeOps]]. The final
+    * snapshot must equal the batch groupBy exactly (same oracle as
+    * `q_stream_user_totals`, reached through a completely different
+    * sink path: warehouse merge instead of memory-sink reduction). */
+  def qStreamUpsert(s: SparkSession, d: String): DataFrame =
+    EventStream.runStreamingUpsert(s, d)
+      .orderBy(col("user_id"))
+
   /** Watermark-bounded streaming dedup drained and summarized: the
     * union-duplicated event stream collapsed by
     * `dropDuplicatesWithinWatermark` (finite state at any corpus
@@ -136,6 +147,7 @@ object StreamPack extends QueryPack {
     "q_stream_tumbling"    -> qStreamTumbling,
     "q_stream_dedup"       -> qStreamDedup,
     "q_stream_dedup_wm"    -> qStreamDedupWm,
+    "q_stream_upsert"      -> qStreamUpsert,
     "q_stream_user_totals" -> qStreamUserTotals,
     "q_stream_stats"       -> qStreamStats,
     "q_stream_session"     -> qStreamSession,
@@ -197,6 +209,12 @@ object StreamPack extends QueryPack {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_user_totals" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
+        | round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streaming-MERGE snapshot must land on the identical batch
+    // aggregate as the memory-sink totals query
+    "q_stream_upsert" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
         | round(sum(value), 2) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

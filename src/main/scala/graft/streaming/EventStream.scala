@@ -243,6 +243,68 @@ object EventStream {
                     name: String = "graft_stream_enrich"): DataFrame =
     drain(spark, enrichedSegmentTotals(spark, dir), name)
 
+  /** STREAMING MERGE sink — the "streaming upsert into a warehouse
+    * table" shape (the foreachBatch pattern table formats market as
+    * streaming MERGE INTO, here over plain parquet via
+    * [[graft.operators.MergeOps]]): each micro-batch's update-mode
+    * aggregate rows (the touched keys' refreshed cumulative totals)
+    * are applied to the running snapshot as a row-replacement CDC
+    * batch, and the final snapshot is the query result. Update-mode
+    * emission + key-replacement MERGE compose exactly: the last
+    * emission per key carries its complete aggregate, so after the
+    * drain the snapshot equals the batch groupBy — the plain-SQL
+    * oracle. Each batch writes one snapshot version (versioned dirs,
+    * shutdown-hook-cleaned); at scale the same loop writes to a
+    * key-bucketed table so the MERGE join is shuffle-free, and the
+    * per-batch change set stays CDC-sized (touched keys only), never
+    * the full table. `StreamingUpsertSpec` drives the multi-batch
+    * accumulation path on a staged 4-file replay. */
+  private[graft] def drainMergeSink(spark: SparkSession, agg: DataFrame,
+                                    key: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }))
+    @volatile var snap: Option[String] = None
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val confKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(confKey)
+    spark.conf.set(confKey, "4")
+    try {
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val delta = batch.withColumn("op", lit("U"))
+          val base = snap.map(p => spark.read.parquet(p))
+            .getOrElse(batch.filter(lit(false)))
+          val next = graft.operators.MergeOps.applyChanges(base, delta, key)
+          val out = tmp.resolve(s"v${ver.incrementAndGet()}").toString
+          next.write.mode("overwrite").parquet(out)
+          snap = Some(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(confKey, prev)
+    snap.map(spark.read.parquet).getOrElse(agg.sparkSession.emptyDataFrame)
+  }
+
+  /** Per-user cumulative totals as an update-mode streaming aggregate
+    * (the delta feed for [[drainMergeSink]]). */
+  private[graft] def upsertTotalsAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+
+  /** Drain the event stream through the streaming MERGE sink and
+    * return the final per-user snapshot. */
+  def runStreamingUpsert(spark: SparkSession, dir: String): DataFrame =
+    drainMergeSink(spark, upsertTotalsAgg(eventsStream(spark, dir)), "user_id")
+
   case class UserTotals(user_id: Long, n_events: Long, total: Double)
 
   /** Stateful streaming (custom per-key state via mapGroupsWithState):
