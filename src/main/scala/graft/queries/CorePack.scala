@@ -989,6 +989,42 @@ object CorePack extends QueryPack {
     s.read.parquet(path)
   }
 
+  /** S1/S2 under the driver gate — CSV sink + scan round-trip: the
+    * customer projection is written ONCE per dir as header CSV (memo
+    * + shutdown-hook cleanup, the z-order convention), read back with
+    * an explicit schema (production contract: never infer on a
+    * 100 TB scan — inference is a full extra pass), and aggregated;
+    * the oracle runs the same aggregate on the original parquet, so
+    * the writer→reader path must be value-exact. Doubles survive CSV
+    * exactly (Java shortest-round-trip formatting), and `c_acctbal`
+    * is 2-decimal so the rounded sum is grid-exact on both engines.
+    * At scale the same pair is a partitioned multi-file write and a
+    * schema'd parallel scan — same code, no `coalesce(1)`. */
+  private val csvDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = csvDirs.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv_rt_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(out.toFile)
+      }))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.option("header", "true").mode("overwrite")
+        .csv(out.toAbsolutePath.toString)
+      out.toAbsolutePath.toString
+    })
+    s.read.option("header", "true")
+      .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+      .csv(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def qZorderScan(s: SparkSession, d: String): DataFrame = {
     val z = zorderedLineitem(s, d)
     def arm(tag: String, pred: Column): DataFrame =
@@ -1164,6 +1200,7 @@ object CorePack extends QueryPack {
     "q_snapshot_diff"      -> qSnapshotDiff,
     "q_merge_changes"      -> qMergeChanges,
     "q_zorder_scan"        -> qZorderScan,
+    "q_csv_roundtrip"      -> qCsvRoundtrip,
     "q20_dominant_supplier" -> q20DominantSupplier,
     "q2_min_cost"          -> q2MinCost,
     "q6_forecast_revenue"  -> q6ForecastRevenue,
@@ -1298,6 +1335,12 @@ object CorePack extends QueryPack {
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
         | round(sum(o_totalprice), 0) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the CSV copy must be value-exact, so the oracle aggregates the
+    // original parquet directly
+    "q_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     // the z-ordered copy is a LAYOUT of lineitem, so the oracle runs
     // the same aggregates on the original table
     "q_zorder_scan" ->
