@@ -532,7 +532,48 @@ object EventsPack extends QueryPack {
         round(col("m1") / col("m0") - 1.0, 4).as("lift"))
   }
 
+  /** Partition-PRUNED scan — the directory-level complement of
+    * `q_zorder_scan`'s row-group pruning, and the single most
+    * important scan optimization at 100 TB (a day-partitioned event
+    * lake answers a one-day query by listing one directory, not
+    * scanning the fleet). The events table is written ONCE per dir
+    * partitioned by day (memo + shutdown-hook cleanup, the z-order
+    * convention), then scanned with a `day = 5` filter that Catalyst
+    * resolves against the partition column — zero data files outside
+    * `day=5` are opened (`PartitionPruneSpec` asserts it from
+    * `inputFiles`). The oracle runs the same day filter on the
+    * original table, so layout changes can never change answers. */
+  private val dayPartDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def dayPartitionedEvents(s: SparkSession, d: String): DataFrame = {
+    val path = dayPartDirs.computeIfAbsent(d, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_daypart_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(out.toFile)
+      }))
+      Tables.events(s, d)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("value"),
+          dayofmonth(col("ts")).cast("long").as("day"))
+        .write.partitionBy("day").mode("overwrite")
+        .parquet(out.toAbsolutePath.toString)
+      out.toAbsolutePath.toString
+    })
+    s.read.parquet(path)
+  }
+
+  def qPartitionScan(s: SparkSession, d: String): DataFrame =
+    dayPartitionedEvents(s, d)
+      .filter(col("day") === 5)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
+    "q_partition_scan" -> qPartitionScan,
     "q_ab_test"        -> qAbTest,
     "q_attribution"    -> qAttribution,
     "q_event_paths"    -> qEventPaths,
@@ -563,6 +604,13 @@ object EventsPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // the partitioned copy is a LAYOUT of events; the oracle runs the
+    // identical day filter on the original table
+    "q_partition_scan" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events WHERE day(ts) = 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ab_test" ->
       """WITH t AS (SELECT
         |    ('0x' || substr(md5('ab#' || user_id),1,15))::BIGINT % 2 AS grp,

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Directory-level partition pruning, proven from the files the scan
+  * actually touches: the day-partitioned events copy filtered to one
+  * day must read ONLY that day's directory. At 100 TB this is the
+  * difference between listing one partition and scanning the lake —
+  * `q_zorder_scan` pins the row-group analogue; this pins the
+  * partition analogue. */
+class PartitionPruneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("day filter opens only the day=5 partition's files") {
+    // inputFiles lists the whole FileIndex regardless of filters, so
+    // the proof reads the EXECUTED scan's numFiles metric — the count
+    // of files the scan actually selected after partition pruning
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanFiles(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      (scan.metrics("numFiles").value, scan.toString)
+    }
+    val pruned = queries.EventsPack.dayPartitionedEvents(spark, TestSpark.sf)
+      .filter(col("day") === 5)
+    val (prunedFiles, planStr) = scanFiles(pruned)
+    val (totalFiles, _) = scanFiles(
+      queries.EventsPack.dayPartitionedEvents(spark, TestSpark.sf))
+    assert(planStr.contains("PartitionFilters"), planStr.take(400))
+    assert(prunedFiles > 0)
+    assert(prunedFiles < totalFiles,
+      s"no pruning: $prunedFiles of $totalFiles files read")
+  }
+
+  test("pruned-scan answer equals the unpartitioned filter") {
+    val got = queries.EventsPack.qPartitionScan(spark, TestSpark.sf)
+      .collect().toSeq
+    val want = Tables.events(spark, TestSpark.sf)
+      .filter(dayofmonth(col("ts")) === 5)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
