@@ -972,15 +972,8 @@ object CorePack extends QueryPack {
 
   private def zorderedLineitem(s: SparkSession, d: String): DataFrame = {
     val path = zorderDirs.computeIfAbsent(d, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_zorder_")
+      val out = graft.TempDirs.create("graft_zorder_")
       val p = out.toAbsolutePath.toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(out.toFile)
-      }))
       graft.operators.ZOrder.writeZOrdered(
         Tables.lineitem(s, d), "l_partkey", "l_suppkey", p,
         bits = 12, blockSize = 128 * 1024)
@@ -1003,14 +996,7 @@ object CorePack extends QueryPack {
   private val csvDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = csvDirs.computeIfAbsent(d, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_csv_rt_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(out.toFile)
-      }))
+      val out = graft.TempDirs.create("graft_csv_rt_")
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
         .write.option("header", "true").mode("overwrite")

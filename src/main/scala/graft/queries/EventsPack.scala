@@ -546,14 +546,7 @@ object EventsPack extends QueryPack {
   private val dayPartDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def dayPartitionedEvents(s: SparkSession, d: String): DataFrame = {
     val path = dayPartDirs.computeIfAbsent(d, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_daypart_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(out.toFile)
-      }))
+      val out = graft.TempDirs.create("graft_daypart_")
       Tables.events(s, d)
         .select(col("user_id").cast("long").as("user_id"),
           col("event_type"), col("value"),

@@ -261,14 +261,7 @@ object EventStream {
     * accumulation path on a staged 4-file replay. */
   private[graft] def drainMergeSink(spark: SparkSession, agg: DataFrame,
                                     key: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(tmp.toFile)
-    }))
+    val tmp = graft.TempDirs.create("graft_stream_upsert")
     @volatile var snap: Option[String] = None
     val ver = new java.util.concurrent.atomic.AtomicInteger(0)
     val confKey = "spark.sql.shuffle.partitions"
@@ -283,13 +276,23 @@ object EventStream {
           val next = graft.operators.MergeOps.applyChanges(base, delta, key)
           val out = tmp.resolve(s"v${ver.incrementAndGet()}").toString
           next.write.mode("overwrite").parquet(out)
+          // the previous version is fully consumed once this write
+          // commits; prune it so a long drain holds ONE snapshot,
+          // not the whole version history
+          snap.foreach(p => graft.TempDirs.deleteRecursively(
+            java.nio.file.Paths.get(p)))
           snap = Some(out)
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set(confKey, prev)
-    snap.map(spark.read.parquet).getOrElse(agg.sparkSession.emptyDataFrame)
+    // schema-preserving empty fallback: a zero-batch stream must
+    // still return the aggregate's columns, not a schemaless frame
+    // that breaks downstream column references
+    snap.map(spark.read.parquet).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agg.schema))
   }
 
   /** Per-user cumulative totals as an update-mode streaming aggregate
