@@ -1011,6 +1011,41 @@ object CorePack extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Schema EVOLUTION scan — the lake reality the fixed-schema
+    * loaders don't exercise: files written before a column existed
+    * coexist with files written after, and one read must span both.
+    * Two generations of the orders table are written once per dir
+    * (g1: pre-evolution, no `o_orderstatus`; g2: with it), then read
+    * together under `mergeSchema` — the reconciled schema is the
+    * union, with nulls for the old files' missing column (exactly
+    * Parquet's add-column contract; renames/type-changes are NOT
+    * reconcilable and stay a migration). The aggregate buckets the
+    * null generation under 'PRE', and the oracle rebuilds the same
+    * two-generation view from the original table, so the
+    * footer-merge path must be value-exact. At 100 TB this is the
+    * default state of any long-lived dataset; the scan stays fully
+    * parallel — schema reconciliation is a footer-only planning
+    * step, not a data pass. */
+  private val evoDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val path = evoDirs.computeIfAbsent(d, _ => {
+      val out = graft.TempDirs.create("graft_evo_").toAbsolutePath.toString
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.parquet(s"$out/g1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.parquet(s"$out/g2")
+      out
+    })
+    s.read.option("mergeSchema", "true").parquet(s"$path/g1", s"$path/g2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("PRE")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 0).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
   def qZorderScan(s: SparkSession, d: String): DataFrame = {
     val z = zorderedLineitem(s, d)
     def arm(tag: String, pred: Column): DataFrame =
@@ -1187,6 +1222,7 @@ object CorePack extends QueryPack {
     "q_merge_changes"      -> qMergeChanges,
     "q_zorder_scan"        -> qZorderScan,
     "q_csv_roundtrip"      -> qCsvRoundtrip,
+    "q_schema_evolution"   -> qSchemaEvolution,
     "q20_dominant_supplier" -> q20DominantSupplier,
     "q2_min_cost"          -> q2MinCost,
     "q6_forecast_revenue"  -> q6ForecastRevenue,
@@ -1321,6 +1357,14 @@ object CorePack extends QueryPack {
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
         | round(sum(o_totalprice), 0) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the two written generations partition orders by key parity, so
+    // the oracle rebuilds the same view: even keys lose their status
+    // (the pre-evolution files) and bucket under 'PRE'
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+        |            ELSE 'PRE' END AS status,
+        | count(*) AS n, round(sum(o_totalprice), 0) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CSV copy must be value-exact, so the oracle aggregates the
     // original parquet directly
     "q_csv_roundtrip" ->
