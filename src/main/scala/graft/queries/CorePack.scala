@@ -958,10 +958,9 @@ object CorePack extends QueryPack {
     * only serves its leading column), which `ZOrderSpec` proves from
     * the written parquet footers. Quantities are integer-valued
     * doubles summed as BIGINT — exact on both engines. */
-  /** Per-dir memo of the one-time z-ordered copy. SAME-JVM
-    * IMMUTABILITY ASSUMPTION as TextPack's memos: a data dir is not
-    * rewritten within one JVM (the fixture suites' convention); a
-    * regenerated dataset needs a new dir name or a JVM restart.
+  /** Per-source memo of the one-time z-ordered copy, keyed on the
+    * lineitem fingerprint (r10): a regenerated fixture misses the
+    * memo and rebuilds instead of serving the old data's layout.
     * ConcurrentHashMap.computeIfAbsent (NOT TrieMap.getOrElseUpdate,
     * which may run the thunk twice under a concurrent first call):
     * the thunk is a full z-ordered write of lineitem, so a duplicate
@@ -971,7 +970,8 @@ object CorePack extends QueryPack {
   private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def zorderedLineitem(s: SparkSession, d: String): DataFrame = {
-    val path = zorderDirs.computeIfAbsent(d, _ => {
+    val path = zorderDirs.computeIfAbsent(
+      Tables.fingerprintKey(s"$d/lineitem.parquet"), _ => {
       val out = graft.TempDirs.create("graft_zorder_")
       val p = out.toAbsolutePath.toString
       graft.operators.ZOrder.writeZOrdered(
@@ -995,7 +995,11 @@ object CorePack extends QueryPack {
     * schema'd parallel scan — same code, no `coalesce(1)`. */
   private val csvDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val path = csvDirs.computeIfAbsent(d, _ => {
+    // fingerprint-keyed (not path-keyed) so a regenerated fixture
+    // misses the memo instead of serving a copy of the old data —
+    // the schemaOf/memoizedTable convention
+    val path = csvDirs.computeIfAbsent(
+      Tables.fingerprintKey(s"$d/customer.parquet"), _ => {
       val out = graft.TempDirs.create("graft_csv_rt_")
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -1028,7 +1032,8 @@ object CorePack extends QueryPack {
     * step, not a data pass. */
   private val evoDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val path = evoDirs.computeIfAbsent(d, _ => {
+    val path = evoDirs.computeIfAbsent(
+      Tables.fingerprintKey(s"$d/orders.parquet"), _ => {
       val out = graft.TempDirs.create("graft_evo_").toAbsolutePath.toString
       val o = Tables.orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)

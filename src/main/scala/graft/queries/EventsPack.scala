@@ -545,12 +545,16 @@ object EventsPack extends QueryPack {
     * original table, so layout changes can never change answers. */
   private val dayPartDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def dayPartitionedEvents(s: SparkSession, d: String): DataFrame = {
-    val path = dayPartDirs.computeIfAbsent(d, _ => {
+    val path = dayPartDirs.computeIfAbsent(
+      Tables.fingerprintKey(s"$d/events.parquet"), _ => {
       val out = graft.TempDirs.create("graft_daypart_")
       Tables.events(s, d)
+        // no cast on the partition column: partitionBy stores values
+        // in directory names and read-back inference yields int
+        // regardless, so a declared long would only mislead readers
         .select(col("user_id").cast("long").as("user_id"),
           col("event_type"), col("value"),
-          dayofmonth(col("ts")).cast("long").as("day"))
+          dayofmonth(col("ts")).as("day"))
         .write.partitionBy("day").mode("overwrite")
         .parquet(out.toAbsolutePath.toString)
       out.toAbsolutePath.toString

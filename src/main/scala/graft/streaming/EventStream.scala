@@ -41,21 +41,12 @@ object EventStream {
     * stale schema. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
-  // (max-mtime, total-bytes + file-count) folded RECURSIVELY: a
+  // recursive fingerprint (graft.Tables.fingerprint): a
   // directory-shaped parquet source keeps its own mtime/length when a
   // part file is rewritten in place, so the top-level stat alone would
   // still serve a stale schema after a fixture regeneration
-  private def sourceFingerprint(f: java.io.File): (Long, Long) =
-    if (f.isDirectory) {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      kids.foldLeft((f.lastModified, kids.length.toLong)) {
-        case ((mt, sz), k) =>
-          val (km, ks) = sourceFingerprint(k)
-          (math.max(mt, km), sz + ks)
-      }
-    } else (f.lastModified, f.length)
   private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
-    val (mtime, size) = sourceFingerprint(new java.io.File(path))
+    val (mtime, size) = graft.Tables.fingerprint(path)
     schemaCache.computeIfAbsent((path, mtime, size),
       _ => spark.read.parquet(path).schema)
   }
@@ -121,17 +112,25 @@ object EventStream {
     * IS the final state). */
   def runUserTotalsOnce(spark: SparkSession, dir: String,
                         name: String = "graft_stream_totals"): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try {
+    withDrainPartitions(spark) {
       val q = runningUserTotals(spark, dir).toDF()
         .writeStream.outputMode("update")
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set(key, prev)
+    }
     spark.table(name)
+  }
+
+  /** Pin the shuffle-partition count low for one synchronous drain and
+    * restore it after (see [[drain]]'s rationale: state-store init per
+    * shuffle partition dominates fixture-scale streams). ONE home for
+    * the save/set/restore invariant — every drain path shares it. */
+  private def withDrainPartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Start → processAllAvailable → stop with a bounded state-partition
@@ -144,15 +143,12 @@ object EventStream {
     * shards). On a real cluster the session default applies. */
   private def drain(spark: SparkSession, df: DataFrame, name: String,
                     mode: String = "complete"): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try {
+    withDrainPartitions(spark) {
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set(key, prev)
+    }
     spark.table(name)
   }
 
@@ -264,10 +260,7 @@ object EventStream {
     val tmp = graft.TempDirs.create("graft_stream_upsert")
     @volatile var snap: Option[String] = None
     val ver = new java.util.concurrent.atomic.AtomicInteger(0)
-    val confKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(confKey)
-    spark.conf.set(confKey, "4")
-    try {
+    withDrainPartitions(spark) {
       val q = agg.writeStream.outputMode("update")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val delta = batch.withColumn("op", lit("U"))
@@ -286,7 +279,7 @@ object EventStream {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set(confKey, prev)
+    }
     // schema-preserving empty fallback: a zero-batch stream must
     // still return the aggregate's columns, not a schemaless frame
     // that breaks downstream column references

@@ -16,7 +16,7 @@ class StreamingUpsertSpec extends AnyFunSuite {
 
   test("4-batch streaming MERGE snapshot equals the batch groupBy") {
     import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft_upsert_multibatch").toString
+    val dir = TempDirs.create("graft_upsert_multibatch").toString
     val ev = Tables.events(spark, TestSpark.sf)
     val bucketed = ev.withColumn("bucket", ntile(4).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
