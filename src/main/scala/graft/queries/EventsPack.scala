@@ -569,8 +569,34 @@ object EventsPack extends QueryPack {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** DYNAMIC partition pruning — the star-schema form of
+    * [[qPartitionScan]]'s static prune, and the scan reducer that
+    * makes dim-filtered fact queries viable at 100 TB: the partition
+    * column appears only in the JOIN, the selective filter lives on
+    * the dim side, and Catalyst injects a runtime dynamicpruning
+    * subquery that reuses the dim broadcast to list the surviving
+    * partitions BEFORE the fact scan starts — the fact never lists
+    * (let alone reads) the out-of-filter days. `PartitionPruneSpec`
+    * pins both the `dynamicpruning` expression in the scan's
+    * partition filters and the file count. The dim here is the
+    * early-calendar day set derived from orders, so the oracle
+    * rebuilds the exact join relationally. */
+  def qDppJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .select(dayofmonth(col("o_orderdate")).as("day")).distinct()
+      .filter(col("day") <= 5)
+    dayPartitionedEvents(s, d)
+      .join(dim, "day")
+      // the partition column reads back as int (directory-name
+      // inference); emit BIGINT for oracle type parity
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_partition_scan" -> qPartitionScan,
+    "q_dpp_join" -> qDppJoin,
     "q_ab_test"        -> qAbTest,
     "q_attribution"    -> qAttribution,
     "q_event_paths"    -> qEventPaths,
@@ -607,6 +633,15 @@ object EventsPack extends QueryPack {
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 2) AS sum_value
         |FROM events WHERE day(ts) = 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the partitioned fact joined to the filtered day dim — the
+    // oracle rebuilds the identical join over the original tables
+    "q_dpp_join" ->
+      """WITH dim AS (SELECT DISTINCT day(o_orderdate) AS day
+        |             FROM orders WHERE day(o_orderdate) <= 5)
+        |SELECT e.day, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM (SELECT day(ts) AS day, value FROM events) e
+        |JOIN dim USING (day)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ab_test" ->
       """WITH t AS (SELECT

@@ -38,6 +38,27 @@ class PartitionPruneSpec extends AnyFunSuite {
       s"no pruning: $prunedFiles of $totalFiles files read")
   }
 
+  test("dim-filtered join plans a dynamicpruning subquery on the fact scan") {
+    // DPP marker: the fact scan's partition filters carry a runtime
+    // dynamicpruning expression fed by the dim broadcast, so the
+    // out-of-filter day partitions are never listed at execution
+    val df = queries.EventsPack.qDppJoin(spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(800))
+    val got = df.collect().toSeq
+    val want = Tables.events(spark, TestSpark.sf)
+      .select(dayofmonth(col("ts")).cast("long").as("day"), col("value"))
+      .join(Tables.orders(spark, TestSpark.sf)
+        .select(dayofmonth(col("o_orderdate")).cast("long").as("day")).distinct()
+        .filter(col("day") <= 5), "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day")).collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("pruned-scan answer equals the unpartitioned filter") {
     val got = queries.EventsPack.qPartitionScan(spark, TestSpark.sf)
       .collect().toSeq
