@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
   * NOT SQL `percent_rank()` (which is `(rank-1)/(n-1)` with shared
   * ranks for ties).
   *
-  * Scale: the window partitions by era — each era's rows hash to one
-  * shuffle partition. At 100 TB with ~100 eras that skews; mitigation
-  * is a higher-cardinality era key (day/hour buckets) or the two-pass
-  * count-join form. The per-era row counts here (<= a few M rows/era)
-  * sort in-memory per partition fine.
+  * Scale: the one-pass window partitions by era — each era's rows
+  * hash to one shuffle partition, fine at <= a few M rows/era. Past
+  * that, [[withPctRankFirstTwoPass]] is the implemented mitigation:
+  * sketch-bucketed offsets + (era, bucket) windows, bit-identical
+  * output, no window partition ever spans an era.
   */
 object EraRank {
 
@@ -34,6 +34,67 @@ object EraRank {
       row_number().over(order).cast("double") / count(lit(1)).over(whole))
   }
 
+  /** TWO-PASS form of [[withPctRankFirst]] — the 100 TB scale path for
+    * W1 (`metrics.py:19`), eliminating the single-reducer-per-era
+    * hazard of `Window.partitionBy(era)` (one era = one task in the
+    * one-pass form; at 100 TB an era is billions of rows).
+    *
+    * Same sketch-CDF decomposition [[graft.queries.SimilarityPack
+    * .qQuantileNorm]] ships per-dimension, here per-era:
+    *  1. a partial+final sketch aggregate fits `buckets-1` coarse CDF
+    *     edges of `pred` per era plus the exact era row count
+    *     (accuracy is irrelevant — only monotonicity is used);
+    *  2. each row buckets by `#edges < pred` — a pure function of the
+    *     VALUE, so ties on `pred` always co-bucket and bucketing is
+    *     monotone (every row in a lower bucket has strictly smaller
+    *     `pred`). Crucially the bucket does not depend on physical
+    *     partitioning, so the two passes can never disagree;
+    *  3. bucket counts cumsum into exclusive offsets over a tiny
+    *     (#eras × buckets) relation, broadcast back;
+    *  4. `row_number` over (pred, tie…) within (era, bucket) — each
+    *     window partition now holds ~1/buckets of an era, and the
+    *     fan-out widens with `buckets` as eras grow.
+    * offset + local row_number is EXACTLY the global per-era
+    * row_number: ties on `pred` co-bucket (so the tie columns order
+    * them within one window partition) and strictly-smaller values are
+    * fully counted by the offset. Emitted values are bit-identical to
+    * the one-pass form (EraRankTwoPassSpec pins row equality on
+    * adversarial tie/null data and that no row_number window
+    * partitions on the era alone).
+    */
+  def withPctRankFirstTwoPass(df: DataFrame, out: String, buckets: Int,
+                              era: Column, pred: Column, tie: Column*): DataFrame = {
+    require(buckets >= 2, s"need >=2 buckets, got $buckets")
+    val keep = df.columns.map(col)
+    val base = df.withColumn("graft_e", era)
+    val pcts = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val edges = base.groupBy(col("graft_e")).agg(
+      percentile_approx(pred, pcts, lit(100)).as("graft_edges"),
+      count(lit(1)).as("graft_n"))
+    val bucketed = base.join(broadcast(edges), Seq("graft_e"))
+      // coalesce: null pred rows (filter lambda yields null) and
+      // all-null eras (sketch yields a null edge array) both co-bucket
+      // at 0, where NULLS FIRST ordering already places them — without
+      // it a null bucket key would silently drop rows at the join
+      .withColumn("graft_bkt",
+        coalesce(size(filter(col("graft_edges"), ed => ed < pred)), lit(0)))
+      .drop("graft_edges")
+    val offs = bucketed.groupBy(col("graft_e"), col("graft_bkt"))
+      .agg(count(lit(1)).as("graft_nb"))
+      .withColumn("graft_off", coalesce(
+        sum(col("graft_nb")).over(Window.partitionBy(col("graft_e"))
+          .orderBy(col("graft_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("graft_e"), col("graft_bkt"), col("graft_off"))
+    bucketed.join(broadcast(offs), Seq("graft_e", "graft_bkt"))
+      .withColumn(out,
+        (col("graft_off") + row_number().over(
+          Window.partitionBy(col("graft_e"), col("graft_bkt"))
+            .orderBy((pred +: tie).map(_.asc): _*)))
+          .cast("double") / col("graft_n"))
+      .select((keep :+ col(out)): _*)
+  }
+
   /** M2 `spearman_rank` (`metrics.py:5-22`): per-era pct-rank the
     * predictions, then Pearson-correlate the ranks with the truth over
     * ALL rows — one global aggregate, one row out.
@@ -41,6 +102,16 @@ object EraRank {
   def spearmanByEra(df: DataFrame, era: Column, pred: Column, truth: Column,
                     tie: Column*): DataFrame = {
     withPctRankFirst(df, "graft_r", era, pred, tie: _*)
+      .agg(round(corr(truth, col("graft_r")), 6).as("spearman"))
+  }
+
+  /** [[spearmanByEra]] on the [[withPctRankFirstTwoPass]] rank path —
+    * same answer (the rank column is bit-identical), scale-safe window
+    * fan-out. This is the form to run when any single era outgrows one
+    * task. */
+  def spearmanByEraTwoPass(df: DataFrame, era: Column, pred: Column,
+                           truth: Column, tie: Column*): DataFrame = {
+    withPctRankFirstTwoPass(df, "graft_r", 32, era, pred, tie: _*)
       .agg(round(corr(truth, col("graft_r")), 6).as("spearman"))
   }
 

@@ -106,6 +106,22 @@ object CorePack extends QueryPack {
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
+  /** M2 on the TWO-PASS rank path ([[graft.operators.EraRank
+    * .withPctRankFirstTwoPass]]): sketch-bucketed offsets + (era,
+    * bucket) windows instead of one window partition per era — the
+    * scale form for eras that outgrow a single task. Same oracle SQL
+    * as `q_spearman_by_era`: the rank column is bit-identical by
+    * construction (EraRankTwoPassSpec pins row equality), so DuckDB
+    * still checks it with the plain one-window formulation. */
+  def qSpearmanTwoPass(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
+        col("l_extendedprice").as("pred"), col("l_quantity").as("y"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    EraRank.spearmanByEraTwoPass(li, col("era"), col("pred"), col("y"),
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+  }
+
   /** M2 per-era diagnostic — one Spearman row per era (the notebook's
     * per-era breakdown; same rank pipeline, grouped finish). */
   def qSpearmanPerEra(s: SparkSession, d: String): DataFrame = {
@@ -1263,6 +1279,7 @@ object CorePack extends QueryPack {
     "q_topk_orders"      -> qTopkOrders,
     "q_window_rank_era"  -> qWindowRankEra,
     "q_spearman_by_era"  -> qSpearmanByEra,
+    "q_spearman_two_pass" -> qSpearmanTwoPass,
     "q_spearman_per_era" -> qSpearmanPerEra,
     "q_quartic_error"    -> qQuarticError,
     "q_quantiles"        -> qQuantiles,
@@ -1739,6 +1756,16 @@ object CorePack extends QueryPack {
         |   / count(*) OVER (PARTITION BY date_part('day', ts)), 6) AS r
         |FROM events ORDER BY event_id""".stripMargin,
     "q_spearman_by_era" ->
+      """WITH t AS (
+        |  SELECT l_quantity AS y,
+        |    CAST(row_number() OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)) AS r
+        |  FROM lineitem)
+        |SELECT round(corr(y, r), 6) AS spearman FROM t""".stripMargin,
+    // two-pass rank path, same answer: the oracle deliberately uses the
+    // plain one-window formulation — equality IS the check
+    "q_spearman_two_pass" ->
       """WITH t AS (
         |  SELECT l_quantity AS y,
         |    CAST(row_number() OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)
