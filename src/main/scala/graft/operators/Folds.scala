@@ -50,6 +50,34 @@ object Folds {
     assigned.toDF(eraCol, "fold")
   }
 
+  /** M1/T3 hash-shuffled variant, oracle-checkable: the "shuffle" is a
+    * deterministic md5-hash ordering of the eras (the `q_split_assign`
+    * md5-hash60 trick — reproducible in any engine, stable under
+    * repartitioning), then np.array_split block sizing over the hash
+    * order: the first (n % k) folds get one extra era. Unlike
+    * [[eraKFoldRandom]] this never collects — position and fold are
+    * window/arithmetic columns — though the era relation is tiny
+    * either way (eras are time buckets; the single-task global window
+    * is over #eras rows, not the fact). */
+  def eraKFoldHashed(distinctEras: DataFrame, eraCol: String, k: Int,
+                     salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // Column./ is DOUBLE division; all fold arithmetic is exact
+    // non-negative integer math, so floor-divide explicitly
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val h = TextOps.hash60(concat_ws("#", lit(salt), col(eraCol)))
+    val pos = (row_number().over(Window.orderBy(h, col(eraCol))) - 1).cast("long")
+    val n = count(lit(1)).over(Window.partitionBy())
+    val base = idiv(n, lit(k))  // era count per small fold
+    val extra = n % k           // first `extra` folds take base+1 eras
+    val cut = (base + 1) * extra
+    // base can be 0 when n < k: every era is then in the first-`extra`
+    // region (cut = n), so the otherwise-branch division never runs on 0
+    val fold = when(pos < cut, idiv(pos, base + 1))
+      .otherwise(extra + idiv(pos - cut, base))
+    distinctEras.withColumn("fold", fold.cast("long"))
+  }
+
   /** T5: permute `valueCol` within each era by re-ordering on `orderKey`
     * — the "two independent orderings joined on row position" form.
     * Deterministic given a deterministic `orderKey` (pass an arithmetic

@@ -33,6 +33,24 @@ object EraPack extends QueryPack {
       .orderBy(col("fold"))
   }
 
+  /** T3 — the SHUFFLED era k-fold (`utils.py:26-29`: np.random.shuffle
+    * of unique eras + array_split), with the shuffle realized as the
+    * deterministic md5-hash60 ordering (`q_split_assign`'s trick) so
+    * fold MEMBERSHIP itself is oracle-checkable, not just fold sizing:
+    * folds broadcast-join back to orders and each fold reports its era
+    * count, row count, and an order-independent era checksum. */
+  def qFoldRandom(s: SparkSession, d: String): DataFrame = {
+    val folds = Folds.eraKFoldHashed(orderEras(s, d), "era", 3, "fold42")
+    Tables.orders(s, d)
+      .withColumn("era", Tables.eraOfDate(col("o_orderdate")))
+      .join(broadcast(folds), "era")
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("era")).as("n_eras"),
+        count(lit(1)).as("n_orders"),
+        sum(col("era")).as("era_sum"))
+      .orderBy(col("fold"))
+  }
+
   /** T5 — era-local deterministic column permutation
     * (`feature_selection_numerai.py:127-129`): l_quantity re-dealt
     * within each shipdate-month era by a multiplicative-hash ordering.
@@ -58,6 +76,7 @@ object EraPack extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q_fold_assign" -> qFoldAssign,
     "q_fold_counts" -> qFoldCounts,
+    "q_fold_random" -> qFoldRandom,
     "q_permute_era" -> qPermuteEra,
   )
 
@@ -73,6 +92,25 @@ object EraPack extends QueryPack {
         |SELECT fold, count(*) AS n_orders, round(sum(o_totalprice), 0) AS sum_price
         |FROM orders JOIN folds ON year(o_orderdate)*12 + month(o_orderdate) = folds.era
         |GROUP BY fold ORDER BY fold""".stripMargin,
+    "q_fold_random" ->
+      """WITH e AS (
+        |  SELECT DISTINCT year(o_orderdate)*12 + month(o_orderdate) AS era FROM orders),
+        |p AS (
+        |  SELECT era,
+        |    row_number() OVER (
+        |      ORDER BY ('0x'||substr(md5('fold42#'||era),1,15))::BIGINT, era) - 1 AS pos,
+        |    count(*) OVER () AS n
+        |  FROM e),
+        |f AS (
+        |  SELECT era,
+        |    CASE WHEN pos < (n//3 + 1) * (n%3) THEN pos // (n//3 + 1)
+        |         ELSE n%3 + (pos - (n//3 + 1) * (n%3)) // (n//3) END AS fold
+        |  FROM p)
+        |SELECT CAST(f.fold AS BIGINT) AS fold,
+        |  count(DISTINCT f.era) AS n_eras, count(*) AS n_orders,
+        |  CAST(sum(f.era) AS BIGINT) AS era_sum
+        |FROM orders o JOIN f ON year(o.o_orderdate)*12 + month(o.o_orderdate) = f.era
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_permute_era" ->
       """WITH base AS (
         |  SELECT year(l_shipdate)*12 + month(l_shipdate) AS era,

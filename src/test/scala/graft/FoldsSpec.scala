@@ -30,6 +30,31 @@ class FoldsSpec extends AnyFunSuite {
     assert(run(1) != run(2))
   }
 
+  test("eraKFoldHashed: array_split sizes over the hash order, no collect") {
+    val eras = (1L to 11L).toDF("era")
+    val folds = Folds.eraKFoldHashed(eras, "era", 3, "s1").collect()
+    assert(folds.map(_.getLong(0)).toSet == (1L to 11L).toSet)
+    assert(folds.length == 11)
+    val sizes = folds.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    // np.array_split(11, 3) -> 4, 4, 3
+    assert(sizes == Map(0L -> 4, 1L -> 4, 2L -> 3))
+  }
+
+  test("eraKFoldHashed: n < k leaves later folds empty, no div-by-zero") {
+    val eras = Seq(10L, 20L).toDF("era")
+    val folds = Folds.eraKFoldHashed(eras, "era", 3, "s1").collect()
+    val sizes = folds.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(sizes == Map(0L -> 1, 1L -> 1))
+  }
+
+  test("eraKFoldHashed is deterministic per salt, varies across salts") {
+    val eras = (1L to 9L).toDF("era")
+    def run(salt: String) = Folds.eraKFoldHashed(eras, "era", 3, salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run("a") == run("a"))
+    assert(run("a") != run("b"))
+  }
+
   test("permuteWithinEra: per-era multiset preserved, rows stay in era") {
     val df = (1L to 30L).map(i => (i % 3, i, i.toDouble)).toDF("era", "id", "v")
     val perm = Folds.permuteWithinEra(df, "v", "era", Seq("id"),
