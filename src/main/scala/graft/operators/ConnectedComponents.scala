@@ -42,9 +42,15 @@ object ConnectedComponents {
         val viaNeighbor = sym
           .join(lab.select(col("v").as("u"), col("l")), "u")
           .select(col("v"), col("l"))
-        val next = lab.select(col("v"), col("l")).union(viaNeighbor)
+        // persist truncates recomputation but the LOGICAL plan still
+        // nests one join per round; localCheckpoint every 8 rounds cuts
+        // the lineage so analyzer/optimizer time stays flat on
+        // high-diameter graphs (near-dup graphs are shallow, but a
+        // 20+-round path must not pay quadratic plan analysis)
+        val next0 = lab.select(col("v"), col("l")).union(viaNeighbor)
           .groupBy(col("v")).agg(min(col("l")).as("l"))
-          .persist()
+        val next =
+          if (round % 8 == 7) next0.localCheckpoint() else next0.persist()
         val changed = next
           .join(lab.select(col("v"), col("l").as("l0")), "v")
           .filter(col("l") < col("l0"))

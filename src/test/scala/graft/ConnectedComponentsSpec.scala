@@ -45,6 +45,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(run(Seq.empty).isEmpty)
   }
 
+  test("diameter-21 path converges through the checkpoint cadence") {
+    // 22-node path: label 1 needs 21 propagation rounds, crossing the
+    // every-8-rounds localCheckpoint twice — convergence must survive
+    // lineage truncation and the plan must not blow up analyzer time
+    val path = (1L to 22L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = run(path, maxIter = 30)
+    assert(got == (1L to 22L).map(_ -> 1L).toMap)
+  }
+
   test("refuses a partial closure when capped below the diameter") {
     val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
     intercept[IllegalStateException] { run(chain, maxIter = 2) }
