@@ -47,33 +47,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Recursive (max-mtime, total-bytes + file-count) fingerprint of a
-    * fixture file or directory — the memo-key component that lets
-    * derived-layout caches (z-order/CSV/partitioned/evolution copies,
-    * stream schema peeks, SHAP fits) MISS after a fixture
-    * regeneration instead of silently serving state built from the
-    * old data (the test driver has rewritten /root/testdata
-    * mid-session before, flipping parquet physical types). A
-    * directory's own stat is not enough: rewriting a part file in
-    * place leaves the dir mtime/size unchanged, so the walk folds
-    * every file. */
-  def fingerprint(path: String): (Long, Long) = {
-    def go(f: java.io.File): (Long, Long) =
-      if (f.isDirectory) {
-        val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        kids.foldLeft((f.lastModified, kids.length.toLong)) {
-          case ((mt, sz), k) =>
-            val (km, ks) = go(k)
-            (math.max(mt, km), sz + ks)
-        }
-      } else (f.lastModified, f.length)
-    go(new java.io.File(path))
-  }
-
-  /** [[fingerprint]] rendered for memo keys. */
+  /** Recursive per-file fingerprint of a fixture file or directory —
+    * the memo-key component that lets derived-layout caches
+    * (z-order/CSV/partitioned/evolution copies, stream schema peeks,
+    * SHAP fits) MISS after a fixture regeneration instead of silently
+    * serving state built from the old data (the test driver has
+    * rewritten /root/testdata mid-session before, flipping parquet
+    * physical types). A directory's own stat is not enough: rewriting
+    * a part file in place leaves the dir mtime/size unchanged, so the
+    * walk folds every file. And it folds each file's (relative path,
+    * mtime, length) TUPLE into an md5 — an earlier max-mtime +
+    * conflated size+count sum could false-hit when a same-sized
+    * rewrite landed within one mtime tick. */
   def fingerprintKey(path: String): String = {
-    val (mt, sz) = fingerprint(path)
-    s"$path@$mt:$sz"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def go(f: java.io.File, rel: String): Unit =
+      if (f.isDirectory) {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName)
+          .foreach(k => go(k, s"$rel/${k.getName}"))
+      } else md.update(s"$rel|${f.lastModified}|${f.length}\n".getBytes("UTF-8"))
+    go(new java.io.File(path), "")
+    s"$path@" + md.digest().map("%02x".format(_)).mkString
   }
 
   /** Re-spread a scan across the session's shuffle parallelism before

@@ -79,6 +79,17 @@ object EraRank {
       .withColumn("graft_bkt",
         coalesce(size(filter(col("graft_edges"), ed => ed < pred)), lit(0)))
       .drop("graft_edges")
+      // persisted because BOTH the offset aggregate and the final join
+      // consume it: without this the diamond inlines to 8 parquet scans
+      // (Catalyst expands the DAG to a tree and exchange reuse does not
+      // fire across the broadcast boundary); with it the data is read
+      // exactly twice — the literal two passes. MEMORY_AND_DISK
+      // (persist default) spills rather than OOMs at scale; callers
+      // holding a long-lived session can unpersist via the returned
+      // plan's cache entry, and the bench/verify harness clears per
+      // query. Recomputation on cache loss is CORRECT (bucketing is a
+      // pure function of values, never of physical layout).
+      .persist()
     val offs = bucketed.groupBy(col("graft_e"), col("graft_bkt"))
       .agg(count(lit(1)).as("graft_nb"))
       .withColumn("graft_off", coalesce(

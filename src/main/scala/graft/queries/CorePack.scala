@@ -1060,8 +1060,13 @@ object CorePack extends QueryPack {
         .write.parquet(s"$out/g2")
       out
     })
+    // bucket on the GENERATION (key parity is the g1/g2 split marker),
+    // not on null-ness of the evolved column: a genuinely-null status
+    // on a g2 row must land in its own null group exactly as the
+    // oracle's CASE does, not get folded into 'PRE'
     s.read.option("mergeSchema", "true").parquet(s"$path/g1", s"$path/g2")
-      .groupBy(coalesce(col("o_orderstatus"), lit("PRE")).as("status"))
+      .groupBy(when(pmod(col("o_orderkey"), lit(2)) === 1, col("o_orderstatus"))
+        .otherwise(lit("PRE")).as("status"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 0).as("sum_price"))
       .orderBy(col("status"))

@@ -58,31 +58,38 @@ object MlPack extends QueryPack {
     * never drift apart on sample cap, seed, or tree shape — the
     * twin's oracle contract is that it checks THIS fit's explainer. */
   private val shapFitCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, org.apache.spark.ml.regression.RandomForestRegressionModel)]()
-  private def shapFit(s: SparkSession, d: String): (DataFrame, org.apache.spark.ml.regression.RandomForestRegressionModel) =
+    String, (Array[(Long, Array[Double])], org.apache.spark.ml.regression.RandomForestRegressionModel)]()
+  private def shapFit(s: SparkSession, d: String): (Array[(Long, Array[Double])], org.apache.spark.ml.regression.RandomForestRegressionModel) =
     // fingerprint-keyed memo: both SHAP queries run per bench sweep,
     // and the fit is deterministic (seeded) — one RF fit per fixture
     // generation instead of one per query execution; a regenerated
-    // fixture misses the key and refits
+    // fixture misses the key and refits. The memoized VALUE is
+    // session-independent (the collected 1000-row sample + the fitted
+    // model, both plain driver objects) — an earlier version cached
+    // the sample DataFrame, which a restarted/second SparkSession
+    // would have choked on
     shapFitCache.computeIfAbsent(
       graft.Tables.fingerprintKey(s"$d/embeddings.parquet"), _ => {
         import org.apache.spark.ml.feature.VectorAssembler
         import org.apache.spark.ml.regression.RandomForestRegressor
         val ff = featureFrame(s, d).orderBy(col("vec_id")).limit(1000)
+        // single bounded collect keeps ids and feature rows aligned
+        val rows = ff.select((col("vec_id").cast("long") +: featCols.map(col)): _*)
+          .collect()
+          .map(r => (r.getLong(0), Array.tabulate(featCols.length)(i => r.getDouble(i + 1))))
         val va = new VectorAssembler()
           .setInputCols(featCols.toArray).setOutputCol("graft_fv")
         val model = new RandomForestRegressor()
           .setFeaturesCol("graft_fv").setLabelCol("target")
           .setNumTrees(10).setMaxDepth(4).setSeed(42)
           .fit(va.transform(ff))
-        (ff, model)
+        (rows, model)
       })
 
   def qShapRf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (ff, model) = shapFit(s, d)
-    val sample = ff.select(featCols.map(col): _*).collect()
-      .map(r => Array.tabulate(featCols.length)(r.getDouble))
+    val (rows, model) = shapFit(s, d)
+    val sample = rows.map(_._2)
     val (phis, base) = TreeShap.forestShap(model, sample, sample, featCols.length)
     featCols.indices.map { i =>
       val score = phis.map(p => math.abs(p(i))).sum / phis.length
@@ -108,11 +115,7 @@ object MlPack extends QueryPack {
     * `TreeShapSpec` pinning the values. */
   def qShapLocalAccuracy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (ff, model) = shapFit(s, d)
-    // single bounded collect keeps ids and feature rows aligned
-    val rows = ff.select((col("vec_id").cast("long") +: featCols.map(col)): _*)
-      .collect()
-      .map(r => (r.getLong(0), Array.tabulate(featCols.length)(i => r.getDouble(i + 1))))
+    val (rows, model) = shapFit(s, d)
     val sample = rows.map(_._2)
     val (phis, base) = TreeShap.forestShap(model, sample, sample, featCols.length)
     rows.zip(phis).map { case ((id, x), phi) =>

@@ -40,16 +40,14 @@ object EventStream {
     * rewritten file misses the cache instead of feeding readStream a
     * stale schema. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
-  // recursive fingerprint (graft.Tables.fingerprint): a
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  // recursive per-file fingerprint (graft.Tables.fingerprintKey): a
   // directory-shaped parquet source keeps its own mtime/length when a
   // part file is rewritten in place, so the top-level stat alone would
   // still serve a stale schema after a fixture regeneration
-  private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
-    val (mtime, size) = graft.Tables.fingerprint(path)
-    schemaCache.computeIfAbsent((path, mtime, size),
+  private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(graft.Tables.fingerprintKey(path),
       _ => spark.read.parquet(path).schema)
-  }
 
   /** Streaming plan over the events fixture directory. The file source
     * replays the parquet as a stream; schema comes from a batch peek
