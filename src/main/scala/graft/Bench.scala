@@ -27,6 +27,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.ERROR)
+    // same treatment for the streaming runtime (ResolveWriteToStream's
+    // AQE notice, MicroBatchExecution teardown): two residual WARN
+    // lines landed ahead of the JSON line in the r10 tail and could
+    // push it out of the harness's ~2KB window
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warm-up: JIT/janino-compile the common codegen paths
     // (scan, hash agg, window, broadcast join) so per-query timings
     // measure plan execution, not first-use compiler latency
@@ -39,6 +46,12 @@ object Bench {
           .partitionBy(col("l_returnflag")).orderBy(col("l_orderkey")))).count()
       li.join(broadcast(li.select(col("l_orderkey").as("k")).limit(10)),
         col("l_orderkey") === col("k")).count()
+      // warm the documents fixture's page cache too: the FIRST timed
+      // work below is the shared shingle build over documents, and
+      // without this read its first sample pays the cold-file cost the
+      // second (post-two-sweeps) sample never sees — min-of-two would
+      // then systematically select the warm-path time
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.catalog.clearCache()
     }
     // shared pipeline materializations are timed as their own entry so
@@ -81,9 +94,18 @@ object Bench {
         spark.catalog.clearCache()
         name -> (ok, (System.nanoTime() - t0) / 1e9)
       }
+    // third-sweep set beyond q_stream*: the queries whose r10 driver
+    // min still ran 1.6-7x the quiet host — contention windows can
+    // outlast one full sweep, and these (mostly derived-layout or
+    // multi-stage) entries showed BOTH spaced samples inflated; a
+    // third sample spaced another sweep apart shrinks the odds a
+    // window covers all of them
+    val highVariance = Set("q_dpp_join", "q_dedup_clusters",
+      "q_embed_neardup", "q_dcor_pval", "q_cv_rf", "q_cube")
     val sweepA = sweep(sorted)
     val sweepB = sweep(sorted)
-    val sweepC = sweep(sorted.filter(_._1.startsWith("q_stream"))).toMap
+    val sweepC = sweep(sorted.filter(q =>
+      q._1.startsWith("q_stream") || highVariance(q._1))).toMap
     // second timed shared build under a probe memo tag, spaced two
     // full sweeps from the first: _shared_pairs was the one remaining
     // single-sample timing, fully exposed to a load window at run
@@ -96,9 +118,20 @@ object Bench {
       catch { case _: Throwable => false }
     val shared2Sec = (System.nanoTime() - tShared2) / 1e9
     spark.catalog.clearCache()
-    val sharedEntry =
-      (sharedOk && shared2Ok, math.min(sharedSec, shared2Sec))
-    val results = ("_shared_pairs" -> sharedEntry) +:
+    // the entry's ok flag is the FIRST build's alone — that is the
+    // table every consumer query actually read; a probe-only failure
+    // is reported as its own entry instead of poisoning this one.
+    // Remaining known bias: the probe runs after two full sweeps, so
+    // with the warm-up documents read above both samples see a warm
+    // page cache, but the probe still has warmer JIT — the min leans
+    // warm-path by construction, which matches the per-query mins
+    // (both post-warm-up) closely enough for round-over-round reads
+    val sharedEntry = (sharedOk,
+      if (shared2Ok) math.min(sharedSec, shared2Sec) else sharedSec)
+    val probeEntry =
+      if (shared2Ok) Seq.empty
+      else Seq("_shared_pairs_probe" -> (false, shared2Sec))
+    val results = ("_shared_pairs" -> sharedEntry) +: probeEntry ++:
       sweepA.zip(sweepB).map { case ((name, (okA, tA)), (_, (okB, tB))) =>
         val samples = Seq((okA, tA), (okB, tB)) ++ sweepC.get(name)
         name -> (samples.forall(_._1), samples.map(_._2).min)
