@@ -1195,46 +1195,53 @@ object CorePack extends QueryPack {
     * the shingle/minhash/simhash battery lacks: typo-class near-dups
     * that share no 3-gram signature bucket). A deterministic "dirty"
     * twin of every part name (one character deleted at a key-derived
-    * position ≥ 2) is matched back against the clean vocabulary:
-    * candidates are generated by BLOCKING on (first char, length) as
-    * a full EQUI-key — the ±1 length band is realized by replicating
-    * the clean side to its three neighbor length buckets (constant
-    * 3×, the `bandPairs` bin trick), so block populations shrink by
-    * the length-histogram factor and no band predicate rides the
-    * hash join as a residual. The distance is the THRESHOLDED
-    * `levenshtein(d, c, 2)` (early-exit DP, -1 beyond the cap), and
-    * the probe side is `Tables.spread` so the string kernel runs at
-    * full parallelism, not at the single-file scan's width. Reduced
-    * to each dirty row's best match (min distance, then min clean
-    * key). At 100 TB the block key widens to (prefix-4, length) with
-    * a hot-block cap, the same guard shape as the shingle df floor.
-    * Emitted as the per-distance match census with the self-recovery
-    * count — all BIGINT-exact. */
+    * position ≥ 2) is matched back against the clean vocabulary.
+    *
+    * Scale shape — two composed guards, both measured by the 10x
+    * probe: (1) DEDUP TO THE DISTINCT STRING DOMAIN first. The match
+    * is a pure function of the two strings, so candidates are
+    * generated over distinct names only and broadcast back — with
+    * value multiplicity m the pairwise form does m² the work per name
+    * pair (the probe measured 46-52x wall at 10x data on the 64-name
+    * fixture vocabulary, where ~9.5M of the 400M raw pairs are TRUE
+    * matches; the distinct domain is ≤ ~640 x 64 at ANY corpus size).
+    * Same agg-then-join-back shape as the TF-IDF df guard. (2) The
+    * distinct-domain join itself is
+    * [[graft.operators.FuzzyJoin.editDistanceJoin]] — pigeonhole
+    * SEGMENT blocking (PASS-JOIN) + thresholded `levenshtein(_,_,2)`
+    * verify — so when the distinct domain IS corpus-sized (unique
+    * strings, the other regime), candidates still track near-dup
+    * density instead of corpus². Best match per dirty row = min
+    * (dist, clean key), realized arithmetically: min clean key per
+    * name, then a lexicographic struct-min per dirty name — identical
+    * to the old per-row window (FuzzyJoinSpec pins the equivalence on
+    * multiplicity+tie data). Emitted as the per-distance match census
+    * with the self-recovery count — all BIGINT-exact. */
   def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
     // delete the character at 1-indexed position pos ∈ [2, len-1]
-    // (key-derived, first char always preserved for the block key)
+    // (key-derived; never the first or last char)
     val dirty = Tables.spread(s, p).select(
       col("p_partkey").as("dk"),
       concat(
         expr("substring(p_name, 1, pmod(p_partkey, length(p_name) - 2) + 1)"),
         expr("substring(p_name, pmod(p_partkey, length(p_name) - 2) + 3, 1000)"))
         .as("dname"))
-    // each clean name serves length buckets {len-1, len, len+1}: a
-    // candidate with |len(d)-len(c)| <= 1 matches exactly one bucket
     val clean = p.select(col("p_partkey").as("ck"), col("p_name").as("cname"))
-      .withColumn("lb", explode(array(
-        length(col("cname")) - 1, length(col("cname")),
-        length(col("cname")) + 1)))
-    val cand = dirty.join(clean,
-      substring(col("dname"), 1, 1) === substring(col("cname"), 1, 1) &&
-        length(col("dname")) === col("lb"))
-      .withColumn("dist", levenshtein(col("dname"), col("cname"), 2))
-      .filter(col("dist") >= 0 && col("dist") <= 2)
-    val w = Window.partitionBy(col("dk"))
-      .orderBy(col("dist"), col("ck"))
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val matches = graft.operators.FuzzyJoin.editDistanceJoin(
+      dirty.select(col("dname")).distinct(),
+      "dname",
+      clean.select(col("cname")).distinct(),
+      "cname", tau = 2)
+    // the window's (dist, ck) minimum, arithmetically: per clean name
+    // the min part key, then per dirty name the lexicographic min of
+    // (dist, that key) across matched clean names
+    val minck = clean.groupBy(col("cname")).agg(min(col("ck")).as("minck"))
+    val best = matches.join(minck, Seq("cname"))
+      .groupBy(col("dname"))
+      .agg(min(struct(col("dist"), col("minck"))).as("b"))
+      .select(col("dname"), col("b.dist").as("dist"), col("b.minck").as("ck"))
+    dirty.join(broadcast(best), Seq("dname"))
       .groupBy(col("dist").cast("long").as("dist"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("ck") === col("dk"), 1L).otherwise(0L)).as("n_self"))
@@ -1320,8 +1327,7 @@ object CorePack extends QueryPack {
         |clean AS (SELECT p_partkey AS ck, p_name AS cname FROM p),
         |cand AS (SELECT dk, ck, levenshtein(dname, cname) AS dist
         |  FROM dirty JOIN clean
-        |    ON substring(dname, 1, 1) = substring(cname, 1, 1)
-        |   AND abs(length(dname) - length(cname)) <= 1
+        |    ON abs(length(dname) - length(cname)) <= 2
         |  WHERE levenshtein(dname, cname) <= 2),
         |best AS (SELECT dk, ck, dist,
         |    row_number() OVER (PARTITION BY dk ORDER BY dist, ck) AS rn

@@ -1,0 +1,159 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Tables, TempDirs}
+
+/** 10x scale probe (empirical backing for SCALE.md): blow the heavy
+  * fixtures up `factor`x with key-shifted, content-salted copies, then
+  * measure the heaviest pipelines at 1x and `factor`x and print one
+  * JSON line of per-query wall times + growth ratios.
+  *
+  * Blow-up design keeps the DATA-dependent workload linear in corpus
+  * size, so any super-linear wall-time growth indicts the ENGINE plan,
+  * not the synthetic data:
+  *  - fact keys (l_orderkey/o_orderkey, doc_id, vec_id, event_id,
+  *    user_id) shift by a power of 10 above the key domain per copy —
+  *    copies never collide, co-shifted orders/lineitem still join;
+  *  - document text is word-salted per copy (every word gets a
+  *    per-copy suffix), so shingles/vocab/near-dup pairs scale
+  *    linearly: cross-copy Jaccard is exactly 0 while intra-copy dup
+  *    structure is preserved verbatim;
+  *  - part names get per-copy suffixes with pairwise Levenshtein
+  *    distance 4 (>2+2), so the fuzzy join's clean/dirty matches stay
+  *    within a copy and candidate counts scale linearly;
+  *  - dates/timestamps are NOT shifted: each era/day grows `factor`x —
+  *    deliberately, because per-era task size is exactly the scale
+  *    hazard the window queries are probed for;
+  *  - dimension tables (customer/supplier/region/nation) stay 1x, as
+  *    facts outgrow dims in real warehouses.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.tools.ScaleProbe" — takes several minutes.
+  */
+object ScaleProbe {
+
+  private def pow10Above(x: Long): Long = {
+    var p = 1L
+    while (p <= x) p *= 10
+    p
+  }
+
+  /** Per-copy salt with pairwise Levenshtein distance 4 between any
+    * two copies (and >=5 vs the unsalted copy 0). */
+  private def salt(i: Int): String = "~" + ("" + ('a' + i - 1).toChar) * 4
+
+  def buildBlowup(s: SparkSession, base: String, out: String, factor: Int): Unit = {
+    def copies(df: DataFrame)(tx: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => tx(df, i)).reduce(_ unionAll _)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    val orders = Tables.orders(s, base)
+    val oStride = pow10Above(orders.agg(max("o_orderkey")).head.getLong(0))
+    write(copies(orders)((df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))), "orders")
+    write(copies(Tables.lineitem(s, base))((df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))), "lineitem")
+
+    val docs = Tables.documents(s, base)
+    val dStride = pow10Above(docs.agg(max("doc_id")).head.getLong(0))
+    write(copies(docs) { (df, i) =>
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * dStride))
+      if (i == 0) shifted
+      else shifted
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), w => concat(w, lit(salt(i))))))
+        .withColumn("n_chars", length(col("text")))
+    }, "documents")
+
+    val part = Tables.part(s, base)
+    val pStride = pow10Above(part.agg(max("p_partkey")).head.getLong(0))
+    write(copies(part) { (df, i) =>
+      val shifted = df.withColumn("p_partkey", col("p_partkey") + lit(i * pStride))
+      if (i == 0) shifted
+      else shifted.withColumn("p_name", concat(col("p_name"), lit(salt(i))))
+    }, "part")
+
+    val events = Tables.table(s, base, "events")
+    val eStride = pow10Above(events.agg(max("event_id")).head.getLong(0))
+    val uStride = pow10Above(events.agg(max("user_id")).head.getLong(0))
+    write(copies(events)((df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * eStride))
+      .withColumn("user_id", col("user_id") + lit(i * uStride))), "events")
+
+    val emb = Tables.embeddings(s, base)
+    val vStride = pow10Above(emb.agg(max("vec_id")).head.getLong(0))
+    write(copies(emb)((df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * vStride))), "embeddings")
+
+    Seq("customer", "supplier", "region", "nation")
+      .foreach(t => write(Tables.table(s, base, t), t))
+  }
+
+  /** The probe battery: the heaviest pipelines by r10 driver ranking
+    * plus the window-heavy scale hazards (one-pass AND two-pass era
+    * rank, to compare their growth side by side) and top TPC-H shapes. */
+  val probes: Seq[String] = Seq(
+    "q_dedup_clusters", "q_fuzzy_join", "q_permute_era", "q_minhash_lsh",
+    "q_ngram_jaccard", "q_tfidf_top", "q_window_rank_era",
+    "q_spearman_by_era", "q_spearman_two_pass",
+    "q1_pricing_summary", "q18_big_orders", "q3_shipping_priority")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val big = TempDirs.create("graft_scale_").toAbsolutePath.toString
+    val tGen0 = System.nanoTime()
+    buildBlowup(spark, base, big, factor)
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // min of two runs per (query, dir); per-run clearCache like Bench
+    def best(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val t = timed(SparkEntry.queries(name)(spark, dir).count())
+        spark.catalog.clearCache()
+        t
+      }.min
+
+    // shared shingle pipeline: memoized per (dir, tag), so force a
+    // fresh build per timed run via distinct probe tags
+    def sharedBest(dir: String): Double =
+      Seq("_sp1", "_sp2").map { tag =>
+        val t = timed(graft.queries.TextPack.prepareShared(spark, dir, tag))
+        spark.catalog.clearCache()
+        t
+      }.min
+
+    val shared1 = sharedBest(base)
+    val sharedN = sharedBest(big)
+    val rows = ("_shared_pairs", shared1, sharedN) +: probes.map { name =>
+      val t1 = best(name, base)
+      val tN = best(name, big)
+      (name, t1, tN)
+    }
+    val qjson = rows.map { case (n, t1, tN) =>
+      s""""$n":{"t1":${fmt(t1)},"t$factor":${fmt(tN)},"ratio":${fmt(tN / t1)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","gen_sec":${fmt(genSec)},"queries":$qjson}""")
+    spark.stop()
+  }
+}

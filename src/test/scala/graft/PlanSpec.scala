@@ -291,9 +291,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("fuzzy join hash-joins on the block key; levenshtein is a residual filter") {
-    // the blocked candidate join must extract the substring equality
-    // as the hash key (BNLJ/cartesian here would be all-pairs edit
-    // distance — quadratic in the vocabulary at scale)
+    // the PASS-JOIN candidate join must extract the (segment index,
+    // length, segment content) equality as the hash key (BNLJ/cartesian
+    // here would be all-pairs edit distance — quadratic in the
+    // vocabulary at scale)
     val p = plan("q_fuzzy_join")
     assert(p.contains("HashJoin"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
