@@ -68,14 +68,26 @@ object EraRank {
     val keep = df.columns.map(col)
     val base = df.withColumn("graft_e", era)
     val pcts = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
-    val edges = base.groupBy(col("graft_e")).agg(
-      percentile_approx(pred, pcts, lit(100)).as("graft_edges"),
-      count(lit(1)).as("graft_n"))
-    val bucketed = base.join(broadcast(edges), Seq("graft_e"))
-      // coalesce: null pred rows (filter lambda yields null) and
-      // all-null eras (sketch yields a null edge array) both co-bucket
-      // at 0, where NULLS FIRST ordering already places them — without
-      // it a null bucket key would silently drop rows at the join
+    // the sketch pass runs on a ~10% value-hash sample: ONLY the
+    // monotonicity of the edges is used (exactness comes from the
+    // offset/rank phase), so ANY edge set — even from a biased sample —
+    // yields exactly correct ranks; sampling just trades bucket-size
+    // balance for a 10x cheaper sketch pass (at 100 TB, sketching a
+    // sample vs the corpus). Hashing the VALUE keeps the sample
+    // deterministic under any partitioning; an era missed entirely by
+    // the sample degrades to one bucket (the null-edges path below),
+    // never to a wrong answer
+    val sampled = base.filter(pmod(xxhash64(pred), lit(10)) === 0)
+    val edges = sampled.groupBy(col("graft_e")).agg(
+      percentile_approx(pred, pcts, lit(100)).as("graft_edges"))
+    // LEFT join: an era the sample missed has no edges row and must
+    // keep its rows (single-bucket era), not lose them
+    val bucketed = base.join(broadcast(edges), Seq("graft_e"), "left")
+      // coalesce: null pred rows (filter lambda yields null), all-null
+      // eras (sketch yields a null edge array), and sample-missed eras
+      // (no edges row at all) all co-bucket at 0, where NULLS FIRST
+      // ordering already places the null preds — without it a null
+      // bucket key would silently drop rows at the offset join
       .withColumn("graft_bkt",
         coalesce(size(filter(col("graft_edges"), ed => ed < pred)), lit(0)))
       .drop("graft_edges")
@@ -90,13 +102,18 @@ object EraRank {
       // query. Recomputation on cache loss is CORRECT (bucketing is a
       // pure function of values, never of physical layout).
       .persist()
+    // the tiny (#eras x buckets) relation carries the exclusive offset
+    // AND the exact per-era total (summed from the exact bucket counts
+    // — the sketch pass never needs to count)
     val offs = bucketed.groupBy(col("graft_e"), col("graft_bkt"))
       .agg(count(lit(1)).as("graft_nb"))
       .withColumn("graft_off", coalesce(
         sum(col("graft_nb")).over(Window.partitionBy(col("graft_e"))
           .orderBy(col("graft_bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("graft_e"), col("graft_bkt"), col("graft_off"))
+      .withColumn("graft_n",
+        sum(col("graft_nb")).over(Window.partitionBy(col("graft_e"))))
+      .select(col("graft_e"), col("graft_bkt"), col("graft_off"), col("graft_n"))
     bucketed.join(broadcast(offs), Seq("graft_e", "graft_bkt"))
       .withColumn(out,
         (col("graft_off") + row_number().over(
