@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -42,6 +42,35 @@ object TextPack extends QueryPack {
       round(aggregate(transform(w, x => length(x).cast("long")), lit(0L),
         (acc, x) => acc + x).cast("double") / size(w), 4).as("avg_word_len"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Blocklist term scrub — the redaction/scrub pass a training
+    * pipeline runs before tokenization (PII terms, banned vocabulary,
+    * internal identifiers): every blocklisted TOKEN is replaced by a
+    * mask, and the audit reports per source how many documents were
+    * touched, how many tokens were masked, and the exact char delta —
+    * the numbers a compliance review asks for. Scan-local (one
+    * codegen'd higher-order transform per row, no shuffle beyond the
+    * final tiny audit agg), so it costs one pass at any corpus size.
+    * Token-exact matching (whole-word on the space-tokenized text),
+    * not substring: masking "key" must not mangle "keyboard". */
+  def qBlocklistScrub(s: SparkSession, d: String): DataFrame = {
+    val block = Seq("customer", "key")
+    val w = TextOps.words(col("text"))
+    val isBlocked = (x: Column) => block.map(x === _).reduce(_ || _)
+    val masked = concat_ws(" ",
+      transform(w, x => when(isBlocked(x), lit("[MASK]")).otherwise(x)))
+    docsSpread(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(filter(w, isBlocked)).cast("long").as("n_masked"),
+        masked.as("scrubbed"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_masked") > 0, 1L).otherwise(0L)).as("n_touched"),
+        sum(col("n_masked")).as("n_tokens_masked"),
+        sum(length(col("scrubbed")) - length(col("text"))).cast("long")
+          .as("char_delta"))
+      .orderBy(col("source"))
   }
 
   /** Document frequency above which a shingle is treated as
@@ -1234,6 +1263,7 @@ object TextPack extends QueryPack {
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
     "q_langid"        -> qLangid,
+    "q_blocklist_scrub" -> qBlocklistScrub,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1762,5 +1792,18 @@ object TextPack extends QueryPack {
         |    ELSE 'zh' END AS lang_pred FROM s)
         |SELECT lang, lang_pred, count(*) AS n FROM p
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_blocklist_scrub" ->
+      """WITH t AS (SELECT source, text,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('customer', 'key'))) AS n_masked,
+        |    array_to_string(list_transform(string_split(text, ' '),
+        |        x -> CASE WHEN x IN ('customer', 'key')
+        |             THEN '[MASK]' ELSE x END), ' ') AS scrubbed
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_masked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+        |  CAST(sum(n_masked) AS BIGINT) AS n_tokens_masked,
+        |  CAST(sum(length(scrubbed) - length(text)) AS BIGINT) AS char_delta
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
