@@ -85,10 +85,20 @@ object Bench {
     // single scheduler hiccup in the min ~1 run in 3 (r8/r9 detail:
     // same stream query 0.85 s and 4.1 s across quiet-host runs)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // consume through the noop sink, NOT .count(): counting a
+    // cardinality-invariant plan lets Catalyst prune whole
+    // window/global-aggregate pipelines (the round-11 scale probe
+    // caught q_spearman_by_era "costing" 0.2 s under count() at 100x
+    // vs ~22 s actually executed — count() was timing the scan alone
+    // for any query whose tail operators don't change row count). The
+    // noop DSv2 sink executes the full plan and discards rows, the
+    // same work Verify's parquet write does minus the IO.
     def sweep(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+        } catch { case _: Throwable => false }
         // drop per-query persisted frames so cache pressure from one
         // query never skews the next one's timing
         spark.catalog.clearCache()

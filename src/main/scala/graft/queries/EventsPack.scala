@@ -425,13 +425,23 @@ object EventsPack extends QueryPack {
     val grid = obs.groupBy(col("user_id"))
       .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
       .select(col("user_id"), explode(sequence(col("t0"), col("t1"))).as("t"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
-    val wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // BOTH fills are running (unboundedPreceding..currentRow) frames —
+    // the forward fill runs over t DESC rather than as a
+    // (currentRow..unboundedFollowing) frame, because Spark evaluates
+    // unbounded-FOLLOWING aggregate frames by rescanning to the
+    // partition end for every row: O(n²) per series (measured 34.9 s
+    // on the 1M-point grid under the honest noop-sink bench — the
+    // count()-consuming bench had pruned the windows entirely and
+    // hidden it); running frames update incrementally, O(n), 35x
+    // faster here and series-length-safe at scale
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = grid.join(obs, Seq("user_id", "t"), "left_outer")
       .withColumn("p", last(when(col("v").isNotNull,
         struct(col("t").as("pt"), col("v").as("pv"))), ignoreNulls = true).over(wb))
-      .withColumn("nx", first(when(col("v").isNotNull,
+      .withColumn("nx", last(when(col("v").isNotNull,
         struct(col("t").as("nt"), col("v").as("nv"))), ignoreNulls = true).over(wf))
       .withColumn("filled",
         when(col("v").isNotNull, col("v"))
