@@ -91,17 +91,20 @@ object EraRank {
       .withColumn("graft_bkt",
         coalesce(size(filter(col("graft_edges"), ed => ed < pred)), lit(0)))
       .drop("graft_edges")
-      // persisted because BOTH the offset aggregate and the final join
-      // consume it: without this the diamond inlines to 8 parquet scans
-      // (Catalyst expands the DAG to a tree and exchange reuse does not
-      // fire across the broadcast boundary); with it the data is read
-      // exactly twice — the literal two passes. MEMORY_AND_DISK
-      // (persist default) spills rather than OOMs at scale; callers
-      // holding a long-lived session can unpersist via the returned
-      // plan's cache entry, and the bench/verify harness clears per
-      // query. Recomputation on cache loss is CORRECT (bucketing is a
-      // pure function of values, never of physical layout).
-      .persist()
+    // deliberately NOT persisted: both the offset aggregate and the
+    // final join consume `bucketed`, so Catalyst re-expands the
+    // diamond into repeated scans — but those are columnar,
+    // column-pruned, embarrassingly parallel reads, LINEAR in the
+    // data. The 100x probe measured persist-vs-rescan as a wash in
+    // wall time (28.0 s vs 29.9 s at 100x — by then the cached
+    // relation outgrows storage memory and spills), and the rescan
+    // form holds ZERO storage memory, so it composes with whatever
+    // else a real pipeline has cached. (Recomputation is CORRECT
+    // regardless: bucketing is a pure function of values, never of
+    // physical layout.) Cost profile vs the one-pass window: ~2x at
+    // every size where one era still fits one task — the two-pass
+    // form is the ceiling-remover you switch to when it does not,
+    // not a free speedup.
     // the tiny (#eras x buckets) relation carries the exclusive offset
     // AND the exact per-era total (summed from the exact bucket counts
     // — the sketch pass never needs to count)

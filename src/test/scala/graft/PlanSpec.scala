@@ -301,6 +301,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("gap-fill windows are running frames only — no unbounded-following") {
+    // Spark evaluates (currentRow, unboundedFollowing) aggregate
+    // frames by rescanning to the partition end for every row —
+    // O(n²) per series (measured 34.9 s vs 3.0 s on the sf0.1 grid).
+    // Both fills must be incremental running frames: the forward fill
+    // runs over t DESC, never as a following frame.
+    val p = plan("q_gapfill")
+    assert(!p.contains("unboundedfollowing"), p.take(2000))
+    assert(p.contains("unboundedpreceding"), p.take(2000))
+  }
+
   test("merge applies with joins on the key only — no cartesian, no nested loop") {
     // the CDC apply is one anti join (deletes) + one outer join
     // (upserts), both keyed on o_orderkey; any nested-loop shape here
