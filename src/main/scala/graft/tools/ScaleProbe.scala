@@ -94,12 +94,18 @@ object ScaleProbe {
 
   /** The probe battery: the heaviest pipelines by r10 driver ranking
     * plus the window-heavy scale hazards (one-pass AND two-pass era
-    * rank, to compare their growth side by side) and top TPC-H shapes. */
+    * rank, to compare their growth side by side), top TPC-H shapes,
+    * and — since the honest-sink switch exposed their true cost — the
+    * window/stats family (gap-fill running frames, quantile-norm
+    * two-phase rank, winsorize, single-pass ANALYZE, per-key z-score,
+    * sliding windows). */
   val probes: Seq[String] = Seq(
     "q_dedup_clusters", "q_fuzzy_join", "q_permute_era", "q_minhash_lsh",
     "q_ngram_jaccard", "q_tfidf_top", "q_window_rank_era",
     "q_spearman_by_era", "q_spearman_two_pass",
-    "q1_pricing_summary", "q18_big_orders", "q3_shipping_priority")
+    "q1_pricing_summary", "q18_big_orders", "q3_shipping_priority",
+    "q_gapfill", "q_quantile_norm", "q_winsorize", "q_analyze_stats",
+    "q_zscore_events", "q_sliding_window", "q_dedup_exact")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
