@@ -64,8 +64,30 @@ object EraRank {
     */
   def withPctRankFirstTwoPass(df: DataFrame, out: String, buckets: Int,
                               era: Column, pred: Column, tie: Column*): DataFrame = {
-    require(buckets >= 2, s"need >=2 buckets, got $buckets")
     val keep = df.columns.map(col)
+    twoPassRank(df, buckets, era, pred, tie)
+      .withColumn(out, col("graft_rn").cast("double") / col("graft_n"))
+      .select((keep :+ col(out)): _*)
+  }
+
+  /** The integer core of [[withPctRankFirstTwoPass]]: global per-era
+    * ROW NUMBER over (pred, tie…), computed without any
+    * one-task-per-era window. Exposed for consumers that JOIN on the
+    * rank — the positional-join permutation primitive
+    * ([[Folds.permuteWithinEraTwoPass]]), where the rank is the join
+    * key rather than a quantile. `pred` (the primary order column)
+    * must be sketchable (numeric): it feeds `percentile_approx`. */
+  def withRowNumberTwoPass(df: DataFrame, out: String, buckets: Int,
+                           era: Column, pred: Column, tie: Column*): DataFrame = {
+    val keep = df.columns.map(col)
+    twoPassRank(df, buckets, era, pred, tie)
+      .withColumn(out, col("graft_rn"))
+      .select((keep :+ col(out)): _*)
+  }
+
+  private def twoPassRank(df: DataFrame, buckets: Int, era: Column,
+                          pred: Column, tie: Seq[Column]): DataFrame = {
+    require(buckets >= 2, s"need >=2 buckets, got $buckets")
     val base = df.withColumn("graft_e", era)
     val pcts = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
     // the sketch pass runs on a ~10% value-hash sample: ONLY the
@@ -118,12 +140,10 @@ object EraRank {
         sum(col("graft_nb")).over(Window.partitionBy(col("graft_e"))))
       .select(col("graft_e"), col("graft_bkt"), col("graft_off"), col("graft_n"))
     bucketed.join(broadcast(offs), Seq("graft_e", "graft_bkt"))
-      .withColumn(out,
-        (col("graft_off") + row_number().over(
+      .withColumn("graft_rn",
+        col("graft_off") + row_number().over(
           Window.partitionBy(col("graft_e"), col("graft_bkt"))
             .orderBy((pred +: tie).map(_.asc): _*)))
-          .cast("double") / col("graft_n"))
-      .select((keep :+ col(out)): _*)
   }
 
   /** M2 `spearman_rank` (`metrics.py:5-22`): per-era pct-rank the

@@ -109,6 +109,41 @@ object Folds {
       .drop("graft_rn", "graft_rn_b", "graft_era_b")
   }
 
+  /** TWO-PASS form of [[permuteWithinEra]] — the 100x-scale path the
+    * probe motivated: one-pass `q_permute_era` measured 23x wall for
+    * 100x data because BOTH its ranking windows partition by era
+    * alone (one task per era, the W1 hazard again). Here each
+    * ordering's per-era row number comes from
+    * [[EraRank.withRowNumberTwoPass]] (sketch-bucketed offsets +
+    * (era, bucket) windows — no window partition ever spans an era),
+    * and the positional join keys on (era, rn), which is unique per
+    * era — no skew. Requires numeric id-head and orderKey columns
+    * (they feed the bucket sketch). Row-identical to the one-pass
+    * form (FoldsSpec pins it): the ranks themselves are bit-equal.
+    */
+  def permuteWithinEraTwoPass(df: DataFrame, valueCol: String, eraCol: String,
+                              idCols: Seq[String], orderKey: Column,
+                              buckets: Int = 32): DataFrame = {
+    val ids = idCols.map(col)
+    val keep = df.columns.filterNot(_ == valueCol).map(col)
+    // cost profile: two independent orderings = two full two-pass rank
+    // pipelines + the positional join — ~8x the one-pass form at sizes
+    // where an era fits one task (measured at sf0.1; a source persist
+    // does not help — exchanges dominate, not scans). Like the rank
+    // form, this is the CEILING REMOVER for eras that outgrow a task,
+    // not the default.
+    val a = EraRank.withRowNumberTwoPass(df, "graft_rn", buckets,
+        col(eraCol), ids.head, ids.tail: _*)
+      .select((keep :+ col("graft_rn")): _*)
+    val b = EraRank.withRowNumberTwoPass(df, "graft_rn", buckets,
+        col(eraCol), orderKey, ids: _*)
+      .select(col(eraCol).as("graft_era_b"), col("graft_rn").as("graft_rn_b"),
+        col(valueCol))
+    a.join(b, a(eraCol) === col("graft_era_b") &&
+        col("graft_rn") === col("graft_rn_b"))
+      .drop("graft_rn", "graft_rn_b", "graft_era_b")
+  }
+
   def permuteWithinEra(df: DataFrame, valueCol: String, eraCol: String,
                        idCols: Seq[String], orderKey: Column): DataFrame = {
     val ids = idCols.map(col)

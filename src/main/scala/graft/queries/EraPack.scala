@@ -73,11 +73,39 @@ object EraPack extends QueryPack {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
+  /** T5 on the TWO-PASS rank path: same permutation, but both
+    * orderings' per-era row numbers come from the sketch-bucketed
+    * two-pass ([[graft.operators.Folds.permuteWithinEraTwoPass]]) —
+    * no window partition spans an era. Ranks are bit-identical to the
+    * one-pass by construction (FoldsSpec pins FULL-table equality);
+    * the driver query scopes to the 1994 ship-year because the form
+    * costs ~8x the one-pass wherever an era fits one task (it runs
+    * two full rank pipelines — see the operator scaladoc), and the
+    * harness-scale default is and should be `q_permute_era`'s
+    * one-pass: this row oracle-checks the ceiling-remover MACHINERY,
+    * not a recommendation to pay its constant at small era sizes. */
+  def qPermuteEraTwoPass(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1994)
+      .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val hashKey =
+      (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)
+        + col("l_partkey") * lit(7919L) + col("l_suppkey") * lit(104729L)) % lit(999999937L)
+    Folds.permuteWithinEraTwoPass(base, "l_quantity", "era",
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), hashKey)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").as("q_perm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fold_assign" -> qFoldAssign,
     "q_fold_counts" -> qFoldCounts,
     "q_fold_random" -> qFoldRandom,
     "q_permute_era" -> qPermuteEra,
+    "q_permute_era_two_pass" -> qPermuteEraTwoPass,
   )
 
   val oracles: Map[String, String] = Map(
@@ -117,6 +145,28 @@ object EraPack extends QueryPack {
         |    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |    l_partkey, l_suppkey, l_quantity
         |  FROM lineitem),
+        |a AS (SELECT era, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    row_number() OVER (PARTITION BY era
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+        |  FROM base),
+        |b AS (SELECT era, l_quantity,
+        |    row_number() OVER (PARTITION BY era ORDER BY
+        |      (l_orderkey * 2654435761 + l_linenumber * 40503
+        |       + l_partkey * 7919 + l_suppkey * 104729) % 999999937,
+        |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+        |  FROM base)
+        |SELECT a.l_orderkey, a.l_linenumber, a.l_partkey, a.l_suppkey,
+        |  b.l_quantity AS q_perm
+        |FROM a JOIN b ON a.era = b.era AND a.rn = b.rn
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // two-pass rank path, same answer: equality with the one-window
+    // oracle IS the check
+    "q_permute_era_two_pass" ->
+      """WITH base AS (
+        |  SELECT year(l_shipdate)*12 + month(l_shipdate) AS era,
+        |    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem WHERE year(l_shipdate) = 1994),
         |a AS (SELECT era, l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |    row_number() OVER (PARTITION BY era
         |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn

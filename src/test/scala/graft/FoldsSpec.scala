@@ -55,6 +55,27 @@ class FoldsSpec extends AnyFunSuite {
     assert(run("a") != run("b"))
   }
 
+  test("permuteWithinEraTwoPass is row-identical to the one-pass form") {
+    // heavy order-key ties (hash mod 4) so tie-break correctness is
+    // exercised, plus the real-fixture shape at TestSpark.sf
+    val df = (1L to 400L).map(i => (i % 3, i, i.toDouble)).toDF("era", "id", "v")
+    val key = pmod(xxhash64(col("id"), lit(7)), lit(4))
+    val one = Folds.permuteWithinEra(df, "v", "era", Seq("id"), key)
+    val two = Folds.permuteWithinEraTwoPass(df, "v", "era", Seq("id"), key, buckets = 8)
+    assert(one.except(two).count() == 0 && two.except(one).count() == 0)
+    assert(two.count() == df.count())
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val hk = (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)
+      + col("l_partkey") * lit(7919L) + col("l_suppkey") * lit(104729L)) % lit(999999937L)
+    val ids = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val oneLi = Folds.permuteWithinEra(li, "l_quantity", "era", ids, hk)
+    val twoLi = Folds.permuteWithinEraTwoPass(li, "l_quantity", "era", ids, hk)
+    assert(oneLi.except(twoLi).count() == 0 && twoLi.except(oneLi).count() == 0)
+  }
+
   test("permuteWithinEra: per-era multiset preserved, rows stay in era") {
     val df = (1L to 30L).map(i => (i % 3, i, i.toDouble)).toDF("era", "id", "v")
     val perm = Folds.permuteWithinEra(df, "v", "era", Seq("id"),
