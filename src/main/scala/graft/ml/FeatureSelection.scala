@@ -49,7 +49,8 @@ object FeatureSelection {
     */
   def mda(df: DataFrame, eraCol: String, featCols: Seq[String],
           targetCol: String, idCols: Seq[String], k: Int, seed: Long,
-          fit: DataFrame => (DataFrame => DataFrame)): DataFrame = {
+          fit: DataFrame => (DataFrame => DataFrame),
+          permKeyFor: Option[Int => Column] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -65,9 +66,13 @@ object FeatureSelection {
       val test = withFold.filter(col("fold") === f).drop("fold").persist()
       val predict = fit(train)
       // one permutation join yields every feature's permuted copy;
-      // per-feature variants are then pure projections over it
+      // per-feature variants are then pure projections over it.
+      // permKeyFor lets the deterministic-fitter oracle twin swap the
+      // xxhash64 deal for an ANSI-SQL-expressible arithmetic hash.
+      val permKey = permKeyFor.map(_(f))
+        .getOrElse(xxhash64(idCols.map(col) :+ lit(seed + f): _*))
       val permuted = Folds.permuteManyWithinEra(test, featCols, eraCol, idCols,
-        xxhash64(idCols.map(col) :+ lit(seed + f): _*)).persist()
+        permKey).persist()
       val variants = ("__base__", test) +: featCols.map { ft =>
         ft -> permuted.select(test.columns.map(c =>
           if (c == ft) col(s"${ft}_perm").as(ft) else col(c)): _*)

@@ -78,7 +78,7 @@ object EraPack extends QueryPack {
     * two-pass ([[graft.operators.Folds.permuteWithinEraTwoPass]]) —
     * no window partition spans an era. Ranks are bit-identical to the
     * one-pass by construction (FoldsSpec pins FULL-table equality);
-    * the driver query scopes to the 1994 ship-year because the form
+    * the driver query scopes to the 1996 ship-year because the form
     * costs ~8x the one-pass wherever an era fits one task (it runs
     * two full rank pipelines — see the operator scaladoc), and the
     * harness-scale default is and should be `q_permute_era`'s
@@ -86,7 +86,7 @@ object EraPack extends QueryPack {
     * not a recommendation to pay its constant at small era sizes. */
   def qPermuteEraTwoPass(s: SparkSession, d: String): DataFrame = {
     val base = Tables.lineitem(s, d)
-      .filter(year(col("l_shipdate")) === 1994)
+      .filter(year(col("l_shipdate")) === 1996)
       .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_partkey"), col("l_suppkey"), col("l_quantity"))
@@ -166,7 +166,7 @@ object EraPack extends QueryPack {
         |  SELECT year(l_shipdate)*12 + month(l_shipdate) AS era,
         |    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |    l_partkey, l_suppkey, l_quantity
-        |  FROM lineitem WHERE year(l_shipdate) = 1994),
+        |  FROM lineitem WHERE year(l_shipdate) = 1996),
         |a AS (SELECT era, l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |    row_number() OVER (PARTITION BY era
         |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn

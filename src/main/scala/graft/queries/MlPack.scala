@@ -42,6 +42,22 @@ object MlPack extends QueryPack {
       fit = FeatureSelection.rfFitter(featCols, "target", numTrees = 10,
         maxDepth = 4, seed = 42))
 
+  /** M7's oracle-green twin (the `q_reduction_tune_ols` /
+    * `q_successive_halving` treatment): the FULL MDA dataflow —
+    * fold fit → baseline per-era spearman → batched T5 permute →
+    * re-score every variant → `(acc-shuff)/(1-shuff)` normalize →
+    * fold-average rank (`feature_selection_numerai.py:13-154`) —
+    * driven with the deterministic additive-OLS fitter and an
+    * arithmetic permutation deal, so every stage unrolls to ANSI SQL.
+    * `q_mda_rf` stays as the RF rows-only sibling. */
+  def qMdaOls(s: SparkSession, d: String): DataFrame =
+    FeatureSelection.mda(featureFrame(s, d), "era", featCols, "target",
+      Seq("vec_id"), k = 2, seed = 42,
+      fit = olsFitter(featCols, "target"),
+      permKeyFor = Some(f =>
+        (col("vec_id") * lit(2654435761L) + lit(42L + f) * lit(40503L))
+          % lit(999999937L)))
+
   /** M10 — TreeSHAP feature ranking (`feature_selection_numerai
     * .py:271-288`: `shap.TreeExplainer(model, data=train_x[:1000])`
     * then mean-|SHAP| per feature, descending). The RF fit is
@@ -581,6 +597,7 @@ object MlPack extends QueryPack {
     "q_param_sweep"      -> qParamSweep,
     "q_cv_rf"            -> qCvRf,
     "q_mda_rf"           -> qMdaRf,
+    "q_mda_ols"          -> qMdaOls,
     "q_shap_rf"          -> qShapRf,
     "q_shap_local_accuracy" -> qShapLocalAccuracy,
     "q_feature_clusters" -> qFeatureClusters,
@@ -654,6 +671,73 @@ object MlPack extends QueryPack {
     // additive univariate-OLS model (cov/var slope + means on the
     // train complement), within-era pct-rank method=first, Pearson of
     // rank vs target, fold-mean per k — generated per (k, fold)
+    // the FULL MDA loop with the deterministic OLS fitter, unrolled
+    // per fold: train-complement cov/var model → the two-row_number
+    // positional permutation join on the test fold (same arithmetic
+    // deal as the Spark side) → base + per-feature variant preds →
+    // within-era pct-rank (method=first) → pooled Pearson per variant
+    // → (base−shuff)/(1−shuff) normalize → fold average, rank desc
+    "q_mda_ols" -> {
+      val nf = 8
+      val featsSel = (0 until nf)
+        .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS e_$i").mkString(", ")
+      def mdl(f: Int): String = {
+        val aggs = (0 until nf).map(i =>
+          s"covar_samp(e_$i, target)/var_samp(e_$i) AS b_$i, avg(e_$i) AS mx_$i")
+          .mkString(", ")
+        s"mdl_$f AS (SELECT avg(target) AS my, $aggs FROM d WHERE fold <> $f)"
+      }
+      def perm(f: Int): String = {
+        val es = (0 until nf).map(i => s"e_$i").mkString(", ")
+        val ea = (0 until nf).map(i => s"a.e_$i").mkString(", ")
+        val pb = (0 until nf).map(i => s"b.e_$i AS p_$i").mkString(", ")
+        s"""ta_$f AS (SELECT era, vec_id, target, $es,
+           |  row_number() OVER (PARTITION BY era ORDER BY vec_id) AS rn
+           |  FROM d WHERE fold = $f),
+           |tb_$f AS (SELECT era, $es,
+           |  row_number() OVER (PARTITION BY era ORDER BY
+           |    (vec_id * 2654435761 + ${42 + f} * 40503) % 999999937, vec_id) AS rn
+           |  FROM d WHERE fold = $f),
+           |tp_$f AS (SELECT a.era, a.vec_id, a.target, $ea, $pb
+           |  FROM ta_$f a JOIN tb_$f b ON a.era = b.era AND a.rn = b.rn)""".stripMargin
+      }
+      // pred term order matches olsFitter's left-to-right fold from my
+      def predExpr(permIdx: Int): String =
+        "m.my + " + (0 until nf).map { i =>
+          val x = if (i == permIdx) s"p_$i" else s"e_$i"
+          s"($x - m.mx_$i) * COALESCE(m.b_$i, 0)"
+        }.mkString(" + ")
+      def pv(f: Int): String = {
+        val base = s"SELECT '__base__' AS feat, era, vec_id, target, " +
+          s"${predExpr(-1)} AS pred FROM tp_$f, mdl_$f m"
+        val vars = (0 until nf).map(j =>
+          s"SELECT 'e_$j', era, vec_id, target, ${predExpr(j)} FROM tp_$f, mdl_$f m")
+        s"pv_$f AS (${(base +: vars).mkString("\nUNION ALL\n")})"
+      }
+      def sp(f: Int): String =
+        s"""sp_$f AS (SELECT feat, corr(target, r) AS sp FROM (
+           |  SELECT feat, target,
+           |    CAST(row_number() OVER (PARTITION BY feat, era ORDER BY pred, vec_id) AS DOUBLE)
+           |      / count(*) OVER (PARTITION BY feat, era) AS r
+           |  FROM pv_$f)
+           |  GROUP BY feat)""".stripMargin
+      def imp(f: Int): String =
+        s"""imp_$f AS (SELECT v.feat AS feature,
+           |  CASE WHEN v.sp >= 1.0 THEN 0.0 ELSE (b.sp - v.sp)/(1.0 - v.sp) END AS imp
+           |  FROM sp_$f v, (SELECT sp FROM sp_$f WHERE feat = '__base__') b
+           |  WHERE v.feat <> '__base__')""".stripMargin
+      val ctes = (0 until 2).flatMap(f => Seq(mdl(f), perm(f), pv(f), sp(f), imp(f)))
+      s"""WITH e0 AS (SELECT vec_id, CAST(vec_id % 10 AS BIGINT) AS era,
+         |    CAST(label AS DOUBLE) AS target, $featsSel
+         |  FROM embeddings),
+         |folds AS (SELECT era, CAST((row_number() OVER (ORDER BY era) - 1) % 2 AS BIGINT) AS fold
+         |          FROM (SELECT DISTINCT era FROM e0)),
+         |d AS (SELECT e0.*, f.fold FROM e0 JOIN folds f USING (era)),
+         |${ctes.mkString(",\n")}
+         |SELECT feature, round(avg(imp), 6) AS importance
+         |FROM (SELECT * FROM imp_0 UNION ALL SELECT * FROM imp_1)
+         |GROUP BY feature ORDER BY importance DESC, feature""".stripMargin
+    },
     "q_reduction_tune_ols" -> {
       val ks = Seq(2, 4, 6)
       def mdl(k: Int, f: Int): String = {

@@ -81,7 +81,13 @@ def main():
                 print(f"{name:28s} VALUE-MISMATCH {bad}")
                 eq = False
                 break
-        if eq:
+        if eq and len(g) == 0:
+            # Vacuity guard (round-12): empty==empty hashes green but
+            # checks nothing — a query scoped to data that doesn't exist
+            # (the r11 ship-year-1994 bug) must FAIL here, not pass.
+            print(f"{name:28s} VACUOUS-EMPTY both engines returned 0 rows")
+            n_fail += 1
+        elif eq:
             print(f"{name:28s} PASS rows={len(g)}")
             n_pass += 1
         else:
