@@ -49,6 +49,15 @@ object ConnectedComponents {
         // 20+-round path must not pay quadratic plan analysis)
         val next0 = lab.select(col("v"), col("l")).union(viaNeighbor)
           .groupBy(col("v")).agg(min(col("l")).as("l"))
+        // KNOWN BOUNDED LEAK: when `next` is the every-8th-round
+        // localCheckpoint, the later lab.unpersist() is a
+        // CacheManager no-op (checkpoint blocks bypass it), so those
+        // blocks linger until RDD GC — ≤ maxIter/8 label-table copies,
+        // MEMORY_AND_DISK. Deliberately accepted: force-unpersisting a
+        // checkpointed RDD destroys its only copy (lineage is
+        // truncated — nothing can recompute it), so an eviction or
+        // late re-action on a derived frame would fail instead of
+        // recompute. Driver GC reclaims the handles between queries.
         val next =
           if (round % 8 == 7) next0.localCheckpoint() else next0.persist()
         val changed = next

@@ -126,19 +126,19 @@ object Folds {
                               buckets: Int = 32): DataFrame = {
     val ids = idCols.map(col)
     val keep = df.columns.filterNot(_ == valueCol).map(col)
-    // cost profile: two independent orderings = two full two-pass rank
-    // pipelines + the positional join — ~8x the one-pass form at sizes
-    // where an era fits one task (measured at sf0.1; a source persist
-    // does not help — exchanges dominate, not scans). Like the rank
-    // form, this is the CEILING REMOVER for eras that outgrow a task,
-    // not the default.
-    val a = EraRank.withRowNumberTwoPass(df, "graft_rn", buckets,
-        col(eraCol), ids.head, ids.tail: _*)
-      .select((keep :+ col("graft_rn")): _*)
-    val b = EraRank.withRowNumberTwoPass(df, "graft_rn", buckets,
-        col(eraCol), orderKey, ids: _*)
-      .select(col(eraCol).as("graft_era_b"), col("graft_rn").as("graft_rn_b"),
-        col(valueCol))
+    // SHARED-pass form (r12, VERDICT task 7): both orderings' ranks
+    // come from ONE fused sketch aggregate and ONE persisted bucketed
+    // base ([[EraRank.withRowNumberTwoPassPair]]) instead of two
+    // independent two-pass pipelines — the prior form re-derived the
+    // same base per ordering and measured ~8x the one-pass at sizes
+    // where an era fits one task. Each rank window still computes
+    // exactly once. Like the rank form, this is the CEILING REMOVER
+    // for eras that outgrow a task, not the small-era default.
+    val (ra, rb) = EraRank.withRowNumberTwoPassPair(df, "graft_rn", buckets,
+      col(eraCol), ids.head, ids.tail, orderKey, ids)
+    val a = ra.select((keep :+ col("graft_rn")): _*)
+    val b = rb.select(col(eraCol).as("graft_era_b"),
+      col("graft_rn").as("graft_rn_b"), col(valueCol))
     a.join(b, a(eraCol) === col("graft_era_b") &&
         col("graft_rn") === col("graft_rn_b"))
       .drop("graft_rn", "graft_rn_b", "graft_era_b")

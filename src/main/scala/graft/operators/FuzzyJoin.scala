@@ -30,7 +30,18 @@ object FuzzyJoin {
   /** Candidate pairs (probeCols* ++ buildCols*, dist) with
     * levenshtein(probeStr, buildStr) <= tau. `probe`/`build` must not
     * share column names. Exact: every pair within tau appears exactly
-    * once. */
+    * once — INCLUDING pairs with short or empty strings: a build
+    * string of length <= tau has <= tau non-empty segments, so tau
+    * edits can touch all of them and the pigeonhole guarantee is
+    * void (probe "xy" vs build "ab" at tau=2 shares no surviving
+    * segment). Builds of length <= 2*tau therefore route through a
+    * direct length-banded path instead (also a perf win: length-1
+    * segments of barely-longer strings are near-universal join keys).
+    * That path's block key is the exact string length, whose
+    * population among <=2*tau-char strings can grow with the corpus —
+    * but any workload dense in near-identical micro-strings has an
+    * output-bound-quadratic TRUE result, so no blocking scheme does
+    * asymptotically better there. */
   def editDistanceJoin(probe: DataFrame, probeStr: String,
                        build: DataFrame, buildStr: String,
                        tau: Int = 2): DataFrame = {
@@ -41,8 +52,10 @@ object FuzzyJoin {
     def segLen(j: Column, len: Column): Column =
       (floor(j * len / nseg) - floor((j - 1) * len / nseg)).cast("int")
 
-    // build side: one row per non-empty segment, keyed (j, L, seg)
+    // build side: one row per non-empty segment, keyed (j, L, seg);
+    // builds of length <= 2*tau take the short path below
     val bSegs = build
+      .filter(length(col(buildStr)) > 2 * tau)
       .withColumn("graft_L", length(col(buildStr)))
       .withColumn("graft_j", explode(array((1 to nseg).map(lit): _*)))
       .withColumn("graft_slen", segLen(col("graft_j"), col("graft_L")))
@@ -69,8 +82,24 @@ object FuzzyJoin {
         col("graft_a") + col("graft_slen") - 1 <= col("graft_Lp"))
       .withColumn("graft_seg", col(probeStr).substr(col("graft_a"), col("graft_slen")))
 
-    pKeys.join(bSegs, Seq("graft_j", "graft_L", "graft_seg"))
+    // short path: builds of length <= 2*tau equi-join on exact build
+    // length (probe explodes its tau-band of candidate lengths, so
+    // this stays a shuffle equi-join, never a cross join); disjoint
+    // from the segment path by the build-length split, so the union
+    // has no cross-path duplicates
+    val bShort = build
+      .filter(length(col(buildStr)) <= 2 * tau)
+      .withColumn("graft_sL", length(col(buildStr)))
+    val pShort = probe
+      .withColumn("graft_sL",
+        explode(array((-tau to tau).map(d => length(col(probeStr)) + d): _*)))
+      .filter(col("graft_sL") >= 0 && col("graft_sL") <= 2 * tau)
+
+    val segCand = pKeys.join(bSegs, Seq("graft_j", "graft_L", "graft_seg"))
       .select(probe.columns.map(col) ++ build.columns.map(col): _*)
+    val shortCand = pShort.join(bShort, Seq("graft_sL"))
+      .select(probe.columns.map(col) ++ build.columns.map(col): _*)
+    segCand.unionAll(shortCand)
       .distinct()
       .withColumn("dist", levenshtein(col(probeStr), col(buildStr), tau))
       .filter(col("dist") >= 0 && col("dist") <= tau)

@@ -26,13 +26,39 @@ object SimilarityPack extends QueryPack {
 
   private def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Scan-local 8-bit sign-LSH bucket of a double-array column — bit
+  /** Scale-relative sign-LSH width (the published SemDeDup contract
+    * that cluster count GROWS with the corpus so cells stay small and
+    * the within-cell pair scan stays Σ|cell|²-bounded — mirroring
+    * [[TextPack.maxShingleDfFor]]'s shape): the smallest b in [8, 20]
+    * with 10·2^b >= n, i.e. expected bucket occupancy stays ~10 as
+    * the corpus grows. Integer-exact (no float log2). At every
+    * fixture SF (n <= 2000 embeddings) this resolves to 8 — a
+    * provable no-op that keeps the static DuckDB oracles (which
+    * unroll 8 planes) valid; at the scale probe's 10x/100x blow-ups
+    * it widens to 11/15 bits, holding candidate pairs ~linear. */
+  def lshBitsFor(n: Long): Int = {
+    var b = 8
+    while (b < 20 && (10L << b) < n) b += 1
+    b
+  }
+
+  /** Per-dir embedding-count memo for the scale-relative LSH width
+    * (same same-JVM dir-immutability assumption as
+    * [[TextPack]]'s docCounts memo). */
+  private val embCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def bitsFor(s: SparkSession, d: String): Int =
+    lshBitsFor(embCounts.computeIfAbsent(d,
+      _ => Tables.embeddings(s, d).count()))
+
+  /** Scan-local sign-LSH bucket of a double-array column — bit
     * j is the sign of <v, w_j> for the deterministic integer
     * hyperplane w_j(pos) = ((pos*31 + j*17) mod 7) - 3 (the same
     * planes as `qEmbedNeardup` / `qAnnLshBuckets`, computed without
     * the posexplode fan-out). */
-  private def signBucket(v: Column): Column =
-    (0 until 8).map { j =>
+  private def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { j =>
       val dj = aggregate(
         zip_with(v, sequence(lit(1L), size(v).cast("long")),
           (x, p) => x * (pmod(p * 31 + lit(j * 17), lit(7)) - lit(3)).cast("double")),
@@ -66,7 +92,8 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Sign-LSH bucketing: 8 deterministic integer pseudo-hyperplanes
+  /** Sign-LSH bucketing: [[lshBitsFor]] (8 at fixture scale,
+    * corpus-relative above) deterministic integer pseudo-hyperplanes
     * w(j,pos) = ((pos*31 + j*17) mod 7) - 3; bucket = sign-bit vector.
     * Emits bucket occupancy (the partition histogram a planner would
     * use to size probes). */
@@ -75,7 +102,7 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
         col("x").cast("double").as("x"))
-    val js = s.range(0, 8).select(col("id").as("j"))
+    val js = s.range(0, bitsFor(s, d)).select(col("id").as("j"))
     val dots = e.crossJoin(broadcast(js))
       .groupBy(col("vec_id"), col("j"))
       .agg(sum(col("x") * (((col("pos") * 31 + col("j") * 17) % 7) - 3)).as("dj"))
@@ -97,7 +124,7 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
         col("x").cast("double").as("x"))
-    val js = s.range(0, 8).select(col("id").as("j"))
+    val js = s.range(0, bitsFor(s, d)).select(col("id").as("j"))
     val buckets = e.crossJoin(broadcast(js))
       .groupBy(col("vec_id"), col("j"))
       .agg(sum(col("x") * (((col("pos") * 31 + col("j") * 17) % 7) - 3)).as("dj"))
@@ -341,7 +368,8 @@ object SimilarityPack extends QueryPack {
 
   /** SemDeDup-style semantic dedup — cluster the embedding space
     * (nearest-centroid assignment, the k-means stand-in), refine each
-    * cluster with the 8-bit sign-LSH bucket (`q_embed_neardup`'s
+    * cluster with the scale-relative sign-LSH bucket
+    * ([[lshBitsFor]]: 8 bits at fixture scale — `q_embed_neardup`'s
     * hyperplanes), then drop any vector with a lower-id near-duplicate
     * (rounded cosine >= 0.25) inside its (cluster, bucket) cell. The
     * published SemDeDup contract is that k grows with the corpus so
@@ -373,7 +401,7 @@ object SimilarityPack extends QueryPack {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cl"), col("v"))).as("m"))
       .select(col("vec_id"), col("m.cl").as("cl"), col("m.v").as("v"))
-      .withColumn("bkt", signBucket(col("v")))
+      .withColumn("bkt", signBucket(col("v"), bitsFor(s, d)))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val x = asg.select(col("cl"), col("bkt"), col("vec_id").as("a"),
       col("v").as("va"), col("nrm").as("na"))

@@ -85,8 +85,32 @@ object ScaleProbe {
 
     val emb = Tables.embeddings(s, base)
     val vStride = pow10Above(emb.agg(max("vec_id")).head.getLong(0))
-    write(copies(emb)((df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * vStride))), "embeddings")
+    // per-copy deterministic ±1 sign flip per dimension (splitmix64 of
+    // the copy index; copy 0 unsalted): a per-dimension sign flip is
+    // an ISOMETRY for intra-copy dot products (near-dup structure and
+    // norms preserved verbatim), while the cross-copy cosine of two
+    // identical base vectors scrambles to ~N(0, 1/64) — so near-dup
+    // pairs, LSH bucket loads, and SemDeDup cells scale LINEARLY in
+    // the copy count, and super-linear probe growth indicts the PLAN.
+    // Without this, identical vectors across copies would make pair
+    // counts grow factor^2 by construction (the same trap the
+    // word-salted documents avoid).
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    write(copies(emb) { (df, i) =>
+      val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * vStride))
+      if (i == 0) shifted
+      else {
+        val m = mix(i.toLong)
+        val signs = (0 until 64).map(j => if (((m >>> j) & 1L) == 1L) -1.0f else 1.0f)
+        shifted.withColumn("embedding",
+          zip_with(col("embedding"), typedLit(signs), (x, sg) => x * sg))
+      }
+    }, "embeddings")
 
     Seq("customer", "supplier", "region", "nation")
       .foreach(t => write(Tables.table(s, base, t), t))
@@ -105,11 +129,20 @@ object ScaleProbe {
     "q_spearman_by_era", "q_spearman_two_pass",
     "q1_pricing_summary", "q18_big_orders", "q3_shipping_priority",
     "q_gapfill", "q_quantile_norm", "q_winsorize", "q_analyze_stats",
-    "q_zscore_events", "q_sliding_window", "q_dedup_exact")
+    "q_zscore_events", "q_sliding_window", "q_dedup_exact",
+    // r12: the embedding/similarity + dup-graph family (sign-salted
+    // embedding copies keep their workload linear-by-construction;
+    // the scale-relative LSH width — SimilarityPack.lshBitsFor — is
+    // what these entries test)
+    "q_semdedup", "q_embed_neardup", "q_containment", "q_pagerank3",
+    "q_dedup_apply")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
+    // comma-separated probe subset (e.g. for a targeted 100x rerun of
+    // one family); default = the full battery
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -154,13 +187,15 @@ object ScaleProbe {
         t
       }.min
 
-    val shared1 = sharedBest(base)
-    val sharedN = sharedBest(big)
-    val rows = ("_shared_pairs", shared1, sharedN) +: probes.map { name =>
-      val t1 = best(name, base)
-      val tN = best(name, big)
-      (name, t1, tN)
-    }
+    val sharedRows =
+      if (only.exists(!_.contains("_shared_pairs"))) Seq.empty
+      else Seq(("_shared_pairs", sharedBest(base), sharedBest(big)))
+    val rows = sharedRows ++
+      probes.filter(n => only.forall(_.contains(n))).map { name =>
+        val t1 = best(name, base)
+        val tN = best(name, big)
+        (name, t1, tN)
+      }
     val qjson = rows.map { case (n, t1, tN) =>
       s""""$n":{"t1":${fmt(t1)},"t$factor":${fmt(tN)},"ratio":${fmt(tN / t1)}}"""
     }.mkString("{", ",", "}")

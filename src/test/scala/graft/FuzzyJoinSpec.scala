@@ -87,6 +87,22 @@ class FuzzyJoinSpec extends AnyFunSuite {
       windowed.orderBy(col("dist")).collect().toSeq.map(_.toSeq))
   }
 
+  test("short and empty strings: matches brute-force (pigeonhole void below tau+1 chars)") {
+    // builds of length <= tau have <= tau non-empty segments, so tau
+    // edits can destroy all of them — these pairs must come from the
+    // length-banded short path: "xy"~"ab" (dist 2), ""~"a" (dist 1),
+    // ""~"" (dist 0), plus boundary lengths 3..5 against both regimes
+    val shorts = Seq("", "a", "b", "ab", "xy", "abc", "abcd", "abcde", "spark")
+    val probe = shorts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("pk", "pstr")
+    val build = shorts.zipWithIndex.map { case (s, i) => (100L + i, s) }
+      .toDF("bk", "bstr")
+    val got = FuzzyJoin.editDistanceJoin(probe, "pstr", build, "bstr", tau = 2)
+      .select(col("pstr"), col("bstr"), col("dist"))
+      .as[(String, String, Int)].collect().toSet
+    assert(got == brute(shorts, shorts, 2))
+  }
+
   test("no duplicate pairs despite multi-segment matches") {
     // identical long strings match on all tau+1 segments; distinct()
     // must collapse them to one row
