@@ -92,7 +92,11 @@ object Bench {
     // watermark batches), not cache state, and two samples leave a
     // single scheduler hiccup in the min ~1 run in 3 (r8/r9 detail:
     // same stream query 0.85 s and 4.1 s across quiet-host runs)
+    // comma-separated subset for quiet-host triage of individual
+    // entries (driver runs without it — full battery)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     // consume through the noop sink, NOT .count(): counting a
     // cardinality-invariant plan lets Catalyst prune whole
     // window/global-aggregate pipelines (the round-11 scale probe
@@ -118,8 +122,12 @@ object Bench {
     // multi-stage) entries showed BOTH spaced samples inflated; a
     // third sample spaced another sweep apart shrinks the odds a
     // window covers all of them
+    // q_cv_summary joined r12: driver r11 min 1.44 s vs 0.65 s quiet
+    // (2.2x) — both spaced samples inflated; q_semdedup (1.26x) and
+    // q8_market_share (0.92x) measured within agreement and stay out
     val highVariance = Set("q_dpp_join", "q_dedup_clusters",
-      "q_embed_neardup", "q_dcor_pval", "q_cv_rf", "q_cube")
+      "q_embed_neardup", "q_dcor_pval", "q_cv_rf", "q_cube",
+      "q_cv_summary")
     val sweepA = sweep(sorted)
     val sweepB = sweep(sorted)
     val sweepC = sweep(sorted.filter(q =>

@@ -71,7 +71,11 @@ object CorePack extends QueryPack {
 
   /** U3 — anti-join (drop-list removal, `tuners.py:239-247`). */
   def qAntiJoin(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
+    // scoped to the 1998 order-year: the unscoped complement is EMPTY
+    // at sf0.001/0.01 (every customer has some order), which made
+    // this row vacuously green until the r12 vacuity guard; the
+    // year scope yields 32/354/3292 rows across the fixture SFs
+    val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1998)
     Tables.customer(s, d)
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
@@ -1756,7 +1760,8 @@ object CorePack extends QueryPack {
         |ORDER BY 1""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
         |ORDER BY 1""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

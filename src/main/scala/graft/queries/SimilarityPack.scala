@@ -52,19 +52,34 @@ object SimilarityPack extends QueryPack {
     lshBitsFor(embCounts.computeIfAbsent(d,
       _ => Tables.embeddings(s, d).count()))
 
-  /** Scan-local sign-LSH bucket of a double-array column — bit
-    * j is the sign of <v, w_j> for the deterministic integer
-    * hyperplane w_j(pos) = ((pos*31 + j*17) mod 7) - 3 (the same
-    * planes as `qEmbedNeardup` / `qAnnLshBuckets`, computed without
-    * the posexplode fan-out). */
-  private def signBucket(v: Column, bits: Int): Column =
-    (0 until bits).map { j =>
-      val dj = aggregate(
-        zip_with(v, sequence(lit(1L), size(v).cast("long")),
-          (x, p) => x * (pmod(p * 31 + lit(j * 17), lit(7)) - lit(3)).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(dj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Deterministic scrambled-hash hyperplane weight, plane index q:
+    * w_q(pos) = (((pos*1000003 + q) * 2654435761) mod 2^32) mod 7 - 3.
+    *
+    * The previous family ((pos*31 + j*17) mod 7 - 3) was LINEAR mod 7
+    * in (pos, j), so it contained only 7x7 = 49 distinct sign
+    * functions — bucket count capped near 2^7 regardless of requested
+    * bit width, which the r12 30x scale probe exposed as quadratic
+    * candidate growth (q_embed_neardup: 79x wall for 30x data; extra
+    * lshBitsFor bits split NOTHING). The multiply-then-truncate
+    * scramble is non-linear mod 7, giving an effectively unbounded
+    * family: measured 208/624/960/1264 distinct buckets at 8/11/13/15
+    * bits on the 2000-vector fixture. All integer arithmetic stays in
+    * BIGINT range (pos<=64k, q<=256: max ~1.7e17), so the DuckDB
+    * oracles replay it exactly. */
+  private def planeW(p: Column, q: Column): Column =
+    pmod(pmod((p * lit(1000003L) + q) * lit(2654435761L), lit(4294967296L)),
+      lit(7)) - lit(3)
+
+  /** Scan-local sign-LSH signature of a double-array column — bit j
+    * of band b is the sign of <v, w_(b*64+j)> over the [[planeW]]
+    * family. Delegates to the fused native kernel
+    * [[graft.functions.SignLshSig]] (one loop over the vector for ALL
+    * band/bit dot products — SignLshSigSpec pins bit-equality to the
+    * aggregate(zip_with) lambda composition it replaced, whose
+    * analyzer cost alone dominated the banded near-dup at fixture
+    * scale). Returns array<long> of length `bands`. */
+  private def signBuckets(v: Column, bits: Int, bands: Int): Column =
+    graft.functions.SignLshSig.sign_lsh_sig(v, bits, bands)
 
   /** Embeddings re-spread before the posexplode kernels (64x row
     * explosion + per-component arithmetic) — see
@@ -93,8 +108,8 @@ object SimilarityPack extends QueryPack {
   }
 
   /** Sign-LSH bucketing: [[lshBitsFor]] (8 at fixture scale,
-    * corpus-relative above) deterministic integer pseudo-hyperplanes
-    * w(j,pos) = ((pos*31 + j*17) mod 7) - 3; bucket = sign-bit vector.
+    * corpus-relative above) scrambled-hash pseudo-hyperplanes
+    * ([[planeW]], plane index = bit index); bucket = sign-bit vector.
     * Emits bucket occupancy (the partition histogram a planner would
     * use to size probes). */
   def qAnnLshBuckets(s: SparkSession, d: String): DataFrame = {
@@ -105,7 +120,7 @@ object SimilarityPack extends QueryPack {
     val js = s.range(0, bitsFor(s, d)).select(col("id").as("j"))
     val dots = e.crossJoin(broadcast(js))
       .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("x") * (((col("pos") * 31 + col("j") * 17) % 7) - 3)).as("dj"))
+      .agg(sum(col("x") * planeW(col("pos"), col("j"))).as("dj"))
     val buckets = dots.groupBy(col("vec_id"))
       .agg(sum(when(col("dj") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("bucket"))
@@ -113,28 +128,54 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("bucket"))
   }
 
-  /** Embedding-cosine near-dup (north-star dedup family): sign-LSH
-    * bucket candidate generation (pairs only within a bucket — the
-    * shuffle key is the bucket id) + exact cosine verification at
-    * threshold 0.4 on the rounded score. The fixture has no planted
-    * embedding near-dups (max pairwise cosine ~0.51), so the threshold
-    * sits below that to exercise the verify stage. */
+  /** Embedding-cosine near-dup (north-star dedup family): BANDED
+    * sign-LSH candidate generation + exact cosine verification at
+    * threshold 0.4 on the rounded score. 4 independent bands of
+    * [[lshBitsFor]] [[planeW]] planes each (band b's plane indices
+    * are b*64 + j — stable as the scale-relative width grows); a pair
+    * is a candidate iff it agrees on ANY band's full signature. The
+    * standard LSH S-curve shape: per-band width grows with the corpus
+    * (bounded bucket occupancy keeps candidate pairs ~linear) while
+    * the 4-band OR keeps recall from collapsing as the width grows —
+    * the r12 30x probe motivated both halves (the old single-band
+    * mod-7-linear family capped at 49 distinct planes and went 79x
+    * wall for 30x data). The band self-join carries only
+    * (band, bucket, vec_id); vectors join back by id for the verify
+    * stage after pair dedup. The fixture has no planted embedding
+    * near-dups (max pairwise cosine ~0.51), so the threshold sits
+    * below that to exercise the verify stage. */
+  /** Hot-cell cap for the banded candidate join (the embedding twin
+    * of [[TextPack.DefaultMaxBucket]]): a (band, bucket) cell of n
+    * members yields n^2/2 candidates, and sign-LSH cells are heavily
+    * skewed on clustered corpora (measured at 30x: top cell ~1000 vs
+    * average 7 — 182 capped cells cut candidates 19.5M → 4.0M, back
+    * to the 1x per-vector rate). Cells above the cap are degenerate
+    * dense regions; their pairs can still surface through the other
+    * 3 bands. max(200, 20*avg-occupancy) is a provable no-op at every
+    * fixture SF (max cell there is 93), keeping the static oracles
+    * valid. */
+  def maxCellFor(n: Long, bits: Int): Long =
+    math.max(200L, 20L * ((n + (1L << bits) - 1) >> bits))
+
   def qEmbedNeardup(s: SparkSession, d: String): DataFrame = {
-    val e = embSpread(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
-      .select(col("vec_id"), (col("p") + 1).cast("long").as("pos"),
-        col("x").cast("double").as("x"))
-    val js = s.range(0, bitsFor(s, d)).select(col("id").as("j"))
-    val buckets = e.crossJoin(broadcast(js))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("x") * (((col("pos") * 31 + col("j") * 17) % 7) - 3)).as("dj"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("dj") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("bucket"))
-    val cand = buckets.select(col("vec_id").as("a"), col("bucket"))
-      .join(buckets.select(col("vec_id").as("b"), col("bucket").as("bucket_r")),
-        col("bucket") === col("bucket_r") && col("a") < col("b"))
-      .select(col("a"), col("b"))
+    val bits = bitsFor(s, d)
+    val bk = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("graft_bkts", signBuckets(col("v"), bits, 4))
+      .select(col("vec_id"),
+        posexplode(col("graft_bkts")).as(Seq("graft_band", "graft_bkt")))
+    val cap = maxCellFor(embCounts.computeIfAbsent(d,
+      _ => Tables.embeddings(s, d).count()), bits)
+    val cells = bk.groupBy(col("graft_band"), col("graft_bkt"))
+      .agg(count(lit(1)).as("graft_cn"))
+      .filter(col("graft_cn") <= cap)
+      .select(col("graft_band"), col("graft_bkt"))
+    val bkF = bk.join(broadcast(cells), Seq("graft_band", "graft_bkt"))
+    val cand = bkF.select(col("graft_band"), col("graft_bkt"), col("vec_id").as("a"))
+      .join(bkF.select(col("graft_band"), col("graft_bkt"), col("vec_id").as("b")),
+        Seq("graft_band", "graft_bkt"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -401,7 +442,7 @@ object SimilarityPack extends QueryPack {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cl"), col("v"))).as("m"))
       .select(col("vec_id"), col("m.cl").as("cl"), col("m.v").as("v"))
-      .withColumn("bkt", signBucket(col("v"), bitsFor(s, d)))
+      .withColumn("bkt", element_at(signBuckets(col("v"), bitsFor(s, d), 1), 1))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val x = asg.select(col("cl"), col("bkt"), col("vec_id").as("a"),
       col("v").as("va"), col("nrm").as("na"))
@@ -508,7 +549,7 @@ object SimilarityPack extends QueryPack {
         |         FROM dist),
         |js AS (SELECT unnest(generate_series(0, 7)) AS j),
         |dots AS (SELECT vec_id, j,
-        |         sum(x * (((pos*31 + j*17) % 7) - 3)) AS dj
+        |         sum(x * ((((pos*1000003 + j) * 2654435761) % 4294967296) % 7 - 3)) AS dj
         |         FROM e, js GROUP BY 1, 2),
         |bks AS (SELECT vec_id,
         |    CAST(sum(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
@@ -621,19 +662,28 @@ object SimilarityPack extends QueryPack {
         |  FROM scored)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // banded replay: 4 bands x 8 planes (fixture width), plane index
+    // band*64 + j, scrambled-hash weights — same integer arithmetic
+    // as planeW, all in BIGINT range
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id,
         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |bs AS (SELECT unnest(generate_series(0, 3)) AS band),
         |js AS (SELECT unnest(generate_series(0, 7)) AS j),
-        |dots AS (SELECT vec_id, j, sum(x * (((pos*31 + j*17) % 7) - 3)) AS dj
-        |         FROM e, js GROUP BY 1, 2),
-        |buckets AS (SELECT vec_id,
+        |dots AS (SELECT vec_id, band, j,
+        |    sum(x * ((((pos*1000003 + band*64 + j) * 2654435761) % 4294967296) % 7 - 3)) AS dj
+        |         FROM e, bs, js GROUP BY 1, 2, 3),
+        |buckets AS (SELECT vec_id, band,
         |    CAST(sum(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-        |    FROM dots GROUP BY 1),
+        |    FROM dots GROUP BY 1, 2),
+        |live AS (SELECT band, bucket FROM buckets
+        |         GROUP BY 1, 2 HAVING count(*) <= 200),
+        |bk AS (SELECT b.* FROM buckets b JOIN live USING (band, bucket)),
         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
-        |cand AS (SELECT a.vec_id AS a, b.vec_id AS b FROM buckets a JOIN buckets b
-        |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+        |         FROM bk a JOIN bk b
+        |         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT a, b, round(list_cosine_similarity(va.vv, vb.vv), 6) AS cos
         |FROM cand JOIN v va ON a = va.vec_id JOIN v vb ON b = vb.vec_id
         |WHERE round(list_cosine_similarity(va.vv, vb.vv), 6) >= 0.4
@@ -643,7 +693,8 @@ object SimilarityPack extends QueryPack {
         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
         |js AS (SELECT unnest(generate_series(0, 7)) AS j),
-        |dots AS (SELECT vec_id, j, sum(x * (((pos*31 + j*17) % 7) - 3)) AS dj
+        |dots AS (SELECT vec_id, j,
+        |    sum(x * ((((pos*1000003 + j) * 2654435761) % 4294967296) % 7 - 3)) AS dj
         |         FROM e, js GROUP BY 1, 2),
         |buckets AS (SELECT vec_id,
         |    CAST(sum(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket

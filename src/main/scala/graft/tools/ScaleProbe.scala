@@ -135,7 +135,11 @@ object ScaleProbe {
     // the scale-relative LSH width — SimilarityPack.lshBitsFor — is
     // what these entries test)
     "q_semdedup", "q_embed_neardup", "q_containment", "q_pagerank3",
-    "q_dedup_apply")
+    "q_dedup_apply",
+    // the shared-pass positional permutation (r12 rebuild) vs its
+    // one-pass sibling — the pair that quantifies the ceiling-remover
+    // constant round over round
+    "q_permute_era_two_pass")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
