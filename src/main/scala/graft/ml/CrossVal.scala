@@ -33,6 +33,20 @@ object CrossVal {
     }
     // persisted: every fold branch re-reads the same fact+fold join
     val withFold = df.join(broadcast(folds), eraCol).persist()
+    kfoldScoresPrejoined(withFold, k, fit, score)
+  }
+
+  /** The fold-fit/score loop of [[kfoldScores]] over a frame that
+    * already carries its `fold` column. Callers that score MANY
+    * candidates against the SAME fold split (the reduction-tune k
+    * scan) join and persist the fold assignment ONCE and call this
+    * per candidate — the per-candidate [[kfoldScores]] form re-built
+    * and re-persisted an identical fold-join plan per candidate
+    * (CacheManager dedups the storage but warns, and each candidate
+    * paid the fold-assignment aggregate again). */
+  def kfoldScoresPrejoined(withFold: DataFrame, k: Int,
+                           fit: DataFrame => (DataFrame => DataFrame),
+                           score: DataFrame => DataFrame): DataFrame = {
     // folds fit CONCURRENTLY: `fit` runs its MLlib jobs eagerly, and
     // the k fits are independent — a thread per fold overlaps their
     // driver-side planning and job gaps (the prepareShared trick).

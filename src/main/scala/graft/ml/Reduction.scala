@@ -98,7 +98,14 @@ object Reduction {
                  score: DataFrame => DataFrame,
                  metric: String = "spearman"): Seq[(Int, Double)] = {
     if (ks.isEmpty) return Seq.empty
-    val cached = reduced.persist()
+    // the fold split is k-independent, so join it ONCE and share the
+    // persisted fold-carrying frame across every candidate — the
+    // per-candidate kfoldScores form re-derived the fold-assignment
+    // aggregate and re-persisted an identical join plan per candidate
+    // (one redundant pass per k, plus a CacheManager warn per extra)
+    val foldRel = graft.operators.Folds.foldAssignment(
+      reduced.select(col(eraCol)).distinct(), eraCol, folds)
+    val cached = reduced.join(broadcast(foldRel), eraCol).persist()
     try {
       // candidates score CONCURRENTLY over the shared persisted frame
       // (each spawns its own per-fold fit threads inside kfoldScores);
@@ -110,7 +117,7 @@ object Reduction {
           val futs = ks.map { k =>
             pool.submit(new java.util.concurrent.Callable[(Int, Double)] {
               def call(): (Int, Double) = {
-                val perFold = CrossVal.kfoldScores(cached, eraCol, folds,
+                val perFold = CrossVal.kfoldScoresPrejoined(cached, folds,
                   fitterFor(colsFor(k)), score)
                 k -> perFold.agg(avg(col(metric))).head().getDouble(0)
               }

@@ -189,15 +189,23 @@ object CorePack extends QueryPack {
       .orderBy(col("n_name"))
   }
 
-  /** J3 — theta (inequality) self-join: supplier pairs per nation
-    * (`feature_clustering.py:26-33` upper-triangle pair generation). */
+  /** J3 — theta (inequality) self-join: supplier pairs per REGION
+    * (`feature_clustering.py:26-33` upper-triangle pair generation).
+    * Region, not nation, as the blocking key: at sf0.001 the fixture
+    * has 10 suppliers over 25 nations, so per-nation pairs can be
+    * EMPTY (the vacuity guard rightly rejects an empty-vs-empty
+    * green); 5 regions pigeonhole any >=6 suppliers into >=1 pair
+    * at every SF. Same theta shape — equi-block + `<` residual. */
   def qThetaPairs(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.supplier(s, d).select(col("s_suppkey").as("ka"), col("s_nationkey").as("na"))
-    val b = Tables.supplier(s, d).select(col("s_suppkey").as("kb"), col("s_nationkey").as("nb"))
-    a.join(b, col("na") === col("nb") && col("ka") < col("kb"))
-      .groupBy(col("na").cast("long").as("nationkey"))
+    val reg = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_regionkey"))
+    val a = reg.select(col("s_suppkey").as("ka"), col("n_regionkey").as("ra"))
+    val b = reg.select(col("s_suppkey").as("kb"), col("n_regionkey").as("rb"))
+    a.join(b, col("ra") === col("rb") && col("ka") < col("kb"))
+      .groupBy(col("ra").cast("long").as("regionkey"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("nationkey"))
+      .orderBy(col("regionkey"))
   }
 
   /** Outer join + null semantics (P5/P6): orders with no heavy line. */
@@ -1824,9 +1832,10 @@ object CorePack extends QueryPack {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_theta_pairs" ->
-      """SELECT CAST(a.s_nationkey AS BIGINT) AS nationkey, count(*) AS n_pairs
-        |FROM supplier a JOIN supplier b
-        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+      """WITH sr AS (SELECT s_suppkey, n_regionkey FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT CAST(a.n_regionkey AS BIGINT) AS regionkey, count(*) AS n_pairs
+        |FROM sr a JOIN sr b
+        |  ON a.n_regionkey = b.n_regionkey AND a.s_suppkey < b.s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_outer_join" ->
       """WITH heavy AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 49)

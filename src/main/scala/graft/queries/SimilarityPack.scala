@@ -170,7 +170,12 @@ object SimilarityPack extends QueryPack {
       .agg(count(lit(1)).as("graft_cn"))
       .filter(col("graft_cn") <= cap)
       .select(col("graft_band"), col("graft_bkt"))
-    val bkF = bk.join(broadcast(cells), Seq("graft_band", "graft_bkt"))
+    // NO broadcast hint: surviving-cell count grows ~linearly with
+    // the corpus (#cells ~ n/occupancy at scale-relative width), so a
+    // forced driver broadcast is exactly the kind of 100 TB break the
+    // probe hunts — AQE broadcasts while the relation is small and
+    // falls back to a shuffle join on (band, bucket) when it is not
+    val bkF = bk.join(cells, Seq("graft_band", "graft_bkt"))
     val cand = bkF.select(col("graft_band"), col("graft_bkt"), col("vec_id").as("a"))
       .join(bkF.select(col("graft_band"), col("graft_bkt"), col("vec_id").as("b")),
         Seq("graft_band", "graft_bkt"))

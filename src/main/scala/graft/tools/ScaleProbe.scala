@@ -139,7 +139,14 @@ object ScaleProbe {
     // the shared-pass positional permutation (r12 rebuild) vs its
     // one-pass sibling — the pair that quantifies the ceiling-remover
     // constant round over round
-    "q_permute_era_two_pass")
+    "q_permute_era_two_pass",
+    // the reference's flagship MDA dataflow end-to-end with the
+    // deterministic OLS fitter (fold fit → 9-variant tagged union →
+    // per-(variant, era) rank windows → normalized drop): era COUNT is
+    // fixed at 10 by construction (vec_id % 10), so the probe grows
+    // era SIZE — the window-pressure regime — while the variant
+    // fan-out multiplies it by features+1
+    "q_mda_ols")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

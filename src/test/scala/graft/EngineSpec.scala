@@ -27,10 +27,11 @@ class EngineSpec extends AnyFunSuite {
       if (n == 0) Some(name) else None
     }
     // candidate-pair queries may legitimately be empty at tiny SF; all
-    // others must produce rows (q_anti_join left this list in r12:
-    // its 1998-scoped form is non-empty at every SF)
+    // others must produce rows (q_anti_join and q_theta_pairs left this
+    // list in r12: the 1998-scoped / region-grouped forms are non-empty
+    // at every SF)
     assert(empties.toSet.subsetOf(Set("q_ngram_jaccard", "q_minhash_lsh",
-      "q_simhash_dedup", "q_theta_pairs")),
+      "q_simhash_dedup")),
       s"unexpected empty: $empties")
   }
 

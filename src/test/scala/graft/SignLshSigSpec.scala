@@ -60,6 +60,35 @@ class SignLshSigSpec extends AnyFunSuite {
       assert(got(id) == Seq(ref(v, 13, 0), ref(v, 13, 1)), s"id $id")
   }
 
+  test("planted near-dups collide on >=1 of 4 bands (the S-curve's high end)") {
+    // the other half of the banded contract: non-degeneracy bounds
+    // candidates (test below), but the construction is only a near-dup
+    // DETECTOR if true near-dups actually reach the verify stage. The
+    // fixture has no planted pairs (max cosine ~0.51), so plant them:
+    // each vector gets a seeded ~0.5%-relative perturbation
+    // (cosine >= 0.999 by construction) and the pair must agree on at
+    // least one full 8-bit band signature. Sign-LSH theory at
+    // cos 0.999 gives p_band = (1 - theta/pi)^8 ~ 0.92 per band,
+    // ~1 - 3e-5 for the 4-band OR; 0.95 leaves room for the
+    // integer-plane family's deviation from ideal hyperplanes.
+    val rnd = new scala.util.Random(42)
+    val base = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val planted = base.map { case (id, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (id, v, v.map(x => x + 0.005 * norm / math.sqrt(v.length) * rnd.nextGaussian()))
+    }
+    val df = planted.toSeq.toDF("id", "a", "b")
+      .select(col("id"),
+        SignLshSig.sign_lsh_sig(col("a"), 8, 4).as("sa"),
+        SignLshSig.sign_lsh_sig(col("b"), 8, 4).as("sb"))
+      .withColumn("hit", exists(zip_with(col("sa"), col("sb"), _ === _), x => x))
+    val n = planted.length
+    val hits = df.filter(col("hit")).count()
+    assert(hits >= (0.95 * n).toLong, s"only $hits/$n planted pairs collide on a band")
+  }
+
   test("plane family is non-degenerate: distinct sign behavior beyond 7 planes") {
     // with the old linear-mod-7 family, planes q and q+7 were equal;
     // the scrambled family must produce >128 distinct 13-bit buckets
