@@ -42,6 +42,15 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // TaskSetManager's "very large task size" WARN fires from the
+    // streaming MEMORY-SINK drains only (the collected micro-batch
+    // result becomes a LocalTableScan whose rows ride the write-task
+    // closures — bounded by the streaming aggregate's output, and a
+    // harness-only path: production streams write to a file sink).
+    // Four such lines sat directly above the r12 JSON tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.TaskSetManager",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warm-up: JIT/janino-compile the common codegen paths
     // (scan, hash agg, window, broadcast join) so per-query timings
     // measure plan execution, not first-use compiler latency

@@ -127,9 +127,33 @@ object EventStream {
   private def withDrainPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    // fixture-scale default 4 (state-store init per shuffle partition
+    // dominates small drains); the scale probe overrides to full
+    // parallelism — at 100x the 4-way pin, not the state store, would
+    // be the measured bottleneck
+    spark.conf.set(key,
+      spark.conf.get("spark.graft.stream.drainPartitions", "4"))
     try body finally spark.conf.set(key, prev)
   }
+
+  /** Probe-only drain: consume a stream through the no-op streaming
+    * sink. No driver-side collection — unlike the memory sink the
+    * Verify harness needs for its returned DataFrame, which collects
+    * every append/update row at the driver (at 100x the dedup stream
+    * that is ~10M rows: a harness artifact that OOMs an 8g driver and
+    * dominates wall time). Timing this isolates the state-store +
+    * shuffle path, which is what scales to a real cluster where
+    * streams write to distributed file sinks. */
+  def drainNoop(spark: SparkSession, df: DataFrame,
+                mode: String = "complete"): Unit =
+    withDrainPartitions(spark) {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stream_ckpt").toString
+      val q = df.writeStream.outputMode(mode).format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
 
   /** Start → processAllAvailable → stop with a bounded state-partition
     * count: a stateful streaming query materializes one state store

@@ -146,7 +146,39 @@ object ScaleProbe {
     // fixed at 10 by construction (vec_id % 10), so the probe grows
     // era SIZE — the window-pressure regime — while the variant
     // fan-out multiplies it by features+1
-    "q_mda_ols")
+    "q_mda_ols",
+    // r12: the streaming family's first measured scale story. The
+    // three probe distinct state regimes: tumbling = watermarked
+    // windowed agg (state ~ open windows, constant — ts is
+    // deliberately NOT shifted, so each window grows `factor`x
+    // denser); user_totals = mapGroupsWithState (state ~ distinct
+    // users, grows `factor`x by the user_id shift); dedup_wm =
+    // watermarked dropDuplicates (state ~ distinct keys inside the
+    // watermark)
+    "q_stream_tumbling", "q_stream_user_totals", "q_stream_dedup_wm")
+
+  /** Probe drains for the streaming entries: the SparkEntry query fns
+    * drain to a MEMORY sink (the Verify harness needs a DataFrame
+    * back), which collects every append/update row at the driver —
+    * at 100x the dedup stream's ~10M surviving rows OOM an 8g driver
+    * and the collection, not the state store, dominates wall time
+    * (measured: 65x wall at 100x with a 48g heap). The probe instead
+    * drains the same unlaunched plans through the no-op streaming
+    * sink at full parallelism, timing the state-store + shuffle path
+    * that actually scales to a cluster. */
+  private val streamProbes: Map[String, (SparkSession, String) => Unit] = {
+    import graft.streaming.EventStream
+    Map(
+      "q_stream_tumbling" ->
+        ((s, d) => EventStream.drainNoop(s, EventStream.windowedAgg(s, d),
+          mode = "complete")),
+      "q_stream_user_totals" ->
+        ((s, d) => EventStream.drainNoop(s,
+          EventStream.runningUserTotals(s, d).toDF(), mode = "update")),
+      "q_stream_dedup_wm" ->
+        ((s, d) => EventStream.drainNoop(s,
+          EventStream.dedupWithinWatermark(s, d), mode = "append")))
+  }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,6 +195,10 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // stream drains get full parallelism here (EventStream's
+      // fixture-scale default is 4: right for Verify/Bench where
+      // state-store init dominates, a 4-way ceiling at 100x data)
+      .config("spark.graft.stream.drainPartitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -183,8 +219,11 @@ object ScaleProbe {
     // "cost" 0.2 s at 100x under count() vs ~22 s actually executed)
     def best(name: String, dir: String): Double =
       (1 to 2).map { _ =>
-        val t = timed(SparkEntry.queries(name)(spark, dir)
-          .write.mode("overwrite").format("noop").save())
+        val t = streamProbes.get(name) match {
+          case Some(drain) => timed(drain(spark, dir))
+          case None => timed(SparkEntry.queries(name)(spark, dir)
+            .write.mode("overwrite").format("noop").save())
+        }
         spark.catalog.clearCache()
         t
       }.min
