@@ -142,8 +142,23 @@ object StreamPack extends QueryPack {
         s, d, s"graft_stream_c${runSeq.incrementAndGet()}")
       .orderBy(col("user_id"), col("start_us"))
 
+  /** The same watermark-gated sessionization re-expressed with the
+    * Spark 4 arbitrary-state API (`transformWithState`: named typed
+    * states, explicit event-time timers, RocksDB provider — see
+    * [[EventStream.ClosedSessionProcessor]]). The merge/close kernel
+    * is shared code with [[qStreamSessionsClosed]], so the oracle is
+    * the identical gaps-and-islands SQL; what this entry
+    * driver-checks is the new API's plumbing end-to-end: timer
+    * registration/deletion across re-arms, expired-timer dispatch,
+    * and the RocksDB multi-column-family state layout. */
+  def qStreamTwsSessions(s: SparkSession, d: String): DataFrame =
+    EventStream.runClosedSessionsTwsOnce(
+        s, d, s"graft_stream_t${runSeq.incrementAndGet()}")
+      .orderBy(col("user_id"), col("start_us"))
+
   val queries: Map[String, Q] = Map(
     "q_stream_sessions_closed" -> qStreamSessionsClosed,
+    "q_stream_tws_sessions" -> qStreamTwsSessions,
     "q_stream_tumbling"    -> qStreamTumbling,
     "q_stream_dedup"       -> qStreamDedup,
     "q_stream_dedup_wm"    -> qStreamDedupWm,
@@ -165,6 +180,26 @@ object StreamPack extends QueryPack {
     // watermark-gated so in-watermark cross-batch stragglers can
     // still merge.
     "q_stream_sessions_closed" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS es FROM events),
+        |f AS (SELECT user_id, es,
+        |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
+        |      > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id, es,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY es) AS sid
+        |  FROM f),
+        |sess AS (SELECT user_id, sid, min(es) AS start_us, max(es) AS end_us,
+        |    count(*) AS n
+        |  FROM g GROUP BY 1, 2),
+        |wm AS (SELECT (max(es) // 1000) - 3600000 AS wm_ms FROM e)
+        |SELECT s.user_id, s.start_us, s.end_us, s.n
+        |FROM sess s, wm
+        |WHERE ((s.end_us + 1800000000) // 1000) + 1 < wm.wm_ms
+        |ORDER BY 1, 2""".stripMargin,
+    // identical close semantics, different state API: the TWS form
+    // shares the merge/close kernel with the fmgws form, so it must
+    // land on the same watermark-closed session set
+    "q_stream_tws_sessions" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS es FROM events),
         |f AS (SELECT user_id, es,
         |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)

@@ -488,59 +488,175 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
-    // must match the withWatermark delay below: the prospective
-    // watermark reproduces Spark's ms-floored maxEventTime − delay
-    val delayMs = 3600000L
-    // first ms tick strictly after the merge horizon; close when the
-    // watermark passes it (Spark fires EventTimeTimeout at tts < wm,
-    // and late-filters input at ts_ms < wm, so an event that could
-    // still merge with an interval can never arrive once it closes)
-    def horizonMs(iv: OpenSession): Long = (iv.last_us + gapUs) / 1000L + 1L
-    events
-      .select(col("user_id").cast("long").as("user_id"),
-        unix_micros(col("ts")).as("t"), col("ts"))
-      .withWatermark("ts", "1 hour")
-      .as[(Long, Long, java.sql.Timestamp)]
+    keyedEventTriples(events)
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSessions, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state) =>
           val wm = state.getCurrentWatermarkMs()
-          // sorted singleton intervals + every carried open interval,
-          // merged on the gap (data and timeout invocations share the
-          // path: a timeout call just merges zero new events)
+          // data and timeout invocations share the path: a timeout
+          // call just merges zero new events
           val newRows = rows.map(r => OpenSession(r._2, r._2, 1)).toSeq
-          val intervals =
-            (newRows ++ state.getOption.map(_.intervals).getOrElse(Seq.empty))
-              .sortBy(_.start_us)
-          val merged = intervals.foldLeft(List.empty[OpenSession]) {
-            (acc, iv) => acc match {
-              case h :: t if iv.start_us <= h.last_us + gapUs =>
-                OpenSession(h.start_us, math.max(h.last_us, iv.last_us),
-                  h.n + iv.n) :: t
-              case _ => iv :: acc
-            }
-          }.reverse
-          // close against the PROSPECTIVE watermark: this key's max
-          // event time this batch, ms-floored minus the delay (exactly
-          // Spark's watermark arithmetic), is ≤ every future engine
-          // watermark, so an interval it passes can never see another
-          // in-watermark event — closing now keeps state bounded even
-          // in a catch-up batch where the engine watermark lags the
-          // data (e.g. the whole fixture arriving at watermark 0)
-          val prospectiveWm =
-            if (newRows.isEmpty) wm
-            else math.max(wm, newRows.map(_.last_us).max / 1000L - delayMs)
-          val (closed, open) = merged.partition(horizonMs(_) < prospectiveWm)
+          val (closed, open) = mergeAndClose(
+            newRows, state.getOption.map(_.intervals).getOrElse(Seq.empty),
+            wm, gapUs)
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenSessions(open))
             // re-arm at the earliest open horizon (clamped above the
             // watermark: the API rejects a timestamp at/behind it)
-            state.setTimeoutTimestamp(math.max(open.map(horizonMs).min, wm + 1L))
+            state.setTimeoutTimestamp(
+              math.max(open.map(horizonMs(_, gapUs)).min, wm + 1L))
           }
           closed.iterator.map(c => SessionOut(uid, c.start_us, c.last_us, c.n))
       }
+  }
+
+  /** (user_id, event-us, ts) triples with the battery's 1-hour
+    * watermark — the shared input shape of both sessionizers. */
+  private def keyedEventTriples(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, java.sql.Timestamp)]
+  }
+
+  /** First ms tick strictly after an interval's merge horizon; close
+    * when the watermark passes it (Spark fires event-time timers at
+    * tts < wm, and late-filters input at ts_ms < wm, so an event that
+    * could still merge with an interval can never arrive once it
+    * closes). */
+  private def horizonMs(iv: OpenSession, gapUs: Long): Long =
+    (iv.last_us + gapUs) / 1000L + 1L
+
+  // must match keyedEventTriples' withWatermark delay: the prospective
+  // watermark reproduces Spark's ms-floored maxEventTime − delay
+  private val SessionDelayMs = 3600000L
+
+  /** ONE merge-and-close step, shared verbatim by the
+    * flatMapGroupsWithState and transformWithState sessionizers (their
+    * semantics must be bit-identical; only the state/timer plumbing
+    * differs). Merges new singleton intervals into the carried open
+    * set on the gap, then closes every interval whose horizon sits
+    * strictly behind the PROSPECTIVE watermark: this key's max event
+    * time this batch, ms-floored minus the delay (exactly Spark's
+    * watermark arithmetic), is ≤ every future engine watermark, so an
+    * interval it passes can never see another in-watermark event —
+    * closing now keeps state bounded even in a catch-up batch where
+    * the engine watermark lags the data (e.g. the whole fixture
+    * arriving at watermark 0). */
+  private def mergeAndClose(
+      newRows: Seq[OpenSession], carried: Seq[OpenSession],
+      wm: Long, gapUs: Long): (List[OpenSession], List[OpenSession]) = {
+    val intervals = (newRows ++ carried).sortBy(_.start_us)
+    val merged = intervals.foldLeft(List.empty[OpenSession]) {
+      (acc, iv) => acc match {
+        case h :: t if iv.start_us <= h.last_us + gapUs =>
+          OpenSession(h.start_us, math.max(h.last_us, iv.last_us),
+            h.n + iv.n) :: t
+        case _ => iv :: acc
+      }
+    }.reverse
+    val prospectiveWm =
+      if (newRows.isEmpty) wm
+      else math.max(wm, newRows.map(_.last_us).max / 1000L - SessionDelayMs)
+    merged.partition(horizonMs(_, gapUs) < prospectiveWm)
+  }
+
+  /** [[closedSessions]] re-expressed with the Spark 4 arbitrary-state
+    * API (`transformWithState`, SPARK-46815): the same watermark-gated
+    * close semantics — the merge/close kernel is literally the shared
+    * [[mergeAndClose]] — with the state and timer plumbing the new API
+    * makes explicit: a named, individually-evolvable `ValueState` per
+    * concern (the open-interval set; the armed-timer bookkeeping the
+    * old API's single implicit timeout slot hid), and explicit
+    * `registerTimer`/`deleteTimer` (the API permits many timers per
+    * key; this operator keeps the proven earliest-horizon single-timer
+    * discipline, so firing order questions never arise). Requires the
+    * RocksDB state store provider (the API's multi-column-family
+    * layout; see [[runClosedSessionsTwsOnce]]) — which is also the
+    * store that holds 100 TB-scale state off-heap with changelog
+    * checkpointing, so the TWS form is the one a large deployment
+    * runs. `TwsSessionSpec` pins full row equality to
+    * [[closedSessions]] on the fixture at every SF and drives the
+    * timer/late-merge arms on a MemoryStream. */
+  class ClosedSessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), SessionOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.Encoders
+    private val gapUs = gapMinutes * 60L * 1000000L
+    @transient private var open: ValueState[OpenSessions] = _
+    // the armed event-time timer, mirrored in state: TWS timers are
+    // explicit, so re-arming at a new earliest horizon must delete
+    // the stale registration (the old API's setTimeoutTimestamp
+    // replaced it implicitly)
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSessions](
+        "open", Encoders.product[OpenSessions], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long](
+        "armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Shared tail of both callbacks: close what the watermark
+      * passed, persist the rest, keep exactly one timer at the
+      * earliest open horizon. */
+    private def step(uid: Long, newRows: Seq[OpenSession],
+                     wm: Long): Iterator[SessionOut] = {
+      val carried = if (open.exists()) open.get().intervals else Seq.empty
+      val (closed, stillOpen) = mergeAndClose(newRows, carried, wm, gapUs)
+      val prev = if (armed.exists()) Some(armed.get()) else None
+      if (stillOpen.isEmpty) {
+        open.clear()
+        prev.foreach(getHandle.deleteTimer)
+        armed.clear()
+      } else {
+        open.update(OpenSessions(stillOpen))
+        val t = math.max(stillOpen.map(horizonMs(_, gapUs)).min, wm + 1L)
+        if (!prev.contains(t)) {
+          prev.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(t)
+          armed.update(t)
+        }
+      }
+      closed.iterator.map(c => SessionOut(uid, c.start_us, c.last_us, c.n))
+    }
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] =
+      step(uid, rows.map(r => OpenSession(r._2, r._2, 1)).toSeq,
+        timerValues.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(
+        uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      // the fired timer is removed by the engine; drop our mirror so
+      // step() doesn't delete a successor registration by mistake
+      armed.clear()
+      step(uid, Seq.empty, timerValues.getCurrentWatermarkInMs())
+    }
+  }
+
+  /** [[ClosedSessionProcessor]] over the keyed event stream. */
+  def closedSessionsTws(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    keyedEventTriples(events)
+      .groupByKey(_._1)
+      .transformWithState(new ClosedSessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Drain [[closedSessions]] over the fixture replay (append mode —
@@ -549,4 +665,27 @@ object EventStream {
                             name: String = "graft_stream_closed"): DataFrame =
     drain(spark, closedSessions(eventsStream(spark, dir)).toDF(), name,
       mode = "append")
+
+  /** Drain [[closedSessionsTws]] under the RocksDB state store
+    * provider, which `transformWithState` requires (its named states
+    * and timers each live in their own column family — the HDFS-backed
+    * store is single-family). Provider choice is start-time per query,
+    * so it is pinned for this drain and restored after; every other
+    * harness stream keeps the session default. RocksDB is also the
+    * honest scale configuration: state lives off-heap on local disk
+    * with changelog checkpointing, the shape that holds 100 TB-scale
+    * keyed state per executor. */
+  def runClosedSessionsTwsOnce(spark: SparkSession, dir: String,
+                               name: String = "graft_stream_tws"): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(spark, closedSessionsTws(eventsStream(spark, dir)).toDF(), name,
+      mode = "append")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.SessionOut
+
+/** The transformWithState sessionizer must be semantically
+  * indistinguishable from its flatMapGroupsWithState sibling: the
+  * merge/close kernel is shared code, so what these tests pin is the
+  * state/timer plumbing the new API makes explicit — timer
+  * registration/deletion across re-arms, expired-timer dispatch, and
+  * the RocksDB provider the API requires. */
+class TwsSessionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def us(s: String): Long = ts(s).getTime * 1000L
+
+  /** transformWithState queries need the RocksDB state store; pin it
+    * for the started query, restore after (provider choice is
+    * start-time per query). */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("timer close and re-arm: watermark closes both sessions, open stays silent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStream.closedSessionsTws(
+      input.toDS().toDF("user_id", "ts"), gapMinutes = 30)
+
+    val name = "graft_tws_session_spec"
+    withRocksDb {
+      val q = sessions.toDF().writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try {
+        // batch 1 — user 1: two open intervals; nothing closes
+        // (watermark still 0); ONE timer armed at the earliest horizon
+        input.addData(
+          (1L, ts("2024-01-01 00:00:00")),
+          (1L, ts("2024-01-01 00:05:00")),
+          (1L, ts("2024-01-01 01:00:00")))
+        q.processAllAvailable()
+        // batch 2 — user 2 advances the watermark past both horizons
+        input.addData((2L, ts("2024-01-01 05:00:00")))
+        q.processAllAvailable()
+        // batch 3 — the expired timer fires, closing BOTH intervals in
+        // one dispatch and deleting the stale registration
+        input.addData((2L, ts("2024-01-01 05:01:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    val got = spark.table(name).as[SessionOut].collect().toSet
+    assert(got == Set(
+      SessionOut(1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:05:00"), 2L),
+      SessionOut(1L, us("2024-01-01 01:00:00"), us("2024-01-01 01:00:00"), 1L)))
+    assert(!got.exists(_.user_id == 2L))
+  }
+
+  test("in-watermark late event merges into a held interval before its timer fires") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStream.closedSessionsTws(
+      input.toDS().toDF("user_id", "ts"), gapMinutes = 30)
+
+    val name = "graft_tws_session_spec2"
+    withRocksDb {
+      val q = sessions.toDF().writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try {
+        // batch 1: one interval at 00:00, watermark 0
+        input.addData((7L, ts("2024-01-01 00:00:00")))
+        q.processAllAvailable()
+        // batch 2: an in-watermark straggler 20 min later must MERGE
+        // (gap 30) — the interval's timer must be re-armed at the new
+        // horizon, not fire at the old one
+        input.addData((7L, ts("2024-01-01 00:20:00")))
+        q.processAllAvailable()
+        // advance the watermark far past the merged horizon, then one
+        // more batch so the timer fires
+        input.addData((8L, ts("2024-01-01 06:00:00")))
+        q.processAllAvailable()
+        input.addData((8L, ts("2024-01-01 06:01:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    val got = spark.table(name).as[SessionOut].collect().toSet
+    assert(got == Set(
+      SessionOut(7L, us("2024-01-01 00:00:00"), us("2024-01-01 00:20:00"), 2L)))
+  }
+
+  test("fixture replay: row-identical to the flatMapGroupsWithState sessionizer") {
+    import spark.implicits._
+    val dir = TestSpark.sf
+    val fmgws = EventStream.runClosedSessionsOnce(spark, dir,
+        "graft_tws_eq_fmgws").as[SessionOut].collect().toSet
+    val tws = EventStream.runClosedSessionsTwsOnce(spark, dir,
+        "graft_tws_eq_tws").as[SessionOut].collect().toSet
+    assert(tws.nonEmpty)
+    assert(tws == fmgws)
+  }
+}
