@@ -676,14 +676,21 @@ object EventStream {
     * with changelog checkpointing, the shape that holds 100 TB-scale
     * keyed state per executor. */
   def runClosedSessionsTwsOnce(spark: SparkSession, dir: String,
-                               name: String = "graft_stream_tws"): DataFrame = {
+                               name: String = "graft_stream_tws"): DataFrame =
+    withRocksDbProvider(spark) {
+      drain(spark, closedSessionsTws(eventsStream(spark, dir)).toDF(), name,
+        mode = "append")
+    }
+
+  /** Pin the RocksDB state store provider for queries STARTED inside
+    * `body`, restore after (provider choice is start-time per query;
+    * every other harness stream keeps the session default). */
+  private[graft] def withRocksDbProvider[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try drain(spark, closedSessionsTws(eventsStream(spark, dir)).toDF(), name,
-      mode = "append")
-    finally prev match {
+    try body finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }

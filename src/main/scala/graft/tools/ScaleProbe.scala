@@ -155,7 +155,9 @@ object ScaleProbe {
     // users, grows `factor`x by the user_id shift); dedup_wm =
     // watermarked dropDuplicates (state ~ distinct keys inside the
     // watermark)
-    "q_stream_tumbling", "q_stream_user_totals", "q_stream_dedup_wm")
+    "q_stream_tumbling", "q_stream_user_totals", "q_stream_dedup_wm",
+    // r12: the sessionization state-API pair (see streamProbes)
+    "q_stream_sessions_closed", "q_stream_tws_sessions")
 
   /** Probe drains for the streaming entries: the SparkEntry query fns
     * drain to a MEMORY sink (the Verify harness needs a DataFrame
@@ -177,7 +179,23 @@ object ScaleProbe {
           EventStream.runningUserTotals(s, d).toDF(), mode = "update")),
       "q_stream_dedup_wm" ->
         ((s, d) => EventStream.drainNoop(s,
-          EventStream.dedupWithinWatermark(s, d), mode = "append")))
+          EventStream.dedupWithinWatermark(s, d), mode = "append")),
+      // the sessionization pair: identical close semantics (shared
+      // merge/close kernel), different state plumbing — fmgws on the
+      // default HDFS-backed store vs transformWithState on RocksDB.
+      // Probing both measures the state-API + store overhead head to
+      // head on the same workload (state ~ open intervals per
+      // in-flight user, bounded by the watermark window per key)
+      "q_stream_sessions_closed" ->
+        ((s, d) => EventStream.drainNoop(s,
+          EventStream.closedSessions(EventStream.eventsStream(s, d)).toDF(),
+          mode = "append")),
+      "q_stream_tws_sessions" ->
+        ((s, d) => EventStream.withRocksDbProvider(s) {
+          EventStream.drainNoop(s,
+            EventStream.closedSessionsTws(EventStream.eventsStream(s, d)).toDF(),
+            mode = "append")
+        }))
   }
 
   def main(args: Array[String]): Unit = {
