@@ -645,6 +645,51 @@ object TextPack extends QueryPack {
     * repartition-stable — the same coin family as the split/weighted
     * samplers). The corpus-scale pass is one scan + one broadcast
     * join; no shuffle of the fact side. */
+  /** DSIR-style importance resampling (Data Selection for language
+    * models via Importance Resampling, Xie et al. 2023): score every
+    * document by how much more likely its hashed-unigram bag is under
+    * a TARGET distribution (here the English sub-corpus — the paper's
+    * "formal domain" proxy) than under the raw source distribution;
+    * keep the top-k. Features are word unigrams hashed into 256
+    * buckets (the paper's hashed n-gram reduction: the bucket
+    * relation is O(B), not O(vocab), so the smoothed log-ratio table
+    * broadcasts at any corpus size). The hash is the md5-prefix
+    * integer both engines compute identically, and per-bucket log
+    * ratios are scaled to integer MICRO-units before the per-doc
+    * weighted sum — the cross-engine check is exact integer
+    * arithmetic, immune to float summation order. Two linear corpus
+    * scans (bucket stats; per-doc bucket counts), one 256-row
+    * broadcast, a doc_id-keyed aggregate, and a top-k that plans as
+    * TakeOrderedAndProject — no corpus-scale pair join anywhere. The
+    * stochastic resampling arm of the paper is the hash-coin
+    * weighted sampler this pack already ships (`q_weighted_sample`);
+    * this entry is the deterministic top-k selection arm. */
+  def qImportanceResample(s: SparkSession, d: String): DataFrame = {
+    val B = 256
+    val words = docsSpread(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B)
+          .as("bk"))
+    val stats = words.groupBy(col("bk")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cs"))
+    val tot = stats.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .select(col("bk"),
+        round((log((col("ct") + lit(1.0)) / (col("nt") + lit(B.toDouble))) -
+               log((col("cs") + lit(1.0)) / (col("ns") + lit(B.toDouble))))
+          * 1e6).cast("long").as("lr_e6"))
+    words.groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("n"))
+      .join(broadcast(rates), Seq("bk"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("lr_e6")).as("logw_e6"))
+      .orderBy(col("logw_e6").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def qMixSample(s: SparkSession, d: String): DataFrame = {
     val docs = docsSpread(s, d)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
@@ -1254,6 +1299,7 @@ object TextPack extends QueryPack {
     "q_span_dedup"    -> qSpanDedup,
     "q_decontaminate" -> qDecontaminate,
     "q_mix_sample"    -> qMixSample,
+    "q_importance_resample" -> qImportanceResample,
     "q_negative_sample" -> qNegativeSample,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_batches"  -> qPackBatches,
@@ -1715,6 +1761,27 @@ object TextPack extends QueryPack {
         |WHERE ('0x'||substr(md5('mix#'||doc_id),1,15))::BIGINT % 1000000
         |   < rate * 1000000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // hashed-unigram DSIR: target = English sub-corpus; per-bucket
+    // Laplace-smoothed log ratios scaled to integer micro-units, so
+    // the per-doc weighted sum is exact integer math on both engines
+    "q_importance_resample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS wd FROM documents),
+        |w AS (SELECT doc_id, lang,
+        |    ('0x'||substr(md5(wd),1,8))::BIGINT % 256 AS bk FROM t),
+        |st AS (SELECT bk,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    count(*) AS cs FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |    CAST(sum(cs) AS BIGINT) AS ns FROM st),
+        |r AS (SELECT bk, CAST(round((ln((ct + 1.0) / (nt + 256))
+        |    - ln((cs + 1.0) / (ns + 256))) * 1e6) AS BIGINT) AS lr_e6
+        |  FROM st, tot),
+        |pd AS (SELECT doc_id, bk, count(*) AS n FROM w GROUP BY 1, 2)
+        |SELECT pd.doc_id, CAST(sum(pd.n) AS BIGINT) AS n_words,
+        |  CAST(sum(pd.n * r.lr_e6) AS BIGINT) AS logw_e6
+        |FROM pd JOIN r ON pd.bk = r.bk
+        |GROUP BY 1 ORDER BY logw_e6 DESC, doc_id LIMIT 20""".stripMargin,
     "q_split_assign" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 80
