@@ -157,7 +157,12 @@ object ScaleProbe {
     // watermark)
     "q_stream_tumbling", "q_stream_user_totals", "q_stream_dedup_wm",
     // r12: the sessionization state-API pair (see streamProbes)
-    "q_stream_sessions_closed", "q_stream_tws_sessions")
+    "q_stream_sessions_closed", "q_stream_tws_sessions",
+    // r12: hashed-unigram DSIR — two linear corpus scans that md5
+    // every word occurrence, a 256-row broadcast, one doc-keyed
+    // aggregate; word-salting keeps the per-copy workload linear
+    // (bucket histogram shifts per copy, row counts don't)
+    "q_importance_resample")
 
   /** Probe drains for the streaming entries: the SparkEntry query fns
     * drain to a MEMORY sink (the Verify harness needs a DataFrame
