@@ -156,6 +156,7 @@ object ScaleProbe {
     // watermarked dropDuplicates (state ~ distinct keys inside the
     // watermark)
     "q_stream_tumbling", "q_stream_user_totals", "q_stream_dedup_wm",
+    "q_stream_dedup_wm_rocksdb",
     // r12: the sessionization state-API pair (see streamProbes)
     "q_stream_sessions_closed", "q_stream_tws_sessions",
     // r12: hashed-unigram DSIR — two linear corpus scans that md5
@@ -185,6 +186,17 @@ object ScaleProbe {
       "q_stream_dedup_wm" ->
         ((s, d) => EventStream.drainNoop(s,
           EventStream.dedupWithinWatermark(s, d), mode = "append")),
+      // probe-only store comparison on the one stream whose state
+      // actually grows with the corpus (every in-flight key): the
+      // same watermarked dedup under RocksDB instead of the default
+      // HDFS-backed (in-JVM-heap) store. At 100x the store holds
+      // ~20M union keys on one box — exactly the regime RocksDB's
+      // off-heap layout exists for
+      "q_stream_dedup_wm_rocksdb" ->
+        ((s, d) => EventStream.withRocksDbProvider(s) {
+          EventStream.drainNoop(s,
+            EventStream.dedupWithinWatermark(s, d), mode = "append")
+        }),
       // the sessionization pair: identical close semantics (shared
       // merge/close kernel), different state plumbing — fmgws on the
       // default HDFS-backed store vs transformWithState on RocksDB.
