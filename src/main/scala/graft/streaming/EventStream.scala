@@ -530,12 +530,12 @@ object EventStream {
     * tts < wm, and late-filters input at ts_ms < wm, so an event that
     * could still merge with an interval can never arrive once it
     * closes). */
-  private def horizonMs(iv: OpenSession, gapUs: Long): Long =
+  private[graft] def horizonMs(iv: OpenSession, gapUs: Long): Long =
     (iv.last_us + gapUs) / 1000L + 1L
 
   // must match keyedEventTriples' withWatermark delay: the prospective
   // watermark reproduces Spark's ms-floored maxEventTime − delay
-  private val SessionDelayMs = 3600000L
+  private[graft] val SessionDelayMs = 3600000L
 
   /** ONE merge-and-close step, shared verbatim by the
     * flatMapGroupsWithState and transformWithState sessionizers (their
@@ -549,7 +549,7 @@ object EventStream {
     * closing now keeps state bounded even in a catch-up batch where
     * the engine watermark lags the data (e.g. the whole fixture
     * arriving at watermark 0). */
-  private def mergeAndClose(
+  private[graft] def mergeAndClose(
       newRows: Seq[OpenSession], carried: Seq[OpenSession],
       wm: Long, gapUs: Long): (List[OpenSession], List[OpenSession]) = {
     val intervals = (newRows ++ carried).sortBy(_.start_us)

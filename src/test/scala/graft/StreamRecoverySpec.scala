@@ -56,19 +56,38 @@ class StreamRecoverySpec extends AnyFunSuite {
   }
 
   test("restart from checkpoint equals the uninterrupted run exactly") {
-    // four single-partition part files of the fixture's events — the
-    // unit of micro-batch ingestion under maxFilesPerTrigger=1
+    // four TIME-ORDERED quarter files of the fixture's events — the
+    // unit of micro-batch ingestion under maxFilesPerTrigger=1. The
+    // split must follow event time (as arriving log files do):
+    // scattering timestamps randomly across files would park the
+    // watermark near the end of the timeline after the first file
+    // and late-drop nearly everything after it, leaving the output
+    // hostage to file-ordering tie-breaks instead of testing
+    // recovery.
+    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val evUs = unix_micros(col("ts").cast("timestamp"))
+    val bounds = ev.select(
+      expr("percentile(unix_micros(cast(ts AS timestamp)), array(0.25, 0.5, 0.75))").as("q"))
+      .head().getSeq[Double](0).map(_.toLong)
+    val cuts = Seq(Long.MinValue) ++ bounds ++ Seq(Long.MaxValue)
     val parts = freshDir("graft_recovery_parts_")
-    spark.read.parquet(s"${TestSpark.sf}/events.parquet")
-      .repartition(4)
-      .write.mode("overwrite").parquet(parts.toString)
-    val files = Files.list(parts).toArray.map(_.asInstanceOf[Path])
-      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
-    assert(files.length == 4)
+    val files: Seq[Path] = (0 until 4).map { i =>
+      val qdir = parts.resolve(s"q$i")
+      ev.filter(evUs >= cuts(i) && evUs < cuts(i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(qdir.toString)
+      Files.list(qdir).toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).head
+    }
 
-    def copyTo(dir: Path, fs: Seq[Path]): Unit = fs.foreach { f =>
-      Files.copy(f, dir.resolve(f.getFileName.toString),
-        StandardCopyOption.REPLACE_EXISTING)
+    // pinned, strictly increasing mtimes per file INDEX so both
+    // source dirs list the files in the identical order (the file
+    // source orders by modification time; copy-loop mtimes can tie)
+    def copyTo(dir: Path, fs: Seq[(Path, Int)]): Unit = fs.foreach {
+      case (f, i) =>
+        val t = dir.resolve(s"part-$i.parquet")
+        Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(t,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
     }
 
     // interrupted run: two files → stop → two more files → restart
@@ -77,16 +96,16 @@ class StreamRecoverySpec extends AnyFunSuite {
     val srcA = freshDir("graft_recovery_srcA_")
     val outA = freshDir("graft_recovery_outA_").toString
     val ckA = freshDir("graft_recovery_ckA_").toString
-    copyTo(srcA, files.take(2))
+    copyTo(srcA, files.take(2).zipWithIndex)
     runAvailableNow(srcA.toString, outA, ckA)
-    copyTo(srcA, files.drop(2))
+    copyTo(srcA, files.drop(2).zipWithIndex.map { case (f, i) => (f, i + 2) })
     runAvailableNow(srcA.toString, outA, ckA)
 
     // reference run: same four files, uninterrupted, fresh checkpoint
     val srcB = freshDir("graft_recovery_srcB_")
     val outB = freshDir("graft_recovery_outB_").toString
     val ckB = freshDir("graft_recovery_ckB_").toString
-    copyTo(srcB, files)
+    copyTo(srcB, files.zipWithIndex)
     runAvailableNow(srcB.toString, outB, ckB)
 
     // the parquet sink's _spark_metadata log makes the read-back show
@@ -102,8 +121,7 @@ class StreamRecoverySpec extends AnyFunSuite {
     // from both phases: its count must exceed what phase 1 alone saw
     val phase1 = spark.read.parquet(files.take(2).map(_.toString): _*)
       .select(col("ts").cast("timestamp").as("ts"))
-    val full = spark.read.parquet(parts.toString)
-      .select(col("ts").cast("timestamp").as("ts"))
+    val full = ev.select(col("ts").cast("timestamp").as("ts"))
     val straddled = full
       .groupBy(window(col("ts"), "6 hours")).agg(count(lit(1)).as("n_full"))
       .join(phase1.groupBy(window(col("ts"), "6 hours"))
