@@ -320,4 +320,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("DSIR joins the 256-bucket ratio table by broadcast and takes top-k ordered") {
+    // the scale contract of importance resampling: the ratio relation
+    // is O(buckets) and must broadcast (a shuffle join here would
+    // repartition the corpus-sized doc-bucket relation by bucket —
+    // 256 hot keys), and the final selection must plan as
+    // TakeOrderedAndProject, never a full global sort
+    val p = plan("q_importance_resample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }

@@ -130,4 +130,73 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(straddled.count() > 0,
       "fixture must contain windows straddling the stop point")
   }
+
+  test("transformWithState restart: typed states and timers rebuild from RocksDB") {
+    // the same interrupted-vs-uninterrupted contract on the newest
+    // machinery: a fresh query instance must rebuild the named
+    // ValueStates (open intervals + armed-timer mirror) AND the
+    // registered event-time timers from the RocksDB checkpoint alone.
+    // The stop lands mid-timeline, so sessions straddling it close
+    // correctly only if the recovered state carries their first half.
+    import graft.streaming.EventStream
+
+    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val evUs = unix_micros(col("ts").cast("timestamp"))
+    val bounds = ev.select(
+      expr("percentile(unix_micros(cast(ts AS timestamp)), array(0.25, 0.5, 0.75))").as("q"))
+      .head().getSeq[Double](0).map(_.toLong)
+    val cuts = Seq(Long.MinValue) ++ bounds ++ Seq(Long.MaxValue)
+    val parts = freshDir("graft_tws_rec_parts_")
+    val files: Seq[Path] = (0 until 4).map { i =>
+      val qdir = parts.resolve(s"q$i")
+      ev.filter(evUs >= cuts(i) && evUs < cuts(i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(qdir.toString)
+      Files.list(qdir).toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).head
+    }
+    def copyTo(dir: Path, fs: Seq[(Path, Int)]): Unit = fs.foreach {
+      case (f, i) =>
+        val t = dir.resolve(s"part-$i.parquet")
+        Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(t,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+    }
+
+    val schema = ev.schema
+    def sessions(srcDir: String) =
+      EventStream.closedSessionsTws(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts")))
+        .toDF()
+    def runOnce(srcDir: String, outDir: String, ckDir: String): Unit =
+      EventStream.withRocksDbProvider(spark) {
+        val q = sessions(srcDir).writeStream
+          .outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+
+    val srcA = freshDir("graft_tws_rec_srcA_")
+    val outA = freshDir("graft_tws_rec_outA_").toString
+    val ckA = freshDir("graft_tws_rec_ckA_").toString
+    copyTo(srcA, files.take(2).zipWithIndex)
+    runOnce(srcA.toString, outA, ckA)
+    copyTo(srcA, files.drop(2).zipWithIndex.map { case (f, i) => (f, i + 2) })
+    runOnce(srcA.toString, outA, ckA)
+
+    val srcB = freshDir("graft_tws_rec_srcB_")
+    val outB = freshDir("graft_tws_rec_outB_").toString
+    val ckB = freshDir("graft_tws_rec_ckB_").toString
+    copyTo(srcB, files.zipWithIndex)
+    runOnce(srcB.toString, outB, ckB)
+
+    val a = spark.read.parquet(outA).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = spark.read.parquet(outB).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
 }
