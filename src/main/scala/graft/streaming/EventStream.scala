@@ -585,8 +585,8 @@ object EventStream {
     * [[closedSessions]] on the fixture at every SF and drives the
     * timer/late-merge arms on a MemoryStream. */
   class ClosedSessionProcessor(gapMinutes: Int)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long, java.sql.Timestamp), SessionOut] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long, java.sql.Timestamp), SessionOut, OpenSessions] {
     import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, ValueState}
     import org.apache.spark.sql.Encoders
     private val gapUs = gapMinutes * 60L * 1000000L
@@ -645,6 +645,22 @@ object EventStream {
       armed.clear()
       step(uid, Seq.empty, timerValues.getCurrentWatermarkInMs())
     }
+
+    /** Warm start (batch → streaming migration): seed this key's open
+      * intervals from a batch-computed snapshot and arm the timer at
+      * the earliest horizon, exactly as if the intervals had been
+      * accumulated by the stream itself. Runs once per key before any
+      * input batch. */
+    override def handleInitialState(
+        uid: Long, init: OpenSessions,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      if (init.intervals.nonEmpty) {
+        val wm = timerValues.getCurrentWatermarkInMs()
+        open.update(init)
+        val t = math.max(init.intervals.map(horizonMs(_, gapUs)).min, wm + 1L)
+        getHandle.registerTimer(t)
+        armed.update(t)
+      }
   }
 
   /** [[ClosedSessionProcessor]] over the keyed event stream. */
@@ -657,6 +673,52 @@ object EventStream {
       .groupByKey(_._1)
       .transformWithState(new ClosedSessionProcessor(gapMinutes),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Warm-started sessionization — the batch → streaming migration
+    * pattern: a batch job has already sessionized history and emitted
+    * every watermark-closed session; the stream picks up with the
+    * per-key OPEN intervals as `transformWithState` initial state and
+    * continues exactly where batch left off (new events merge into
+    * carried intervals; closes fire as the live watermark advances).
+    * At 100 TB this is how a sessionizer goes live without replaying
+    * the archive through the stream. */
+  def closedSessionsTwsFromSnapshot(
+      events: DataFrame,
+      snapshot: org.apache.spark.sql.Dataset[(Long, OpenSessions)],
+      gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    keyedEventTriples(events)
+      .groupByKey(_._1)
+      .transformWithState(new ClosedSessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append(),
+        snapshot.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** Batch half of the warm start: gaps-and-islands over the archive
+    * through the SAME [[mergeAndClose]] kernel the stream runs,
+    * split by the archive watermark `wmMs` (its max event ms − the
+    * battery delay) into (closed — batch's output, open — the
+    * stream's initial state). One per-key shuffle over the archive. */
+  def sessionSnapshot(events: DataFrame, wmMs: Long, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[(Long, (Seq[SessionOut], OpenSessions))] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, rows) =>
+        val (closed, open) = mergeAndClose(
+          rows.map(r => OpenSession(r._2, r._2, 1)).toSeq, Seq.empty,
+          wmMs, gapUs)
+        (uid, (closed.map(c => SessionOut(uid, c.start_us, c.last_us, c.n)),
+          OpenSessions(open)))
+      }
   }
 
   /** Drain [[closedSessions]] over the fixture replay (append mode —

@@ -104,6 +104,62 @@ class TwsSessionSpec extends AnyFunSuite {
       SessionOut(7L, us("2024-01-01 00:00:00"), us("2024-01-01 00:20:00"), 2L)))
   }
 
+  test("warm start from a batch snapshot continues exactly where batch left off") {
+    // the batch → streaming migration contract: batch sessionizes the
+    // archive (phase 1) and emits its watermark-closed sessions; the
+    // stream starts from the per-key OPEN intervals as initial state
+    // and sees only phase-2 events. The union of batch-closed and
+    // stream-emitted sessions must equal a single stream run over the
+    // full history — including the session that straddles the
+    // migration point (03:00 archive + 03:20 live must merge).
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val phase1 = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 00:05:00")),
+      (1L, ts("2024-01-01 03:00:00")))
+    val phase2 = Seq(
+      Seq((1L, ts("2024-01-01 03:20:00"))),      // merges into held 03:00
+      Seq((3L, ts("2024-01-01 09:00:00"))),      // advances the watermark
+      Seq((3L, ts("2024-01-01 09:01:00"))))      // timers fire
+
+    def drainBatches(batches: Seq[Seq[(Long, java.sql.Timestamp)]],
+                     mk: org.apache.spark.sql.DataFrame =>
+                       org.apache.spark.sql.Dataset[SessionOut],
+                     name: String): Set[SessionOut] = withRocksDb {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = mk(input.toDS().toDF("user_id", "ts")).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[SessionOut].collect().toSet
+    }
+
+    // batch half: archive watermark = max event ms − 1 h
+    val wm1 = phase1.map(_._2.getTime).max - 3600000L
+    val snap = EventStream.sessionSnapshot(
+      phase1.toDF("user_id", "ts"), wm1).collect()
+    val batchClosed = snap.flatMap(_._2._1).toSet
+    val openInit = snap.map { case (uid, (_, open)) => (uid, open) }
+      .toSeq.toDS()
+
+    val warm = drainBatches(phase2,
+      df => EventStream.closedSessionsTwsFromSnapshot(df, openInit),
+      "graft_tws_warm")
+    val full = drainBatches(phase1 +: phase2,
+      df => EventStream.closedSessionsTws(df), "graft_tws_full")
+
+    assert(batchClosed.nonEmpty && warm.nonEmpty)
+    assert((batchClosed ++ warm) == full)
+    assert((batchClosed & warm).isEmpty, "no session emitted by both halves")
+    // the straddling session merged across the migration point
+    assert(full.contains(SessionOut(1L,
+      us("2024-01-01 03:00:00"), us("2024-01-01 03:20:00"), 2L)))
+  }
+
   test("fixture replay: row-identical to the flatMapGroupsWithState sessionizer") {
     import spark.implicits._
     val dir = TestSpark.sf
