@@ -44,11 +44,20 @@ case class SignLshSig(child: Expression, bits: Int, bands: Int)
 
 object SignLshSig {
 
-  /** w_q(pos), pos 1-based. Max intermediate: (64k*1000003 + 256) *
-    * 2654435761 ~ 1.7e17 — comfortably in Long range, matching the
-    * BIGINT arithmetic the DuckDB oracles replay. */
+  /** w_q(pos), pos 1-based, computed mod-2^32-exactly for ANY vector
+    * length up to the JVM array bound: both multiplies reduce mod 2^32
+    * by masking, and (a*b) wrapped mod 2^64 preserves the low 32 bits,
+    * so the masked product IS ((pos*1000003+q)*2654435761) mod 2^32
+    * even where the naive Long product would overflow. (The naive
+    * form stays in Long only to pos ~3.4e3 — (3470*1000003 + 256) *
+    * 2654435761 ~ 9.2e18 is the Long ceiling, NOT the ~64k a previous
+    * comment claimed — and past it `%` on the wrapped NEGATIVE value
+    * silently diverges from the spec.) The DuckDB oracles replay the
+    * naive BIGINT form, exact over the same pos <= ~3.4e3 domain and
+    * a loud overflow ERROR (never silent divergence) beyond it; the
+    * fixture embeddings are 64-dim. */
   def planeWeight(pos: Long, q: Long): Long =
-    ((pos * 1000003L + q) * 2654435761L % 4294967296L) % 7L - 3L
+    ((((pos * 1000003L + q) & 0xFFFFFFFFL) * 2654435761L) & 0xFFFFFFFFL) % 7L - 3L
 
   /** Array of `bands` bucket ids for a double-array vector. */
   def compute(v: ArrayData, bits: Int, bands: Int): ArrayData = {

@@ -116,6 +116,30 @@ object EraRank {
                                era: Column,
                                predA: Column, tieA: Seq[Column],
                                predB: Column, tieB: Seq[Column]): (DataFrame, DataFrame) = {
+    // KNOWN BOUNDED LEAK: the shared bucketed base stays persisted
+    // (MEMORY_AND_DISK) after this call — the returned frames are
+    // lazy, so there is no safe point inside the call to unpersist,
+    // and dropping it early would forfeit the share the pair form
+    // exists for. One entry per call; the harness clears the cache
+    // between queries. Long-lived library sessions should use
+    // [[withRowNumberTwoPassPairManaged]] and invoke the cleanup once
+    // both rankings are consumed (results stay correct afterwards:
+    // bucketing is a pure function of values and frozen literals, so
+    // a post-cleanup recompute is consistent by construction).
+    val (ra, rb, _) =
+      withRowNumberTwoPassPairManaged(df, out, buckets, era, predA, tieA, predB, tieB)
+    (ra, rb)
+  }
+
+  /** [[withRowNumberTwoPassPair]] plus an explicit cleanup hook that
+    * unpersists the shared bucketed base. Call it after BOTH returned
+    * frames have been consumed (an eviction before then only costs a
+    * consistent recompute, never a wrong answer). */
+  def withRowNumberTwoPassPairManaged(df: DataFrame, out: String, buckets: Int,
+                                      era: Column,
+                                      predA: Column, tieA: Seq[Column],
+                                      predB: Column, tieB: Seq[Column])
+      : (DataFrame, DataFrame, () => Unit) = {
     require(buckets >= 2, s"need >=2 buckets, got $buckets")
     val keep = df.columns.map(col)
     val base = df.withColumn("graft_e", era)
@@ -150,7 +174,8 @@ object EraRank {
             .orderBy((pred +: tie).map(_.asc): _*)))
         .select((keep :+ col(out)): _*)
     }
-    (ranked("graft_bkt_a", predA, tieA), ranked("graft_bkt_b", predB, tieB))
+    (ranked("graft_bkt_a", predA, tieA), ranked("graft_bkt_b", predB, tieB),
+      () => { bucketed.unpersist(); () })
   }
 
   private def twoPassRank(df: DataFrame, buckets: Int, era: Column,

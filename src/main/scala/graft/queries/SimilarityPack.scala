@@ -63,12 +63,16 @@ object SimilarityPack extends QueryPack {
     * lshBitsFor bits split NOTHING). The multiply-then-truncate
     * scramble is non-linear mod 7, giving an effectively unbounded
     * family: measured 208/624/960/1264 distinct buckets at 8/11/13/15
-    * bits on the 2000-vector fixture. All integer arithmetic stays in
-    * BIGINT range (pos<=64k, q<=256: max ~1.7e17), so the DuckDB
-    * oracles replay it exactly. */
+    * bits on the 2000-vector fixture. Both multiplies reduce mod 2^32
+    * by masking (see [[graft.functions.SignLshSig.planeWeight]] — the
+    * kernel twin this must stay bit-identical to), so the weight is
+    * mod-2^32-exact for ANY pos; the naive product overflows Long past
+    * pos ~3.4e3 and would silently diverge. The DuckDB oracles replay
+    * the naive BIGINT form, exact over the fixture's 64-dim domain and
+    * a loud overflow ERROR beyond it. */
   private def planeW(p: Column, q: Column): Column =
-    pmod(pmod((p * lit(1000003L) + q) * lit(2654435761L), lit(4294967296L)),
-      lit(7)) - lit(3)
+    pmod(((p * lit(1000003L) + q).bitwiseAND(lit(4294967295L)) *
+      lit(2654435761L)).bitwiseAND(lit(4294967295L)), lit(7)) - lit(3)
 
   /** Scan-local sign-LSH signature of a double-array column — bit j
     * of band b is the sign of <v, w_(b*64+j)> over the [[planeW]]

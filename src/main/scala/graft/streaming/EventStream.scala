@@ -147,12 +147,18 @@ object EventStream {
   def drainNoop(spark: SparkSession, df: DataFrame,
                 mode: String = "complete"): Unit =
     withDrainPartitions(spark) {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_stream_ckpt").toString
+      // registered (JVM-exit) AND deleted right after the drain: the
+      // scale probe drains every stream entry twice per size, so
+      // leaving each drain's RocksDB/state checkpoint in /tmp until
+      // exit accumulates state data across a probe run
+      val ckpt = graft.TempDirs.create("graft_stream_ckpt")
       val q = df.writeStream.outputMode(mode).format("noop")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckpt.toString)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        graft.TempDirs.deleteRecursively(ckpt)
+      }
     }
 
   /** Start → processAllAvailable → stop with a bounded state-partition
@@ -682,15 +688,33 @@ object EventStream {
     * continues exactly where batch left off (new events merge into
     * carried intervals; closes fire as the live watermark advances).
     * At 100 TB this is how a sessionizer goes live without replaying
-    * the archive through the stream. */
+    * the archive through the stream.
+    *
+    * `wmMs` is the archive watermark the batch half closed under
+    * ([[sessionSnapshot]]'s `wmMs`). The fresh stream starts with
+    * ENGINE watermark 0, so without a filter a live event OLDER than
+    * `wmMs` — one the full-history stream would have late-dropped —
+    * re-sessionizes and emits a session overlapping one the batch
+    * half already closed under the assumption such events could never
+    * arrive. Passing `wmMs` pre-filters the live input to
+    * `ts >= wmMs`, restoring the full-run late-drop and with it the
+    * `batch-closed ++ stream == full run` contract for ANY live
+    * input. `None` keeps the unfiltered input for callers that
+    * guarantee in-watermark data out-of-band. */
   def closedSessionsTwsFromSnapshot(
       events: DataFrame,
       snapshot: org.apache.spark.sql.Dataset[(Long, OpenSessions)],
-      gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
+      gapMinutes: Int = 30,
+      wmMs: Option[Long] = None): org.apache.spark.sql.Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    keyedEventTriples(events)
+    // mirror the live engine's late filter (rows with event time
+    // BELOW the watermark are dropped; == is kept) at the archive
+    // watermark the snapshot was closed under
+    val live = wmMs.fold(events)(wm =>
+      events.filter(unix_millis(col("ts")) >= wm))
+    keyedEventTriples(live)
       .groupByKey(_._1)
       .transformWithState(new ClosedSessionProcessor(gapMinutes),
         TimeMode.EventTime(), OutputMode.Append(),

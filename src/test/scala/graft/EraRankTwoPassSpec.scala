@@ -115,4 +115,26 @@ class EraRankTwoPassSpec extends AnyFunSuite {
       .agg(max("count")).as[Long].head()
     assert(maxGroup <= 1000 / 4, s"bucket groups too coarse: $maxGroup")
   }
+
+  test("managed pair's cleanup unpersists the shared base; answers survive it") {
+    // the pair form persists its bucketed base (four consumers); the
+    // managed variant must release that cache entry on cleanup, and a
+    // post-cleanup re-materialization must still agree (bucketing is a
+    // pure function of values + frozen literals, so the recompute path
+    // is consistent by construction)
+    val df = fixture
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (ra, rb, cleanup) = EraRank.withRowNumberTwoPassPairManaged(
+      df, "rn", 4, col("era"),
+      col("id"), Seq.empty, col("pred"), Seq(col("id")))
+    val gotA = ra.orderBy(col("era"), col("id")).collect().toSeq
+    val gotB = rb.orderBy(col("era"), col("id")).collect().toSeq
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "pair form should have persisted its shared base")
+    cleanup()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "cleanup must unpersist the shared base")
+    assert(ra.orderBy(col("era"), col("id")).collect().toSeq == gotA)
+    assert(rb.orderBy(col("era"), col("id")).collect().toSeq == gotB)
+  }
 }

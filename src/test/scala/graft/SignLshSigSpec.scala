@@ -89,6 +89,26 @@ class SignLshSigSpec extends AnyFunSuite {
     assert(hits >= (0.95 * n).toLong, s"only $hits/$n planted pairs collide on a band")
   }
 
+  test("planeWeight is mod-2^32-exact past the naive Long ceiling (pos ~3.4e3)") {
+    // the naive (pos*1000003 + q) * 2654435761 leaves Long range at
+    // pos ~3470; the masked kernel must keep computing the spec'd
+    // (((pos*1000003 + q) * 2654435761) mod 2^32) mod 7 - 3 exactly —
+    // a vector longer than ~3400 elements must not silently wrap
+    def ref(pos: Long, q: Long): Long =
+      (((BigInt(pos) * 1000003 + q) * BigInt(2654435761L))
+        .mod(BigInt(4294967296L)) % 7).toLong - 3L
+    val positions =
+      (1L to 64L) ++ Seq(3469L, 3470L, 3471L, 5000L, 65536L, 1000000L, Int.MaxValue.toLong)
+    for (pos <- positions; q <- Seq(0L, 1L, 63L, 255L, 256L))
+      assert(SignLshSig.planeWeight(pos, q) == ref(pos, q), s"pos=$pos q=$q")
+    // overflow really bites there: the naive form disagrees somewhere
+    // in the large-pos sweep (guards against the masked form silently
+    // reverting)
+    def naive(pos: Long, q: Long): Long =
+      ((pos * 1000003L + q) * 2654435761L % 4294967296L) % 7L - 3L
+    assert(Seq(5000L, 65536L, 1000000L).exists(p => naive(p, 0L) != ref(p, 0L)))
+  }
+
   test("plane family is non-degenerate: distinct sign behavior beyond 7 planes") {
     // with the old linear-mod-7 family, planes q and q+7 were equal;
     // the scrambled family must produce >128 distinct 13-bit buckets

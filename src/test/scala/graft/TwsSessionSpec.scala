@@ -160,6 +160,65 @@ class TwsSessionSpec extends AnyFunSuite {
       us("2024-01-01 03:00:00"), us("2024-01-01 03:20:00"), 2L)))
   }
 
+  test("warm start late-filters live stragglers older than the archive watermark") {
+    // the migration hazard: the warm stream starts with ENGINE
+    // watermark 0, so a live event OLDER than the archive watermark —
+    // one the full-history run would have late-dropped — would
+    // re-sessionize and emit a session overlapping one the batch half
+    // already closed. Passing wmMs pre-filters exactly those rows,
+    // restoring `batch-closed ++ stream == full run` for lagging input.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val phase1 = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (2L, ts("2024-01-01 00:05:00")),
+      (1L, ts("2024-01-01 03:00:00")))
+    // archive watermark = max event ms − the battery's 1 h delay = 02:00
+    val wm1 = phase1.map(_._2.getTime).max - 3600000L
+    val phase2 = Seq(
+      // straggler BEHIND the archive watermark: the full run's engine
+      // watermark is already 02:00 when it arrives → late-dropped there
+      Seq((2L, ts("2024-01-01 00:06:00"))),
+      Seq((3L, ts("2024-01-01 09:00:00"))),      // advances the watermark
+      Seq((3L, ts("2024-01-01 09:01:00"))))      // timers fire
+
+    def drainBatches(batches: Seq[Seq[(Long, java.sql.Timestamp)]],
+                     mk: org.apache.spark.sql.DataFrame =>
+                       org.apache.spark.sql.Dataset[SessionOut],
+                     name: String): Set[SessionOut] = withRocksDb {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = mk(input.toDS().toDF("user_id", "ts")).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[SessionOut].collect().toSet
+    }
+
+    val snap = EventStream.sessionSnapshot(
+      phase1.toDF("user_id", "ts"), wm1).collect()
+    val batchClosed = snap.flatMap(_._2._1).toSet
+    val openInit = snap.map { case (uid, (_, open)) => (uid, open) }
+      .toSeq.toDS()
+
+    val warm = drainBatches(phase2,
+      df => EventStream.closedSessionsTwsFromSnapshot(df, openInit,
+        wmMs = Some(wm1)),
+      "graft_tws_warm_late")
+    val full = drainBatches(phase1 +: phase2,
+      df => EventStream.closedSessionsTws(df), "graft_tws_full_late")
+
+    assert((batchClosed ++ warm) == full)
+    assert((batchClosed & warm).isEmpty, "no session emitted by both halves")
+    // the straggler must appear in NEITHER half: batch already closed
+    // user 2's 00:05 session, and the warm stream must not resurrect it
+    assert(!full.exists(s => s.user_id == 2L &&
+      s.start_us == us("2024-01-01 00:06:00")))
+    assert(!warm.exists(_.user_id == 2L))
+  }
+
   test("fixture replay: row-identical to the flatMapGroupsWithState sessionizer") {
     import spark.implicits._
     val dir = TestSpark.sf
