@@ -85,16 +85,10 @@ object EraRank {
       .select((keep :+ col(out)): _*)
   }
 
-  /** Collect a tiny relation and re-emit it as a literal
-    * LocalRelation: every consumer then provably shares one value
-    * set, with no reliance on exchange reuse, caching, or recompute
-    * determinism. Only for calendar-bounded relations (the per-era
-    * edge arrays: #eras x (buckets-1) doubles). */
-  private def frozenCopy(df: DataFrame): DataFrame = {
-    val rows = df.collect()
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
-  }
+  /** [[graft.Frozen.copy]] — every consumer provably shares one value
+    * set. Only for calendar-bounded relations (the per-era edge
+    * arrays: #eras x (buckets-1) doubles). */
+  private def frozenCopy(df: DataFrame): DataFrame = graft.Frozen.copy(df)
 
   /** BOTH orderings' global per-era row numbers in ONE shared pass —
     * the positional-permutation cost cut (VERDICT r11 measured the

@@ -1186,20 +1186,28 @@ object CorePack extends QueryPack {
   def qAnalyzeStats(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_quantity", "l_extendedprice", "l_discount")
-    val aggs = cols.flatMap { c => Seq(
-      count(col(c)).as(s"n_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"ndv_$c"),
-      min(col(c)).cast("double").as(s"mn_$c"),
-      max(col(c)).cast("double").as(s"mx_$c"))
-    }
-    val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { c =>
-      struct(lit(c).as("col_name"), col(s"n_$c").as("n"),
-        col(s"nn_$c").as("n_null"), col(s"ndv_$c").as("ndv"),
-        col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))
-    }
-    one.select(explode(array(rows: _*)).as("st")).select("st.*")
+    // MELT form: six `countDistinct` in one aggregate would plan as an
+    // Expand×6 feeding one wide multi-distinct aggregate — 3.6M
+    // expanded rows through a 30-buffer hash aggregate, the single
+    // most expensive entry of the r12 bench (3.7 s quiet). Melting to
+    // (col_name, value) and aggregating twice computes the SAME exact
+    // stats from the same 6-per-row fan-out, but the first level is a
+    // plain partial-aggregated count and every per-column stat
+    // (including ndv = one row per surviving group) falls out of the
+    // second, vocabulary-sized level. Exactness is preserved at any
+    // row count (values ride as doubles; every fixture column is
+    // integer-or-decimal below 2^53, where double is injective). At
+    // 100 TB the same swap-to-HLL note applies as before:
+    // `q_sketch_distinct` ships the mergeable path. */
+    val melted = Tables.lineitem(s, d).select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("m"))
+      .select("m.*")
+    melted.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("ndv"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
       .orderBy(col("col_name"))
   }
 
