@@ -284,9 +284,14 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
-  test("analyze stats is one scan + one Expand, never a scan per column") {
+  test("analyze stats is one scan + melt, never a scan per column or an Expand") {
+    // the melt form: one Generate (explode of 6 per-row structs) into
+    // a two-level aggregate. The Expand-x6 multi-distinct it replaced
+    // pushed 3.6M expanded rows through one 30-buffer aggregate —
+    // 3.7 -> 2.0 s at sf0.1 — and a per-column plan would scan 6x
     val p = plan("q_analyze_stats")
-    assert(p.contains("Expand"), p.take(1500))
+    assert(p.contains("Generate explode"), p.take(1500))
+    assert(!p.contains("Expand"), p.take(1500))
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
   }
 
@@ -301,15 +306,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
-  test("gap-fill windows are running frames only — no unbounded-following") {
-    // Spark evaluates (currentRow, unboundedFollowing) aggregate
-    // frames by rescanning to the partition end for every row —
-    // O(n²) per series (measured 34.9 s vs 3.0 s on the sf0.1 grid).
-    // Both fills must be incremental running frames: the forward fill
-    // runs over t DESC, never as a following frame.
+  test("gap-fill is one lead window + scan-local span explode — no frame windows") {
+    // span form: ONE offset window (lead) pairs consecutive
+    // observations; the [obs, next) hour span explodes scan-local with
+    // the interpolation computed per exploded row. No aggregate frame
+    // may appear at all — in particular never a
+    // (currentRow, unboundedFollowing) frame, which Spark evaluates by
+    // rescanning to the partition end per row: O(n²) per series
+    // (measured 34.9 s vs 3.0 s on the sf0.1 grid; the span form then
+    // halved the remaining cost by dropping the grid join + second
+    // sort: 3.1 -> 1.2 s).
     val p = plan("q_gapfill")
     assert(!p.contains("unboundedfollowing"), p.take(2000))
-    assert(p.contains("unboundedpreceding"), p.take(2000))
+    assert(!p.contains("unboundedpreceding"), p.take(2000))
+    assert("Window".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("Generate explode"), p.take(2000))
   }
 
   test("merge applies with joins on the key only — no cartesian, no nested loop") {
