@@ -332,9 +332,13 @@ object StatsPack extends QueryPack {
     * (`q_sketch_quantile` path). */
   def qWinsorize(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val bounds = li.groupBy(col("l_returnflag").as("rf"))
-      .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
-        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    // relational exact bounds (bit-identical, ExactPercentileSpec):
+    // the builtin buffered ~200k distinct prices per group in one
+    // in-memory map — the dominant cost of this entry (2.2 -> ~1.4 s)
+    val bounds = graft.operators.ExactPercentile.grouped(li,
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq(("lo", 0.05), ("hi", 0.95)))
+      .select(col("l_returnflag").as("rf"), col("lo"), col("hi"))
     li.join(broadcast(bounds), col("l_returnflag") === col("rf"))
       .select(col("l_returnflag"), col("l_extendedprice"),
         least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("w"),
@@ -381,6 +385,11 @@ object StatsPack extends QueryPack {
       .select(dayofmonth(col("ts")).as("day"), col("value"))
     val ref = ev.filter(col("day") <= 15)
     val cur = ev.filter(col("day") > 15)
+    // the builtin aggregate stays: the UNGROUPED relational form
+    // funnels the distinct-value relation into one sorting task and
+    // measured 2x the buffer-merge here (1.6 vs 0.8 s) — the
+    // relational swap pays off only for per-group buffers that are
+    // themselves corpus-sized (see q_winsorize)
     val edges = ref.agg(
       expr("percentile(value, 0.1)").as("e1"), expr("percentile(value, 0.2)").as("e2"),
       expr("percentile(value, 0.3)").as("e3"), expr("percentile(value, 0.4)").as("e4"),

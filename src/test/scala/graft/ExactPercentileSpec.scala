@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ExactPercentile
+
+/** The relational exact percentile must be BIT-IDENTICAL to the
+  * `percentile` builtin it replaces — no rounding tolerance: the
+  * interpolation replays PercentileBase.getPercentile's exact FP op
+  * order, so any divergence is a bug, not noise. */
+class ExactPercentileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def builtin(df: org.apache.spark.sql.DataFrame, g: String,
+                      v: String, ps: Seq[(String, Double)]) =
+    df.groupBy(col(g)).agg(
+      ps.map { case (n, p) => expr(s"percentile($v, $p)").as(n) }.head,
+      ps.map { case (n, p) => expr(s"percentile($v, $p)").as(n) }.tail
+        :+ count(lit(1)).as("n_total"): _*)
+
+  private def compare(df: org.apache.spark.sql.DataFrame, g: String,
+                      v: String, ps: Seq[(String, Double)]): Unit = {
+    val exp = builtin(df, g, v, ps).orderBy(col(g)).collect().toSeq
+    val got = ExactPercentile.grouped(df, Seq(g), v, ps)
+      .orderBy(col(g)).collect().toSeq
+    assert(got.map(_.toSeq) == exp.map(_.toSeq))
+  }
+
+  test("grouped quartiles on orders are bit-identical to the builtin") {
+    compare(Tables.orders(spark, TestSpark.sf), "o_orderpriority",
+      "o_totalprice",
+      Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p99", 0.99)))
+  }
+
+  test("heavy ties, nulls, all-null group, single-row group") {
+    val df = (
+      Seq.tabulate(60)(i => ("ties", Some((i % 3).toDouble))) ++
+      Seq(("nulls", None), ("nulls", Some(5.0)), ("nulls", Some(7.0)),
+        ("nulls", None)) ++
+      Seq(("allnull", None), ("allnull", None)) ++
+      Seq(("one", Some(42.0)))
+    ).toDF("g", "v")
+    compare(df, "g", "v",
+      Seq(("p05", 0.05), ("p50", 0.5), ("p90", 0.9), ("p100", 1.0), ("p0", 0.0)))
+  }
+
+  test("integer-typed values match the builtin's double promotion") {
+    val df = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_returnflag").as("g"), col("l_suppkey").as("v"))
+    compare(df, "g", "v", Seq(("p10", 0.1), ("p77", 0.77)))
+  }
+
+  test("ungrouped (global) percentiles and n_total parity") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val exp = ev.agg(
+      expr("percentile(value, 0.5)").as("med"),
+      expr("percentile(value, 0.9)").as("p90"),
+      count(lit(1)).as("n_total")).collect().head
+    val got = ExactPercentile.grouped(ev, Seq.empty, "value",
+      Seq(("med", 0.5), ("p90", 0.9))).collect().head
+    assert(got.toSeq == exp.toSeq)
+  }
+}
