@@ -122,6 +122,21 @@ object StreamPack extends QueryPack {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("user_id"))
 
+  /** Streaming incremental near-dup — the daily-crawl-vs-archive
+    * dedup ([[EventStream.neardupAgainstHistory]]): docs with
+    * `doc_id % 5 == 0` replay as the live stream, the rest are the
+    * pre-indexed history; each micro-batch sketches its own docs
+    * (scan-local fused kernel), stream-static joins the banded index,
+    * and keeps matches agreeing on >= 8 of 16 minhash components
+    * (est >= 0.5). Fully STATELESS streaming (no watermark, no state
+    * store), so the per-batch cost is independent of archive size;
+    * the oracle replays the whole dataflow — sketch, split, banded
+    * candidates, exact component agreement, per-doc collapse — in
+    * SQL. */
+  def qStreamNeardup(s: SparkSession, d: String): DataFrame =
+    EventStream.runNeardupOnce(s, d,
+      s"graft_stream_nd${runSeq.incrementAndGet()}")
+
   /** Custom-state sessionization (flatMapGroupsWithState + event-time
     * timeout) driver-checked: the append stream of CLOSED sessions.
     * Closes are watermark-gated — a session is emitted exactly when
@@ -168,6 +183,7 @@ object StreamPack extends QueryPack {
     "q_stream_session"     -> qStreamSession,
     "q_stream_join"        -> qStreamJoin,
     "q_stream_enrich"      -> qStreamEnrich,
+    "q_stream_neardup"     -> qStreamNeardup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -271,6 +287,39 @@ object StreamPack extends QueryPack {
     // epoch_us both sides: Spark timestamps are microseconds while the
     // fixture parquet is TIMESTAMP(NANOS), so the window bound must be
     // compared at micro precision in the oracle too
+    // full dataflow replay: 3-word shingles → 16 minhash components
+    // (same 31-bit permutation family as q_minhash_lsh's oracle) →
+    // doc_id%5 live/history split → banded candidates → exact
+    // component agreement (>= 8 of 16, integer) → per-doc collapse.
+    // The streaming result must equal this batch relation exactly:
+    // every output row is a pure function of (doc, index), so batch
+    // boundaries cannot show through.
+    "q_stream_neardup" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT % 2147483647 AS h FROM tri),
+        |js AS (SELECT unnest(generate_series(0,15)) AS j),
+        |minh AS (SELECT doc_id, j, j // 2 AS band,
+        |    min((h * (2*j+1)) % 2147483647) AS mh FROM dsh, js GROUP BY 1,2,3),
+        |sig AS (SELECT doc_id, band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sg FROM minh GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT l.doc_id AS a, h.doc_id AS b
+        |         FROM sig l JOIN sig h ON l.band=h.band AND l.sg=h.sg
+        |         WHERE l.doc_id % 5 = 0 AND h.doc_id % 5 <> 0),
+        |nm AS (SELECT c.a, c.b,
+        |    sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS n_match
+        |  FROM cand c JOIN minh x ON x.doc_id = c.a
+        |              JOIN minh y ON y.doc_id = c.b AND y.j = x.j
+        |  GROUP BY 1, 2)
+        |SELECT a AS doc_id, min(b) AS rep, count(*) AS n_cand,
+        |  CAST(max(n_match) AS BIGINT) AS best_match
+        |FROM nm WHERE n_match >= 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_join" ->
       """SELECT CAST(a.user_id AS BIGINT) AS user_id, count(*) AS n_pairs
         |FROM events a JOIN events b ON a.user_id = b.user_id

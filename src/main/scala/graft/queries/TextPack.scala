@@ -355,8 +355,12 @@ object TextPack extends QueryPack {
 
   /** The (doc_id, band, sg) unpivot of the 8 band signatures — read by
     * the hot-bucket aggregate and both self-join sides, so eager
-    * callers persist it for the duration of their one action. */
-  private def bandedStack(sigs: DataFrame): DataFrame = {
+    * callers persist it for the duration of their one action. `carry`
+    * names extra input columns to ride along on every band row (the
+    * streaming near-dup index carries the full 16-component signature
+    * for its verify step). */
+  private[graft] def bandedStack(sigs: DataFrame,
+                                 carry: Seq[String] = Seq.empty): DataFrame = {
     val bandCols = (0 until 8).map(b =>
       concat_ws(",", element_at(col("mh"), 2 * b + 1).cast("string"),
         element_at(col("mh"), 2 * b + 2).cast("string")).as(s"sg_$b"))
@@ -364,9 +368,22 @@ object TextPack extends QueryPack {
     // candidates with ONE equi-join on (band, sg).
     val stackExpr = "stack(8, " +
       (0 until 8).map(b => s"$b, sg_$b").mkString(", ") + ") AS (band, sg)"
-    sigs.select((col("doc_id") +: bandCols): _*)
-      .selectExpr("doc_id", stackExpr)
+    sigs.select((col("doc_id") +: carry.map(col)) ++ bandCols: _*)
+      .selectExpr(("doc_id" +: carry) :+ stackExpr: _*)
   }
+
+  /** Banded MinHash INDEX over a subset of the corpus — the static
+    * half of the streaming incremental near-dup
+    * ([[graft.streaming.EventStream.neardupAgainstHistory]]): one row
+    * per (band, signature) occupancy, carrying the member's doc id
+    * and full 16-component signature for the verify step. In
+    * production this is a written silver table the daily stream joins
+    * against; here it is built inline from the history predicate. */
+  private[graft] def minhashIndex(s: SparkSession, d: String,
+                                  pred: Column): DataFrame =
+    bandedStack(minhashSignatures(s, d).filter(pred), carry = Seq("mh"))
+      .select(col("band"), col("sg"), col("doc_id").as("hist_id"),
+        col("mh").as("sig_h"))
 
   /** Distinct candidate pairs (a < b) from a banded stack — the ONE
     * banded equi-join both [[qMinhashLsh]] and [[qMinhashEst]] use

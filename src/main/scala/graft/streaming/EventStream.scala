@@ -68,6 +68,79 @@ object EventStream {
     * dedup state is bounded with `dropDuplicatesWithinWatermark` (the
     * hash state otherwise grows with the corpus); the drain-once
     * harness form keeps full state, which the fixture bounds. */
+  /** STREAMING INCREMENTAL NEAR-DUP — dedupe an ARRIVING document
+    * stream against an already-indexed historical corpus, the shape a
+    * daily crawl runs against a 100 TB archive: re-sketching the
+    * archive per batch is off the table, so history is a banded
+    * MinHash INDEX (one silver table, built once by the batch dedup
+    * job — [[graft.queries.TextPack.minhashIndex]]) and each
+    * micro-batch only (1) computes its own doc-local signatures with
+    * the fused kernel, (2) stream-static equi-joins on (band,
+    * signature) — STATELESS: no watermark, no store, state cost zero
+    * regardless of corpus size — and (3) verifies candidates by exact
+    * signature agreement (>= 8 of 16 components ⇔ est >= 0.5, integer
+    * math both engines replay). Emitted rows are (live doc, history
+    * match, n_match) in append mode, the bronze relation; per-doc
+    * collapse is the next batch stage (see [[runNeardupOnce]]).
+    * Deterministic by construction: every output row is a pure
+    * function of (doc, index), independent of batch boundaries.
+    * History = `doc_id % 5 != 0`; the stream replays the other fifth.
+    */
+  def neardupAgainstHistory(spark: SparkSession, dir: String,
+                            index: Option[DataFrame] = None): DataFrame = {
+    val hist = index.getOrElse(
+      graft.queries.TextPack.minhashIndex(spark, dir, col("doc_id") % 5 =!= 0))
+    val path = s"$dir/documents.parquet"
+    val schema = schemaOf(spark, path)
+    val live = spark.readStream.schema(schema).parquet(stagedStreamPath(path))
+      .filter(col("doc_id") % 5 === 0)
+    neardupJoin(live, hist)
+  }
+
+  /** The stateless core of the incremental near-dup: sketch the live
+    * (possibly streaming) doc relation scan-local, band it, equi-join
+    * the history index, keep >= 8-of-16 component agreement. Shared
+    * by the file-replay drain and the MemoryStream batch-boundary
+    * spec. */
+  private[graft] def neardupJoin(liveDocs: DataFrame, hist: DataFrame): DataFrame = {
+    val live = liveDocs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text"), 3, 16).as("mh"))
+      .filter(size(col("mh")) > 0)
+    graft.queries.TextPack.bandedStack(live, carry = Seq("mh"))
+      .join(hist, Seq("band", "sg"))
+      .withColumn("n_match", aggregate(
+        zip_with(col("mh"), col("sig_h"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), _ + _))
+      .filter(col("n_match") >= 8)
+      .select(col("doc_id"), col("hist_id"), col("n_match"))
+  }
+
+  /** Drain [[neardupAgainstHistory]] (append mode — the join is
+    * stateless, every row final when emitted) and run the silver
+    * collapse over the sink: a pair surfaces once per shared band, so
+    * distinct first, then one row per live doc — lowest-id history
+    * match as the dedup rep, candidate count, best agreement. The
+    * index is persisted across micro-batches for the drain (in
+    * production it is a written table; rebuilding the static side per
+    * batch is the one cost a naive inline plan would pay). */
+  def runNeardupOnce(spark: SparkSession, dir: String,
+                     name: String = "graft_stream_neardup"): DataFrame = {
+    val hist = graft.queries.TextPack
+      .minhashIndex(spark, dir, col("doc_id") % 5 =!= 0).persist()
+    try
+      drain(spark, neardupAgainstHistory(spark, dir, Some(hist)), name,
+        mode = "append")
+    finally hist.unpersist()
+    spark.table(name)
+      .select(col("doc_id"), col("hist_id"), col("n_match")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(min(col("hist_id")).as("rep"), count(lit(1)).as("n_cand"),
+        max(col("n_match")).as("best_match"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val schema = schemaOf(spark, path)
