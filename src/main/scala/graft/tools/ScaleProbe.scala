@@ -163,7 +163,14 @@ object ScaleProbe {
     // every word occurrence, a 256-row broadcast, one doc-keyed
     // aggregate; word-salting keeps the per-copy workload linear
     // (bucket histogram shifts per copy, row counts don't)
-    "q_importance_resample")
+    "q_importance_resample",
+    // r13: streaming incremental near-dup — stateless stream-static
+    // banded join against the history index. Claim under test: the
+    // plan has no state whose cost grows with the archive, so wall
+    // time should track TOTAL volume (index build + live sketch +
+    // banded join) linearly; word-salting keeps cross-copy candidate
+    // structure from inflating (no cross-copy shingle collisions)
+    "q_stream_neardup")
 
   /** Probe drains for the streaming entries: the SparkEntry query fns
     * drain to a MEMORY sink (the Verify harness needs a DataFrame
@@ -212,6 +219,19 @@ object ScaleProbe {
           EventStream.drainNoop(s,
             EventStream.closedSessionsTws(EventStream.eventsStream(s, d)).toDF(),
             mode = "append")
+        }),
+      // r13 incremental near-dup: index persisted across batches (the
+      // written-silver-table stand-in), candidate pairs through the
+      // noop sink — the timed path is index build + live sketch +
+      // stream-static banded join, nothing driver-collected
+      "q_stream_neardup" ->
+        ((s, d) => {
+          val hist = graft.queries.TextPack
+            .minhashIndex(s, d, org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+            .persist()
+          try EventStream.drainNoop(s,
+            EventStream.neardupAgainstHistory(s, d, Some(hist)), mode = "append")
+          finally hist.unpersist()
         }))
   }
 
