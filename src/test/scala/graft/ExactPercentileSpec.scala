@@ -52,6 +52,22 @@ class ExactPercentileSpec extends AnyFunSuite {
     compare(df, "g", "v", Seq(("p10", 0.1), ("p77", 0.77)))
   }
 
+  test("property: random grouped data with duplicates/nulls matches the builtin") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // coarse value grid (choose(1,9)/2) forces heavy duplication; the
+    // None arm injects nulls; group count 1-3 exercises tiny groups
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 3),
+      Gen.option(Gen.choose(1, 9).map(_ / 2.0))))
+    val pcts = Seq(("p01", 0.01), ("p33", 1.0 / 3), ("p50", 0.5),
+      ("p66", 2.0 / 3), ("p99", 0.99))
+    for (i <- 0 until 12;
+         rows <- gen.apply(Gen.Parameters.default, Seed(1300L + i))) {
+      val df = rows.map { case (g, v) => (s"g$g", v) }.toDF("g", "v")
+      compare(df, "g", "v", pcts)
+    }
+  }
+
   test("ungrouped (global) percentiles and n_total parity") {
     val ev = Tables.events(spark, TestSpark.sf)
     val exp = ev.agg(
