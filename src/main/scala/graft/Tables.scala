@@ -25,11 +25,17 @@ object Tables {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
+  /** Fingerprint-memoized schema peek for a fixture path — ONE memo
+    * for both the batch loaders here and the streaming sources
+    * (EventStream delegates), so the invalidation story lives in one
+    * place. */
+  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(fingerprintKey(path),
+      _ => spark.read.parquet(path).schema)
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(fingerprintKey(path),
-      _ => spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
+    spark.read.schema(schemaOf(spark, path)).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

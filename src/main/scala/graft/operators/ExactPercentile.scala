@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions._
   *
   * Null `v` rows are ignored for ranks (the builtin's semantics) but
   * counted in the emitted `n_total`.
+  *
+  * KNOWN DELIBERATE DIVERGENCE: SQL groupBy normalizes -0.0 to 0.0,
+  * while the builtin's OpenHashMap buffers them as distinct
+  * boxed-Double keys and can emit -0.0 as a bracketing value. On data
+  * containing both zeros this form returns +0.0 where the builtin may
+  * return -0.0 — the SQL-consistent behavior (every other graft
+  * groupBy treats the zeros as one key), kept rather than replayed.
   */
 object ExactPercentile {
 
@@ -101,6 +108,20 @@ object ExactPercentile {
         .as(name)
     }
     val keep = if (groupBy.nonEmpty) groupBy.map(col) else Seq.empty[Column]
-    folded.select((keep ++ outs :+ col("n_total")): _*)
+    val out = folded.select((keep ++ outs :+ col("n_total")): _*)
+    if (groupBy.nonEmpty) out
+    else {
+      // ungrouped drop-in parity: a GLOBAL builtin aggregate returns
+      // exactly one row even on an empty relation (null percentiles,
+      // n_total = 0); a groupBy over the empty counts relation would
+      // return zero. Seed the one row and left-join the result on.
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq(true).toDF("graft_seed")
+        .join(broadcast(out.withColumn("graft_seed", lit(true))),
+          Seq("graft_seed"), "left")
+        .select(ps.map { case (name, _) => col(name) }
+          :+ coalesce(col("n_total"), lit(0L)).as("n_total"): _*)
+    }
   }
 }

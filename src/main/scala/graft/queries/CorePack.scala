@@ -1206,12 +1206,23 @@ object CorePack extends QueryPack {
     val melted = Tables.lineitem(s, d).select(explode(array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("m"))
       .select("m.*")
-    melted.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    val stats = melted.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("col_name"))
       .agg(sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n"),
         coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
         count(when(col("v").isNotNull, lit(1))).as("ndv"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    // seed one row per analyzed column so an EMPTY relation still
+    // profiles as 6 (n=0, ndv=0, null min/max) rows — the contract
+    // the per-column-aggregate oracle keeps and a groupBy over an
+    // empty melt would lose (6-row literal, broadcast, ~free)
+    import s.implicits._
+    cols.toDF("col_name").join(broadcast(stats), Seq("col_name"), "left")
+      .select(col("col_name"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
+        coalesce(col("ndv"), lit(0L)).as("ndv"),
+        col("min_v"), col("max_v"))
       .orderBy(col("col_name"))
   }
 

@@ -422,28 +422,65 @@ object EventsPack extends QueryPack {
     * full-grid sort + a 1M-row join) scales with the grid. Per-series
     * state is one lookahead row; parallelism is (series × spans) —
     * strictly finer-grained than the grid form's per-series sort. */
-  def qGapfill(s: SparkSession, d: String): DataFrame = {
+  def qGapfill(s: SparkSession, d: String): DataFrame =
+    gapfill(Tables.events(s, d))
+
+  /** [[qGapfill]] over an explicit events relation — split out so the
+    * null-semantics spec can drive synthetic input (all-null hours,
+    * null boundary hours, all-null users) against the two-window
+    * reference form. ANCHORS are the non-null observation hours: a
+    * null-`v` hour (an hour whose every event value is null) is a
+    * grid point to FILL, exactly as the ignoreNulls windows treated
+    * it, while grid BOUNDS come from all observation hours. The grid
+    * tiles as [t0, firstAnchor) carry-back ∪ anchor spans
+    * (interpolate; last anchor carries forward to t1] ∪, for a user
+    * with no anchors at all, an all-null [t0, t1]. */
+  private[graft] def gapfill(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val obs = Tables.events(s, d)
+    val obs = events
       .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("t"),
         col("value"))
       .groupBy(col("user_id"), col("t")).agg(avg(col("value")).as("v"))
+    // ONE tiny per-user aggregate carries every boundary fact: grid
+    // bounds over ALL observation hours, plus the first anchor as a
+    // null-skipping struct-min (t unique per user, so the struct min
+    // IS the earliest non-null hour; null iff the user has no anchors)
+    // — re-deriving these per branch would re-run the hourly
+    // aggregation once per consumer
+    val marks = obs.groupBy(col("user_id"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"),
+        min(when(col("v").isNotNull,
+          struct(col("t").as("fa_t"), col("v").as("fa_v")))).as("fa"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    val anchors = obs.filter(col("v").isNotNull)
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+      .join(marks.select(col("user_id"), col("t1")), Seq("user_id"))
     // fill formula kept OPERATION-IDENTICAL to the two-window form
     // (pv + (nv - pv) * (t - pt) / (nt - pt), same IEEE op order), so
     // the per-row e4-rounded checksum is bit-equal to the old plan
-    val filled = obs
-      .withColumn("nt", lead(col("t"), 1).over(w))
-      .withColumn("nv", lead(col("v"), 1).over(w))
+    val main = anchors
       .select(col("user_id"), col("t").as("pt"), col("v").as("pv"),
         col("nt"), col("nv"),
         explode(sequence(col("t"),
-          coalesce(col("nt") - 1, col("t")))).as("t"))
-      .withColumn("v", when(col("t") === col("pt"), col("pv")))
-      .withColumn("filled",
-        when(col("v").isNotNull, col("v"))
-          .otherwise(col("pv") + (col("nv") - col("pv")) *
-            (col("t") - col("pt")) / (col("nt") - col("pt"))))
+          coalesce(col("nt") - 1, col("t1")))).as("t"))
+      .select(col("user_id"), col("t"),
+        when(col("t") === col("pt"), col("pv")).as("v"),
+        when(col("t") === col("pt"), col("pv"))
+          .when(col("nt").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              (col("t") - col("pt")) / (col("nt") - col("pt")))
+          .otherwise(col("pv")).as("filled"))
+    val head = marks
+      .filter(col("fa").isNotNull && col("t0") < col("fa.fa_t"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("fa.fa_t") - 1)).as("t"),
+        lit(null).cast("double").as("v"), col("fa.fa_v").as("filled"))
+      .select(col("user_id"), col("t"), col("v"), col("filled"))
+    val none = marks.filter(col("fa").isNull)
+      .select(col("user_id"), explode(sequence(col("t0"), col("t1"))).as("t"),
+        lit(null).cast("double").as("v"), lit(null).cast("double").as("filled"))
+    val filled = main.unionByName(head).unionByName(none)
     // the checksum is an ORDER-INDEPENDENT integer sum: each filled
     // value is bitwise-identical across engines (same IEEE formula),
     // but a float aggregate's merge order is not — DuckDB's parallel

@@ -63,16 +63,26 @@ object SimilarityPack extends QueryPack {
     * lshBitsFor bits split NOTHING). The multiply-then-truncate
     * scramble is non-linear mod 7, giving an effectively unbounded
     * family: measured 208/624/960/1264 distinct buckets at 8/11/13/15
-    * bits on the 2000-vector fixture. Both multiplies reduce mod 2^32
-    * by masking (see [[graft.functions.SignLshSig.planeWeight]] — the
-    * kernel twin this must stay bit-identical to), so the weight is
-    * mod-2^32-exact for ANY pos; the naive product overflows Long past
-    * pos ~3.4e3 and would silently diverge. The DuckDB oracles replay
-    * the naive BIGINT form, exact over the fixture's 64-dim domain and
-    * a loud overflow ERROR beyond it. */
-  private def planeW(p: Column, q: Column): Column =
-    pmod(((p * lit(1000003L) + q).bitwiseAND(lit(4294967295L)) *
-      lit(2654435761L)).bitwiseAND(lit(4294967295L)), lit(7)) - lit(3)
+    * bits on the 2000-vector fixture. The mod-2^32 multiply is
+    * decomposed into 16-bit halves — a*m mod 2^32 =
+    * (aLo*m + ((aHi*m mod 2^16) << 16)) mod 2^32, every intermediate
+    * <= 2^49 — because Catalyst arithmetic runs under ANSI mode
+    * (Spark 4 default) where a wrapped Long multiply THROWS rather
+    * than wraps: the single masked multiply overflowed for pos >=
+    * ~3.5e3 (and the pre-r13 naive form silently diverged there in
+    * non-ANSI sessions). Bit-identical to the JVM kernel twin
+    * [[graft.functions.SignLshSig.planeWeight]] for any pos
+    * (PlaneFamilySpec pins column-vs-kernel equality to pos 5000);
+    * the DuckDB oracles replay the naive BIGINT form, exact over the
+    * fixture's 64-dim domain and a loud overflow ERROR beyond it. */
+  private[graft] def planeW(p: Column, q: Column): Column = {
+    val a = (p * lit(1000003L) + q).bitwiseAND(lit(4294967295L))
+    val aLo = a.bitwiseAND(lit(65535L))
+    val aHi = shiftright(a, 16)
+    val m = lit(2654435761L)
+    pmod((aLo * m + shiftleft((aHi * m).bitwiseAND(lit(65535L)), 16))
+      .bitwiseAND(lit(4294967295L)), lit(7)) - lit(3)
+  }
 
   /** Scan-local sign-LSH signature of a double-array column — bit j
     * of band b is the sign of <v, w_(b*64+j)> over the [[planeW]]

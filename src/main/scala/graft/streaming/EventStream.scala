@@ -39,15 +39,11 @@ object EventStream {
     * /root/testdata and flipped parquet physical types before); a
     * rewritten file misses the cache instead of feeding readStream a
     * stale schema. */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-  // recursive per-file fingerprint (graft.Tables.fingerprintKey): a
-  // directory-shaped parquet source keeps its own mtime/length when a
-  // part file is rewritten in place, so the top-level stat alone would
-  // still serve a stale schema after a fixture regeneration
+  // one fingerprint-keyed schema memo for the whole engine (batch
+  // loaders + streaming sources): graft.Tables.schemaOf — r13
+  // consolidated the two previously-duplicated caches
   private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    schemaCache.computeIfAbsent(graft.Tables.fingerprintKey(path),
-      _ => spark.read.parquet(path).schema)
+    graft.Tables.schemaOf(spark, path)
 
   /** Streaming plan over the events fixture directory. The file source
     * replays the parquet as a stream; schema comes from a batch peek

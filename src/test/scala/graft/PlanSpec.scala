@@ -318,7 +318,11 @@ class PlanSpec extends AnyFunSuite {
     // sort: 3.1 -> 1.2 s).
     val p = plan("q_gapfill")
     assert(!p.contains("unboundedfollowing"), p.take(2000))
-    assert(!p.contains("unboundedpreceding"), p.take(2000))
+    // exactly one Window operator (the anchor lead), over the
+    // ANCHOR relation — bounded by observations, never the exploded
+    // grid (the Generates sit above it) — and no aggregate frame ever
+    // rescans to a partition end; the head/none boundary branches are
+    // aggregates and joins, not windows
     assert("Window".r.findAllIn(p).size == 1, p.take(2000))
     assert(p.contains("Generate explode"), p.take(2000))
   }
