@@ -137,6 +137,18 @@ object StreamPack extends QueryPack {
     EventStream.runNeardupOnce(s, d,
       s"graft_stream_nd${runSeq.incrementAndGet()}")
 
+  /** The batch → streaming WARM-START migration, driver-checked end
+    * to end ([[EventStream.runWarmSessionsOnce]]): archive half
+    * sessionized in batch (shared kernel, closed under the archive
+    * watermark), live half streamed from the open-interval snapshot
+    * as `transformWithState` initial state with the archive-watermark
+    * late filter. The union must equal one full-history stream run —
+    * same oracle SQL as `q_stream_sessions_closed`: a seamless
+    * migration adds no row and loses none. */
+  def qStreamWarmSessions(s: SparkSession, d: String): DataFrame =
+    EventStream.runWarmSessionsOnce(s, d,
+      s"graft_stream_w${runSeq.incrementAndGet()}")
+
   /** Custom-state sessionization (flatMapGroupsWithState + event-time
     * timeout) driver-checked: the append stream of CLOSED sessions.
     * Closes are watermark-gated — a session is emitted exactly when
@@ -184,7 +196,30 @@ object StreamPack extends QueryPack {
     "q_stream_join"        -> qStreamJoin,
     "q_stream_enrich"      -> qStreamEnrich,
     "q_stream_neardup"     -> qStreamNeardup,
+    "q_stream_warm_sessions" -> qStreamWarmSessions,
   )
+
+  /** Batch gaps-and-islands, emitted iff watermark-closed under the
+    * FINAL watermark — the one session relation three streaming forms
+    * must land on (fmgws, transformWithState, and the warm-start
+    * migration union). */
+  private val watermarkClosedSessionsSql: String =
+    """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS es FROM events),
+      |f AS (SELECT user_id, es,
+      |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
+      |      > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (SELECT user_id, es,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY es) AS sid
+      |  FROM f),
+      |sess AS (SELECT user_id, sid, min(es) AS start_us, max(es) AS end_us,
+      |    count(*) AS n
+      |  FROM g GROUP BY 1, 2),
+      |wm AS (SELECT (max(es) // 1000) - 3600000 AS wm_ms FROM e)
+      |SELECT s.user_id, s.start_us, s.end_us, s.n
+      |FROM sess s, wm
+      |WHERE ((s.end_us + 1800000000) // 1000) + 1 < wm.wm_ms
+      |ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // batch gaps-and-islands, emitted iff watermark-closed under the
@@ -195,43 +230,15 @@ object StreamPack extends QueryPack {
     // engines. No successor-existence arm: closes are purely
     // watermark-gated so in-watermark cross-batch stragglers can
     // still merge.
-    "q_stream_sessions_closed" ->
-      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS es FROM events),
-        |f AS (SELECT user_id, es,
-        |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
-        |      > 1800000000 THEN 1 ELSE 0 END AS brk
-        |  FROM e),
-        |g AS (SELECT user_id, es,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY es) AS sid
-        |  FROM f),
-        |sess AS (SELECT user_id, sid, min(es) AS start_us, max(es) AS end_us,
-        |    count(*) AS n
-        |  FROM g GROUP BY 1, 2),
-        |wm AS (SELECT (max(es) // 1000) - 3600000 AS wm_ms FROM e)
-        |SELECT s.user_id, s.start_us, s.end_us, s.n
-        |FROM sess s, wm
-        |WHERE ((s.end_us + 1800000000) // 1000) + 1 < wm.wm_ms
-        |ORDER BY 1, 2""".stripMargin,
+    "q_stream_sessions_closed" -> watermarkClosedSessionsSql,
     // identical close semantics, different state API: the TWS form
     // shares the merge/close kernel with the fmgws form, so it must
     // land on the same watermark-closed session set
-    "q_stream_tws_sessions" ->
-      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS es FROM events),
-        |f AS (SELECT user_id, es,
-        |    CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
-        |      > 1800000000 THEN 1 ELSE 0 END AS brk
-        |  FROM e),
-        |g AS (SELECT user_id, es,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY es) AS sid
-        |  FROM f),
-        |sess AS (SELECT user_id, sid, min(es) AS start_us, max(es) AS end_us,
-        |    count(*) AS n
-        |  FROM g GROUP BY 1, 2),
-        |wm AS (SELECT (max(es) // 1000) - 3600000 AS wm_ms FROM e)
-        |SELECT s.user_id, s.start_us, s.end_us, s.n
-        |FROM sess s, wm
-        |WHERE ((s.end_us + 1800000000) // 1000) + 1 < wm.wm_ms
-        |ORDER BY 1, 2""".stripMargin,
+    "q_stream_tws_sessions" -> watermarkClosedSessionsSql,
+    // the warm-start MIGRATION must add no seam: batch-closed ∪
+    // stream-emitted equals one full-history stream run, so the
+    // oracle is the identical watermark-closed session SQL
+    "q_stream_warm_sessions" -> watermarkClosedSessionsSql,
     // the stream-static join has no streaming state: drained complete,
     // it must equal the plain batch join + aggregate
     "q_stream_enrich" ->
