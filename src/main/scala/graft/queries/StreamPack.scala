@@ -147,7 +147,7 @@ object StreamPack extends QueryPack {
     * migration adds no row and loses none. */
   def qStreamWarmSessions(s: SparkSession, d: String): DataFrame =
     EventStream.runWarmSessionsOnce(s, d,
-      s"graft_stream_w${runSeq.incrementAndGet()}")
+      s"graft_stream_ws${runSeq.incrementAndGet()}")
 
   /** Custom-state sessionization (flatMapGroupsWithState + event-time
     * timeout) driver-checked: the append stream of CLOSED sessions.

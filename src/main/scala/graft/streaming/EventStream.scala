@@ -30,18 +30,12 @@ object EventStream {
       } else path
     })
 
-  /** Per-path memo of the batch schema peek (streaming sources need an
-    * explicit schema; reading it is a driver file-listing + footer
-    * read that the bench would otherwise repeat per stream query).
-    * Keyed on (path, mtime, size) — unlike the staging-dir memo, whose
-    * symlink re-resolves, a cached StructType would silently survive a
-    * mid-session fixture rewrite (the test driver has regenerated
-    * /root/testdata and flipped parquet physical types before); a
-    * rewritten file misses the cache instead of feeding readStream a
-    * stale schema. */
-  // one fingerprint-keyed schema memo for the whole engine (batch
-  // loaders + streaming sources): graft.Tables.schemaOf — r13
-  // consolidated the two previously-duplicated caches
+  /** Schema peek for a streaming source (which needs an explicit
+    * schema): delegates to the engine's ONE fingerprint-keyed memo,
+    * [[graft.Tables.schemaOf]] — its recursive per-file fingerprint is
+    * what lets a mid-session fixture rewrite miss the cache instead of
+    * feeding readStream a stale schema (r13 consolidated the two
+    * previously-duplicated caches). */
   private def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
     graft.Tables.schemaOf(spark, path)
 
@@ -57,13 +51,6 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").cast("long").as("wstart"), col("n"), col("sum_value"))
 
-  /** Streaming exact dedup (the north-star dedup family as a STREAM
-    * op): content-hash `dropDuplicates` over a document stream →
-    * per-language distinct counts. The dedup key includes `lang` so
-    * the result is independent of stream arrival order. At 100 TB the
-    * dedup state is bounded with `dropDuplicatesWithinWatermark` (the
-    * hash state otherwise grows with the corpus); the drain-once
-    * harness form keeps full state, which the fixture bounds. */
   /** STREAMING INCREMENTAL NEAR-DUP — dedupe an ARRIVING document
     * stream against an already-indexed historical corpus, the shape a
     * daily crawl runs against a 100 TB archive: re-sketching the
@@ -137,6 +124,13 @@ object EventStream {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming exact dedup (the north-star dedup family as a STREAM
+    * op): content-hash `dropDuplicates` over a document stream →
+    * per-language distinct counts. The dedup key includes `lang` so
+    * the result is independent of stream arrival order. At 100 TB the
+    * dedup state is bounded with `dropDuplicatesWithinWatermark` (the
+    * hash state otherwise grows with the corpus); the drain-once
+    * harness form keeps full state, which the fixture bounds. */
   def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val schema = schemaOf(spark, path)
@@ -832,10 +826,29 @@ object EventStream {
                           name: String = "graft_stream_warm"): DataFrame = {
     import spark.implicits._
     val ev = graft.Tables.events(spark, dir)
-    val (minMs, maxMs) = ev
+    // DEGENERATE INPUTS fall back to the plain full-history stream
+    // (semantically what a migration with nothing to migrate is):
+    // an empty events relation yields null range bounds, and a range
+    // within one millisecond yields an EMPTY archive (splitMs =
+    // minMs), whose max would be null — either would NPE the warm
+    // path while the oracle still defines the (empty) answer
+    val range = ev
       .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
-      .as[(Long, Long)].head()
-    val splitMs = minMs + (maxMs - minMs) / 2
+      .as[(Option[Long], Option[Long])].head()
+    val splitOpt = range match {
+      // need the midpoint STRICTLY above minMs (integer division:
+      // maxMs = minMs+1 still floors to minMs) so the archive half is
+      // provably non-empty
+      case (Some(minMs), Some(maxMs)) if maxMs - minMs >= 2 =>
+        Some(minMs + (maxMs - minMs) / 2)
+      case _ => None
+    }
+    if (splitOpt.isEmpty)
+      return withRocksDbProvider(spark) {
+        drain(spark, closedSessionsTws(eventsStream(spark, dir)).toDF(),
+          name, mode = "append")
+      }.orderBy(col("user_id"), col("start_us"))
+    val splitMs = splitOpt.get
     val archive = ev.filter(unix_millis(col("ts")) < splitMs)
     val wm1 = archive.agg(max(unix_millis(col("ts")))).as[Long].head() -
       SessionDelayMs

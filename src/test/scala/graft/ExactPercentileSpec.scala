@@ -68,6 +68,23 @@ class ExactPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("EMPTY input: grouped yields no rows; ungrouped yields the builtin's one null row") {
+    val empty = spark.range(0)
+      .selectExpr("CAST(id AS STRING) AS g", "CAST(id AS DOUBLE) AS v")
+    // grouped: both forms agree on zero rows
+    assert(ExactPercentile.grouped(empty, Seq("g"), "v",
+      Seq(("p50", 0.5))).count() == 0)
+    assert(builtin(empty, "g", "v", Seq(("p50", 0.5))).count() == 0)
+    // ungrouped: a GLOBAL aggregate returns one row even on empty
+    // input — the seed-join branch must reproduce it exactly
+    val exp = empty.agg(expr("percentile(v, 0.5)").as("p50"),
+      count(lit(1)).as("n_total")).collect().toSeq
+    val got = ExactPercentile.grouped(empty, Seq.empty, "v",
+      Seq(("p50", 0.5))).collect().toSeq
+    assert(got.map(_.toSeq) == exp.map(_.toSeq))
+    assert(got.head.toSeq == Seq(null, 0L))
+  }
+
   test("ungrouped (global) percentiles and n_total parity") {
     val ev = Tables.events(spark, TestSpark.sf)
     val exp = ev.agg(
