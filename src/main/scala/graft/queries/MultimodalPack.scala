@@ -1,110 +1,140 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaPayload
 
-/** Multimodal-column coverage: documents' text re-encoded as a binary
-  * payload column, pushed through the batched decode-stub kernel
-  * (`Multimodal.decodeBatch`) to a typed metadata relation.
+/** Multimodal-column coverage over REAL codecs: per-doc deterministic
+  * PNGs (and a multi-frame container of PNGs) are synthesized
+  * partition-locally from `doc_id`, then pushed through the batched
+  * `javax.imageio` decode kernels in `operators/Multimodal`.
+  *
+  * Oracle strategy: the generator's dimensions and pixel content are a
+  * closed-form function of `doc_id` (see [[Multimodal.widthOf]] doc),
+  * so DuckDB recomputes what a CORRECT decode must report — width,
+  * height, per-frame pixel sums, raster min/max — without owning a
+  * codec. The Spark side never consults that closed form after
+  * synthesis: the kernels see only bytes and must genuinely inflate
+  * the PNG and read the raster to match.
   */
 object MultimodalPack extends QueryPack {
 
-  /** Binary payload → mapPartitions batch decode → metadata. The stub
-    * metadata is pure arithmetic over payload bytes, so DuckDB can
-    * recompute it — the oracle checks the whole binary-column path. */
+  /** Synthesized single-image fixture: one real PNG per doc. Built in
+    * a typed map (partition-local; only `doc_id` is scanned). */
+  private def pngPayloads(s: SparkSession, d: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => MediaPayload(id, Multimodal.synthPng(id)))
+  }
+
+  /** Real decode battery including corrupt blobs: every doc_id % 97 ==
+    * 0 payload is truncated to its first 8 bytes (a bare PNG magic —
+    * the reader engages, then hits EOF), and the kernel must emit a
+    * null-metadata row for it rather than fail the task. */
+  def qImageDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val png = Multimodal.synthPng(id)
+        MediaPayload(id, if (id % 97 == 0) png.take(8) else png)
+      }
+    Multimodal.decodeBatch(payloads.toDF()).toDF().orderBy(col("doc_id"))
+  }
+
+  /** Container metadata: header walk + a real decode of frame 0. */
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    Multimodal.decodeBatch(payloads).toDF()
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => MediaPayload(id, Multimodal.synthContainer(id)))
+    Multimodal.containerMetaBatch(payloads.toDF()).toDF()
       .orderBy(col("doc_id"))
   }
 
-  private def payloads(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-
-  /** Resize kernel: every-2nd-byte downsample, metadata measured from
-    * the actual resized buffer (the transform-then-measure path). */
+  /** Real resize: decode → nearest-neighbor ÷2 → measure the actual
+    * resized raster (transform-then-measure, no shortcuts). */
   def qMediaResize(s: SparkSession, d: String): DataFrame =
-    Multimodal.resizeBatch(payloads(s, d), factor = 2).toDF()
+    Multimodal.resizeBatch(pngPayloads(s, d).toDF(), factor = 2).toDF()
       .orderBy(col("doc_id"))
 
-  /** Frame sampling: every-2nd-frame flatMap explosion with per-frame
-    * seek offsets and signatures. */
-  def qFrameSample(s: SparkSession, d: String): DataFrame =
-    Multimodal.frameSampleBatch(payloads(s, d), stride = 2).toDF()
+  /** Real frame sampling: seek every 2nd frame in the container and
+    * decode only those, emitting per-frame dims + pixel sums. */
+  def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => MediaPayload(id, Multimodal.synthContainer(id)))
+    Multimodal.frameSampleBatch(payloads.toDF(), stride = 2).toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
+  }
 
-  /** Feature extraction: decoded-buffer character-class counts (the
-    * embedding-model stand-in). */
+  /** Real feature extraction: full raster statistics per image. */
   def qMediaFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.extractFeaturesBatch(payloads(s, d)).toDF()
+    Multimodal.extractFeaturesBatch(pngPayloads(s, d).toDF()).toDF()
       .orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
+    "q_image_decode"    -> qImageDecode,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_media_resize"    -> qMediaResize,
     "q_frame_sample"    -> qFrameSample,
     "q_media_features"  -> qMediaFeatures,
   )
 
+  /** Shared closed-form spec (mirrors Multimodal.widthOf/heightOf/
+    * fillOf/framesOf): w = 16 + (d*37)%240, h = 16 + (d*53)%180,
+    * v = (d*97)%256, nf = 1 + d%5; pixel(x,y) of frame f =
+    * (v + 17f + y) % 256. */
+  private val specCte =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         16 + (doc_id * 37) % 240 AS w,
+      |         16 + (doc_id * 53) % 180 AS h,
+      |         (doc_id * 97) % 256 AS v,
+      |         1 + doc_id % 5 AS nf
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // `fb` is the first UTF-8 BYTE of the payload (what the kernel
-    // reads), derived from the first codepoint via the UTF-8
-    // leading-byte formula — ascii() alone would diverge on any doc
-    // starting with a non-ASCII char (e.g. CJK text)
-    "q_multimodal_meta" ->
-      """WITH m AS (SELECT doc_id, text, ascii(substr(text, 1, 1)) AS cp
-        |           FROM documents),
-        |fbm AS (SELECT doc_id, text,
-        |    CASE WHEN cp < 128 THEN cp
-        |         WHEN cp < 2048 THEN 192 + cp // 64
-        |         WHEN cp < 65536 THEN 224 + cp // 4096
-        |         ELSE 240 + cp // 262144 END AS fb
-        |  FROM m)
-        |SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        | CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        | CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
-        | CAST(1 + fb % 8 AS BIGINT) AS n_frames
-        |FROM fbm ORDER BY doc_id""".stripMargin,
-    "q_media_resize" ->
-      """SELECT doc_id,
-        | CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS out_len,
-        | CAST(16 + ((octet_length(encode(text)) + 1) // 2) % 320 AS BIGINT) AS out_width,
-        | CAST(16 + (((octet_length(encode(text)) + 1) // 2) * 5) % 240 AS BIGINT) AS out_height
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_frame_sample" ->
-      """WITH cpm AS (SELECT doc_id, text, ascii(substr(text, 1, 1)) AS cp
-        |             FROM documents),
-        |fbm AS (SELECT doc_id, text,
-        |    CASE WHEN cp < 128 THEN cp
-        |         WHEN cp < 2048 THEN 192 + cp // 64
-        |         WHEN cp < 65536 THEN 224 + cp // 4096
-        |         ELSE 240 + cp // 262144 END AS fb
-        |  FROM cpm),
-        |m AS (SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |    CAST(1 + fb % 8 AS BIGINT) AS n_frames,
-        |    CAST(fb AS BIGINT) AS first
-        |  FROM fbm)
-        |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
-        | CAST(idx * byte_len // n_frames AS BIGINT) AS frame_off,
-        | CAST((first * 31 + idx * 7) % 256 AS BIGINT) AS frame_sig
-        |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(idx)
-        |WHERE idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
-    "q_media_features" ->
-      """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
-        | CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-        | CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
-        | CAST(length(text)
-        |   - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        |   - length(regexp_replace(text, '[^0-9]', '', 'g'))
-        |   - (length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_other
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_image_decode" -> (specCte +
+      """, px AS (
+        |  SELECT doc_id, w, h, sum(w * ((v + y) % 256)) AS s
+        |  FROM m, unnest(generate_series(0, h - 1)) AS t(y)
+        |  GROUP BY doc_id, w, h)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(w AS BIGINT) END AS img_w,
+        | CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(h AS BIGINT) END AS img_h,
+        | CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(s AS BIGINT) END AS px_sum
+        |FROM px ORDER BY doc_id""".stripMargin),
+    "q_multimodal_meta" -> (specCte +
+      """
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(nf AS BIGINT) AS n_frames
+        |FROM m ORDER BY doc_id""".stripMargin),
+    "q_media_resize" -> (specCte +
+      """, r AS (SELECT doc_id, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh, v FROM m)
+        |SELECT doc_id, CAST(ow AS BIGINT) AS out_width,
+        |       CAST(oh AS BIGINT) AS out_height,
+        |       CAST(sum(ow * ((v + 2 * y) % 256)) AS BIGINT) AS out_px_sum
+        |FROM r, unnest(generate_series(0, oh - 1)) AS t(y)
+        |GROUP BY doc_id, ow, oh ORDER BY doc_id""".stripMargin),
+    "q_frame_sample" -> (specCte +
+      """, fr AS (
+        |  SELECT doc_id, w, h, v, f
+        |  FROM m, unnest(generate_series(0, nf - 1)) AS t(f)
+        |  WHERE f % 2 = 0)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+        |       CAST(sum(w * ((v + 17 * f + y) % 256)) AS BIGINT) AS frame_px_sum
+        |FROM fr, unnest(generate_series(0, h - 1)) AS t2(y)
+        |GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""".stripMargin),
+    "q_media_features" -> (specCte +
+      """
+        |SELECT doc_id, CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(w * ((v + y) % 256)) AS BIGINT) AS px_sum,
+        |       CAST(min((v + y) % 256) AS BIGINT) AS px_min,
+        |       CAST(max((v + y) % 256) AS BIGINT) AS px_max
+        |FROM m, unnest(generate_series(0, h - 1)) AS t(y)
+        |GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
   )
 }

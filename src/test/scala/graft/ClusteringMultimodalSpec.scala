@@ -126,39 +126,118 @@ class ClusteringMultimodalSpec extends AnyFunSuite {
     assert(Clustering.epsFor(d2, 5) == 1.0)
   }
 
-  test("decodeBatch: typed mapPartitions path equals the scalar stub") {
-    val df = Seq((1L, "hello"), (2L, "a longer document body"))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  // expected raster facts straight from the generator's closed form
+  private def expectedSum(d: Long, frame: Int = 0): Long = {
+    val w = Multimodal.widthOf(d); val h = Multimodal.heightOf(d)
+    val v = Multimodal.fillOf(d)
+    (0 until h).map(y => w.toLong * ((v + 17 * frame + y) % 256)).sum
+  }
+
+  test("decodeBatch really decodes: synth PNG facts match the closed form") {
+    val df = Seq(0L, 7L, 123L)
+      .map(d => (d, Multimodal.synthPng(d))).toDF("doc_id", "payload")
     val got = Multimodal.decodeBatch(df).collect().sortBy(_.doc_id)
-    assert(got(0) == Multimodal.decodeMeta(
-      Multimodal.MediaPayload(1L, "hello".getBytes("UTF-8"))))
-    assert(got(0).byte_len == 5 && got(0).width == 21 && got(0).n_frames == 1 + 'h' % 8)
+    for (m <- got) {
+      val d = m.doc_id
+      assert(m.img_w.contains(Multimodal.widthOf(d).toLong))
+      assert(m.img_h.contains(Multimodal.heightOf(d).toLong))
+      assert(m.px_sum.contains(expectedSum(d)))
+    }
   }
 
-  test("resizeStub keeps ceil(len/factor) bytes and measures the result") {
-    val m = Multimodal.MediaPayload(7L, Array.tabulate(11)(_.toByte))
-    val r = Multimodal.resizeStub(m, 2)
-    assert(r.out_len == 6) // indices 0,2,4,6,8,10
-    assert(r.out_width == 16 + 6 % 320 && r.out_height == 16 + 30 % 240)
-    assert(Multimodal.resizeStub(Multimodal.MediaPayload(8L, Array.empty), 2)
-      .out_len == 0)
+  private def pngOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  test("frameSample explodes to every stride-th frame with monotone offsets") {
-    val m = Multimodal.MediaPayload(3L, "xabcdefgh".getBytes("UTF-8"))
+  test("decodeImage adversarial: 1x1, 1000x1 wide, truncated, junk, empty") {
+    val one = new java.awt.image.BufferedImage(
+      1, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    one.getRaster.setSample(0, 0, 0, 42)
+    assert(Multimodal.decodeImage(pngOf(one))
+      .contains(Multimodal.Decoded(1, 1, 42L, 42, 42)))
+
+    val wide = new java.awt.image.BufferedImage(
+      1000, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 1000).foreach(x => wide.getRaster.setSample(x, 0, 0, x % 256))
+    val dw = Multimodal.decodeImage(pngOf(wide)).get
+    assert(dw.width == 1000 && dw.height == 1)
+    assert(dw.pxSum == (0 until 1000).map(_ % 256).sum.toLong)
+
+    // truncated: PNG magic engages the reader, body is missing -> None
+    assert(Multimodal.decodeImage(Multimodal.synthPng(5L).take(8)).isEmpty)
+    // half an image: reader engages, inflate fails mid-stream -> None
+    val full = Multimodal.synthPng(9L)
+    assert(Multimodal.decodeImage(full.take(full.length / 2)).isEmpty)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+
+  test("decodeBatch keeps corrupt payloads as null rows (no task failure)") {
+    val df = Seq(
+      (1L, Multimodal.synthPng(1L)),
+      (2L, Multimodal.synthPng(2L).take(8)),
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodeBatch(df).collect().sortBy(_.doc_id)
+    assert(got.length == 2)
+    assert(got(0).img_w.isDefined && got(1).img_w.isEmpty)
+    assert(got(1).px_sum.isEmpty)
+  }
+
+  test("resizeImage: nearest-neighbor /2 measured from the actual raster") {
+    val d = 11L
+    val r = Multimodal.resizeImage(Multimodal.synthPng(d), 2).get
+    val w = Multimodal.widthOf(d); val h = Multimodal.heightOf(d)
+    val v = Multimodal.fillOf(d)
+    assert(r.width == (w + 1) / 2 && r.height == (h + 1) / 2)
+    // resized pixel (x', y') samples source row 2y'
+    val expect = (0 until (h + 1) / 2)
+      .map(y => ((w + 1) / 2).toLong * ((v + 2 * y) % 256)).sum
+    assert(r.pxSum == expect)
+    assert(Multimodal.resizeImage("junk".getBytes, 2).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.resizeImage(Array[Byte](1), 0))
+  }
+
+  test("frameSample seeks and decodes every stride-th REAL frame") {
+    val d = 4L // framesOf(4) == 5 -> sampled frames 0, 2, 4
+    val m = Multimodal.MediaPayload(d, Multimodal.synthContainer(d))
     val frames = Multimodal.frameSample(m, 2).toSeq
-    val nFrames = 1 + ('x' & 0xffL) % 8
-    assert(frames.map(_.frame_idx) == (0L until nFrames by 2L).toSeq)
-    assert(frames.map(_.frame_off) == frames.map(_.frame_off).sorted)
-    assert(frames.forall(f => f.frame_sig >= 0 && f.frame_sig < 256))
+    assert(frames.map(_.frame_idx) == Seq(0L, 2L, 4L))
+    for (f <- frames) {
+      assert(f.frame_w == Multimodal.widthOf(d).toLong)
+      assert(f.frame_h == Multimodal.heightOf(d).toLong)
+      assert(f.frame_px_sum == expectedSum(d, f.frame_idx.toInt))
+    }
+    // non-container payload -> empty, not a crash
+    assert(Multimodal.frameSample(
+      Multimodal.MediaPayload(1L, Multimodal.synthPng(1L)), 2).isEmpty)
+    assert(Multimodal.frameSample(
+      Multimodal.MediaPayload(1L, Array[Byte](1, 2)), 2).isEmpty)
   }
 
-  test("extractFeatures counts codepoints by ASCII class") {
-    val f = Multimodal.extractFeatures(
-      Multimodal.MediaPayload(9L, "ab 12 的!".getBytes("UTF-8")))
-    assert(f.n_alpha == 2 && f.n_digit == 2 && f.n_space == 2)
-    assert(f.n_other == 2) // CJK char + '!' are single codepoints
-    assert(f.n_bytes == "ab 12 的!".getBytes("UTF-8").length)
+  test("containerMeta walks the header and decodes frame 0 only") {
+    val d = 8L
+    val got = Multimodal.containerMeta(
+      Multimodal.MediaPayload(d, Multimodal.synthContainer(d))).get
+    assert(got.width == Multimodal.widthOf(d).toLong)
+    assert(got.height == Multimodal.heightOf(d).toLong)
+    assert(got.n_frames == Multimodal.framesOf(d).toLong)
+    val c = Multimodal.synthContainer(d)
+    assert(Multimodal.containerMeta(
+      Multimodal.MediaPayload(d, c.take(c.length / 2))).isEmpty)
+  }
+
+  test("extractFeaturesBatch: raster min/max/sum from a real decode") {
+    val d = 3L
+    val df = Seq((d, Multimodal.synthPng(d))).toDF("doc_id", "payload")
+    val f = Multimodal.extractFeaturesBatch(df).collect().head
+    val w = Multimodal.widthOf(d); val h = Multimodal.heightOf(d)
+    val v = Multimodal.fillOf(d)
+    val rowVals = (0 until h).map(y => (v + y) % 256)
+    assert(f.n_pixels == w.toLong * h)
+    assert(f.px_sum == expectedSum(d))
+    assert(f.px_min == rowVals.min.toLong && f.px_max == rowVals.max.toLong)
   }
 }
