@@ -823,55 +823,88 @@ object EventStream {
     * TwsSessionSpec on adversarial synthetic input, including
     * stragglers behind wm1.) */
   def runWarmSessionsOnce(spark: SparkSession, dir: String,
-                          name: String = "graft_stream_warm"): DataFrame = {
+                          name: String = "graft_stream_warm"): DataFrame =
+    warmHalves(spark, dir) match {
+      case None =>
+        // DEGENERATE INPUTS fall back to the plain full-history stream
+        // (semantically what a migration with nothing to migrate is)
+        withRocksDbProvider(spark) {
+          drain(spark, closedSessionsTws(eventsStream(spark, dir)).toDF(),
+            name, mode = "append")
+        }.orderBy(col("user_id"), col("start_us"))
+      case Some((batchClosed, openInit, live, wm1)) =>
+        val streamed = withRocksDbProvider(spark) {
+          drain(spark,
+            closedSessionsTwsFromSnapshot(live, openInit,
+              wmMs = Some(wm1)).toDF(),
+            name, mode = "append")
+        }
+        batchClosed.unionByName(streamed)
+          .orderBy(col("user_id"), col("start_us"))
+    }
+
+  /** Shared halves of the warm-start migration: (batch-closed
+    * sessions, per-key open-interval initial state, late-filtered
+    * live stream, archive watermark). None on degenerate input — an
+    * empty events relation yields null range bounds, and a range
+    * within one millisecond yields an EMPTY archive (splitMs = minMs,
+    * the midpoint must sit STRICTLY above minMs since integer
+    * division floors maxMs = minMs+1 back to minMs), whose max would
+    * be null — either would NPE the warm path while the oracle still
+    * defines the (empty) answer.
+    *
+    * Both halves stay DISTRIBUTED datasets (closed sessions are
+    * data-proportional — never a driver collect); the snapshot
+    * recomputes once per consumer — measured a wash vs persist (the
+    * drain + sessionization dominate), and the rescan form holds no
+    * cache entry past the call — with both derivations identical
+    * because the kernel sorts its own input. */
+  private[graft] def warmHalves(spark: SparkSession, dir: String)
+      : Option[(DataFrame,
+                org.apache.spark.sql.Dataset[(Long, OpenSessions)],
+                DataFrame, Long)] = {
     import spark.implicits._
     val ev = graft.Tables.events(spark, dir)
-    // DEGENERATE INPUTS fall back to the plain full-history stream
-    // (semantically what a migration with nothing to migrate is):
-    // an empty events relation yields null range bounds, and a range
-    // within one millisecond yields an EMPTY archive (splitMs =
-    // minMs), whose max would be null — either would NPE the warm
-    // path while the oracle still defines the (empty) answer
     val range = ev
       .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
       .as[(Option[Long], Option[Long])].head()
     val splitOpt = range match {
-      // need the midpoint STRICTLY above minMs (integer division:
-      // maxMs = minMs+1 still floors to minMs) so the archive half is
-      // provably non-empty
       case (Some(minMs), Some(maxMs)) if maxMs - minMs >= 2 =>
         Some(minMs + (maxMs - minMs) / 2)
       case _ => None
     }
-    if (splitOpt.isEmpty)
-      return withRocksDbProvider(spark) {
-        drain(spark, closedSessionsTws(eventsStream(spark, dir)).toDF(),
-          name, mode = "append")
-      }.orderBy(col("user_id"), col("start_us"))
-    val splitMs = splitOpt.get
-    val archive = ev.filter(unix_millis(col("ts")) < splitMs)
-    val wm1 = archive.agg(max(unix_millis(col("ts")))).as[Long].head() -
-      SessionDelayMs
-    // both halves stay DISTRIBUTED datasets (closed sessions are
-    // data-proportional — never a driver collect); the snapshot
-    // recomputes once per consumer — measured a wash vs persist (the
-    // drain + sessionization dominate), and the rescan form holds no
-    // cache entry past the call — with both derivations identical
-    // because the kernel sorts its own input
-    val snapDs = sessionSnapshot(archive, wm1)
-    val batchClosed = snapDs.flatMap { case (_, (closed, _)) => closed }
-      .toDF()
-    val openInit = snapDs.map { case (uid, (_, open)) => (uid, open) }
-    val live = eventsStream(spark, dir)
-      .filter(unix_millis(col("ts")) >= splitMs)
-    val streamed = withRocksDbProvider(spark) {
-      drain(spark,
-        closedSessionsTwsFromSnapshot(live, openInit, wmMs = Some(wm1)).toDF(),
-        name, mode = "append")
+    splitOpt.map { splitMs =>
+      val archive = ev.filter(unix_millis(col("ts")) < splitMs)
+      val wm1 = archive.agg(max(unix_millis(col("ts")))).as[Long].head() -
+        SessionDelayMs
+      val snapDs = sessionSnapshot(archive, wm1)
+      val batchClosed = snapDs.flatMap { case (_, (closed, _)) => closed }
+        .toDF()
+      val openInit = snapDs.map { case (uid, (_, open)) => (uid, open) }
+      val live = eventsStream(spark, dir)
+        .filter(unix_millis(col("ts")) >= splitMs)
+      (batchClosed, openInit, live, wm1)
     }
-    batchClosed.unionByName(streamed)
-      .orderBy(col("user_id"), col("start_us"))
   }
+
+  /** Probe harness for the warm-start migration: the SAME dataflow as
+    * [[runWarmSessionsOnce]] — archive sessionized in batch, stream
+    * seeded with the per-key open intervals as initial state — but
+    * both halves consumed through the no-op sink at full drain
+    * parallelism. The timed path is the snapshot shuffle, the
+    * initial-state distribution (one state-store write per carried
+    * key — the classic hidden funnel a key-count blow-up exposes),
+    * and the seeded stream; nothing is driver-collected. */
+  def probeWarmSessions(spark: SparkSession, dir: String): Unit =
+    warmHalves(spark, dir).foreach { case (batchClosed, openInit, live, wm1) =>
+      batchClosed.write.mode("overwrite").format("noop").save()
+      withRocksDbProvider(spark) {
+        drainNoop(spark,
+          closedSessionsTwsFromSnapshot(live, openInit,
+            wmMs = Some(wm1)).toDF(),
+          mode = "append")
+      }
+    }
 
   /** Drain [[closedSessions]] over the fixture replay (append mode —
     * closed sessions are final by construction). */

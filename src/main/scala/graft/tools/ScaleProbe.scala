@@ -170,7 +170,13 @@ object ScaleProbe {
     // time should track TOTAL volume (index build + live sketch +
     // banded join) linearly; word-salting keeps cross-copy candidate
     // structure from inflating (no cross-copy shingle collisions)
-    "q_stream_neardup")
+    "q_stream_neardup",
+    // r14: the batch→streaming warm-start migration (r13 flagship).
+    // Claim under test: snapshot build is one per-key shuffle and the
+    // initial-state distribution is one state-store write per carried
+    // key — both linear in users (the user_id shift grows keys
+    // `factor`x), with no driver funnel anywhere in the seam
+    "q_stream_warm_sessions")
 
   /** Probe drains for the streaming entries: the SparkEntry query fns
     * drain to a MEMORY sink (the Verify harness needs a DataFrame
@@ -224,6 +230,11 @@ object ScaleProbe {
       // written-silver-table stand-in), candidate pairs through the
       // noop sink — the timed path is index build + live sketch +
       // stream-static banded join, nothing driver-collected
+      // r14 warm-start migration: batch half through the noop batch
+      // sink, seeded TWS stream through the noop streaming sink — the
+      // timed path includes the initial-state distribution per key
+      "q_stream_warm_sessions" ->
+        ((s, d) => EventStream.probeWarmSessions(s, d)),
       "q_stream_neardup" ->
         ((s, d) => {
           val hist = graft.queries.TextPack
