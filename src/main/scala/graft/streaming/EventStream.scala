@@ -100,22 +100,41 @@ object EventStream {
       .select(col("doc_id"), col("hist_id"), col("n_match"))
   }
 
+  /** Build the banded history index and WRITE it as a silver table
+    * (parquet), returning the read-back relation — the production
+    * contract [[graft.queries.TextPack.minhashIndex]]'s scaladoc
+    * promises: the batch dedup job materializes the index once, and
+    * every stream run joins the on-disk table, never re-sketching the
+    * archive (per micro-batch the static side is a columnar re-scan
+    * of KB-per-million-docs signature rows, not a text pipeline).
+    * Staleness is explicit by design: history rows ingested after the
+    * write are invisible to the stream until the index is rebuilt —
+    * the refresh cadence is the caller's dial (spec-pinned in
+    * StreamNeardupSpec). */
+  def writeNeardupIndex(spark: SparkSession, dir: String, out: String,
+                        pred: org.apache.spark.sql.Column = col("doc_id") % 5 =!= 0)
+      : DataFrame = {
+    graft.queries.TextPack.minhashIndex(spark, dir, pred)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
   /** Drain [[neardupAgainstHistory]] (append mode — the join is
     * stateless, every row final when emitted) and run the silver
     * collapse over the sink: a pair surfaces once per shared band, so
     * distinct first, then one row per live doc — lowest-id history
     * match as the dedup rep, candidate count, best agreement. The
-    * index is persisted across micro-batches for the drain (in
-    * production it is a written table; rebuilding the static side per
-    * batch is the one cost a naive inline plan would pay). */
+    * index goes through the full WRITE → READ-BACK silver-table path
+    * ([[writeNeardupIndex]]), so the driver-checked query exercises
+    * exactly what production runs. */
   def runNeardupOnce(spark: SparkSession, dir: String,
                      name: String = "graft_stream_neardup"): DataFrame = {
-    val hist = graft.queries.TextPack
-      .minhashIndex(spark, dir, col("doc_id") % 5 =!= 0).persist()
-    try
+    val silver = graft.TempDirs.create("graft_neardup_silver")
+    try {
+      val hist = writeNeardupIndex(spark, dir, silver.toString)
       drain(spark, neardupAgainstHistory(spark, dir, Some(hist)), name,
         mode = "append")
-    finally hist.unpersist()
+    } finally graft.TempDirs.deleteRecursively(silver)
     spark.table(name)
       .select(col("doc_id"), col("hist_id"), col("n_match")).distinct()
       .groupBy(col("doc_id"))

@@ -226,10 +226,6 @@ object ScaleProbe {
             EventStream.closedSessionsTws(EventStream.eventsStream(s, d)).toDF(),
             mode = "append")
         }),
-      // r13 incremental near-dup: index persisted across batches (the
-      // written-silver-table stand-in), candidate pairs through the
-      // noop sink — the timed path is index build + live sketch +
-      // stream-static banded join, nothing driver-collected
       // r14 warm-start migration: batch half through the noop batch
       // sink, seeded TWS stream through the noop streaming sink — the
       // timed path includes the initial-state distribution per key
@@ -237,12 +233,15 @@ object ScaleProbe {
         ((s, d) => EventStream.probeWarmSessions(s, d)),
       "q_stream_neardup" ->
         ((s, d) => {
-          val hist = graft.queries.TextPack
-            .minhashIndex(s, d, org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
-            .persist()
-          try EventStream.drainNoop(s,
-            EventStream.neardupAgainstHistory(s, d, Some(hist)), mode = "append")
-          finally hist.unpersist()
+          // r14: through the real silver-table path — index WRITTEN to
+          // parquet and read back; the timed path is index build +
+          // silver write + live sketch + stream-static banded join
+          val silver = graft.TempDirs.create("graft_probe_silver")
+          try {
+            val hist = EventStream.writeNeardupIndex(s, d, silver.toString)
+            EventStream.drainNoop(s,
+              EventStream.neardupAgainstHistory(s, d, Some(hist)), mode = "append")
+          } finally graft.TempDirs.deleteRecursively(silver)
         }))
   }
 

@@ -51,6 +51,51 @@ class StreamNeardupSpec extends AnyFunSuite {
     } finally hist.unpersist()
   }
 
+  test("silver write -> read-back: identical rows and identical stream output") {
+    val silver = TempDirs.create("graft_nd_silver_spec")
+    try {
+      val inline = graft.queries.TextPack
+        .minhashIndex(spark, TestSpark.sf, col("doc_id") % 5 =!= 0)
+      val readBack = EventStream.writeNeardupIndex(
+        spark, TestSpark.sf, silver.toString)
+      // the silver table IS the index: same rows, nothing lost in the
+      // parquet round-trip (mh array included)
+      assert(readBack.count() == inline.count())
+      assert(readBack.exceptAll(inline).isEmpty && inline.exceptAll(readBack).isEmpty)
+      // and the stream joined against the READ-BACK relation emits
+      // exactly what the inline index does
+      val live = docs.filter(col("doc_id") % 5 === 0)
+        .as[(Long, String)].collect().toSeq
+      val viaSilver = drainBatched(live.grouped(41).toSeq, readBack, "graft_nd_silver")
+      val viaInline = drainBatched(Seq(live), inline, "graft_nd_inline")
+      assert(viaSilver.nonEmpty && viaSilver == viaInline)
+    } finally TempDirs.deleteRecursively(silver)
+  }
+
+  test("index staleness and rebuild: unindexed history is invisible until rewrite") {
+    val silver = TempDirs.create("graft_nd_stale_spec")
+    try {
+      val live = docs.filter(col("doc_id") % 5 === 0)
+        .as[(Long, String)].collect().toSeq
+      val full = EventStream.writeNeardupIndex(spark, TestSpark.sf, silver.toString)
+      val fresh = drainBatched(Seq(live), full, "graft_nd_fresh")
+      assert(fresh.nonEmpty)
+      // STALE index: rebuilt as if the highest-id matching history doc
+      // had not been ingested yet — its matches must disappear, and
+      // nothing else may change (stale ⊂ fresh, difference exactly
+      // that doc's rows)
+      val cutoff = fresh.map(_._2).max
+      val stale = EventStream.writeNeardupIndex(spark, TestSpark.sf,
+        silver.toString, pred = col("doc_id") % 5 =!= 0 && col("doc_id") < cutoff)
+      val staleOut = drainBatched(Seq(live), stale, "graft_nd_stale")
+      assert(staleOut == fresh.filter(_._2 != cutoff))
+      assert(staleOut.subsetOf(fresh) && staleOut != fresh)
+      // REBUILD with the full predicate restores the fresh output
+      val rebuilt = EventStream.writeNeardupIndex(spark, TestSpark.sf, silver.toString)
+      assert(drainBatched(Seq(live), rebuilt, "graft_nd_rebuilt") == fresh)
+    } finally TempDirs.deleteRecursively(silver)
+  }
+
   test("the streaming plan is stateless: no state store operators") {
     implicit val sq = spark.sqlContext
     val hist = graft.queries.TextPack
