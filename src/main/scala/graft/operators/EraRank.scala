@@ -106,6 +106,9 @@ object EraRank {
     * independent [[withRowNumberTwoPass]] calls (FoldsSpec pins the
     * permutation built on this against the one-pass form
     * row-for-row). */
+  @deprecated("the shared bucketed base stays persisted with no release path; " +
+    "use withRowNumberTwoPassPairManaged and invoke its cleanup once both " +
+    "rankings are consumed", "r14")
   def withRowNumberTwoPassPair(df: DataFrame, out: String, buckets: Int,
                                era: Column,
                                predA: Column, tieA: Seq[Column],
@@ -245,6 +248,60 @@ object EraRank {
           Window.partitionBy(col("graft_e"), col("graft_bkt"))
             .orderBy((pred +: tie).map(_.asc): _*)))
   }
+
+  /** Rows in the LARGEST era above which the one-pass era window (one
+    * shuffle partition — one task — per era) is dispatched to the
+    * two-pass sketch-bucketed form. The measured crossover (SCALE.md
+    * permutation pair): one-pass wins while an era fits one task (the
+    * two-pass runs a whole extra rank pipeline, ~2× at small eras) and
+    * loses hard once it doesn't (23.7× vs 5.5× wall at 100× data,
+    * ~700k rows/era on the probe box). 1M rows ≈ the point where a
+    * single sort task stops being comfortable on a default executor;
+    * override per session via `spark.graft.rank.onePassMaxEraRows`. */
+  val DefaultOnePassMaxEraRows: Long = 1000000L
+
+  private def resolveOnePassCeiling(df: DataFrame, explicit: Long): Long =
+    if (explicit >= 0) explicit
+    else df.sparkSession.conf
+      .get("spark.graft.rank.onePassMaxEraRows", DefaultOnePassMaxEraRows.toString)
+      .toLong
+
+  /** Rows in the largest era — the dispatch statistic. One
+    * column-pruned count aggregate (era column only reaches the scan),
+    * a price worth paying once per pipeline to avoid running the wrong
+    * rank form at 100×. Callers that already know their era sizes (or
+    * have catalog stats) should call the specific form directly. */
+  def maxEraRows(df: DataFrame, era: Column): Long = {
+    val r = df.groupBy(era).agg(count(lit(1)).as("graft_n"))
+      .agg(max(col("graft_n"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Era-size-ADAPTIVE pct-rank: measures the largest era and picks
+    * the one-pass window below the task-size crossover, the two-pass
+    * sketch-bucketed form above it. Both forms emit bit-identical
+    * values (EraRankTwoPassSpec), so the dispatch is a pure plan
+    * choice — the default entry point for callers that don't know
+    * their era sizes in advance. `onePassMaxEraRows`: -1 resolves the
+    * session conf / [[DefaultOnePassMaxEraRows]]; an explicit 0 forces
+    * the two-pass form (how the driver's `q_*_two_pass` rows keep the
+    * ceiling-remover machinery oracle-checked through the dispatcher). */
+  def withPctRankFirstAdaptive(df: DataFrame, out: String, era: Column,
+                               pred: Column, tie: Seq[Column],
+                               buckets: Int = 32,
+                               onePassMaxEraRows: Long = -1L): DataFrame =
+    if (maxEraRows(df, era) <= resolveOnePassCeiling(df, onePassMaxEraRows))
+      withPctRankFirst(df, out, era, pred, tie: _*)
+    else
+      withPctRankFirstTwoPass(df, out, buckets, era, pred, tie: _*)
+
+  /** [[spearmanByEra]] through the adaptive rank dispatch. */
+  def spearmanByEraAdaptive(df: DataFrame, era: Column, pred: Column,
+                            truth: Column, tie: Seq[Column],
+                            onePassMaxEraRows: Long = -1L): DataFrame =
+    withPctRankFirstAdaptive(df, "graft_r", era, pred, tie,
+        onePassMaxEraRows = onePassMaxEraRows)
+      .agg(round(corr(truth, col("graft_r")), 6).as("spearman"))
 
   /** M2 `spearman_rank` (`metrics.py:5-22`): per-era pct-rank the
     * predictions, then Pearson-correlate the ranks with the truth over

@@ -124,24 +124,68 @@ object Folds {
   def permuteWithinEraTwoPass(df: DataFrame, valueCol: String, eraCol: String,
                               idCols: Seq[String], orderKey: Column,
                               buckets: Int = 32): DataFrame = {
+    // KNOWN BOUNDED LEAK (mirrors the rank pair's contract): the
+    // shared bucketed base stays persisted — the returned frame is
+    // lazy, so there is no safe point here to release it. One entry
+    // per call; the harness clears the cache between queries.
+    // Long-lived sessions: [[permuteWithinEraTwoPassManaged]].
+    val (out, _) = permuteWithinEraTwoPassManaged(
+      df, valueCol, eraCol, idCols, orderKey, buckets)
+    out
+  }
+
+  /** [[permuteWithinEraTwoPass]] plus the cleanup hook that unpersists
+    * the shared bucketed base — call it after the permuted frame has
+    * been consumed (an earlier eviction only costs a consistent
+    * recompute, never a wrong answer). */
+  def permuteWithinEraTwoPassManaged(df: DataFrame, valueCol: String, eraCol: String,
+                                     idCols: Seq[String], orderKey: Column,
+                                     buckets: Int = 32): (DataFrame, () => Unit) = {
     val ids = idCols.map(col)
     val keep = df.columns.filterNot(_ == valueCol).map(col)
     // SHARED-pass form (r12, VERDICT task 7): both orderings' ranks
     // come from ONE fused sketch aggregate and ONE persisted bucketed
-    // base ([[EraRank.withRowNumberTwoPassPair]]) instead of two
-    // independent two-pass pipelines — the prior form re-derived the
-    // same base per ordering and measured ~8x the one-pass at sizes
-    // where an era fits one task. Each rank window still computes
-    // exactly once. Like the rank form, this is the CEILING REMOVER
-    // for eras that outgrow a task, not the small-era default.
-    val (ra, rb) = EraRank.withRowNumberTwoPassPair(df, "graft_rn", buckets,
-      col(eraCol), ids.head, ids.tail, orderKey, ids)
+    // base ([[EraRank.withRowNumberTwoPassPairManaged]]) instead of
+    // two independent two-pass pipelines — the prior form re-derived
+    // the same base per ordering and measured ~8x the one-pass at
+    // sizes where an era fits one task. Each rank window still
+    // computes exactly once. Like the rank form, this is the CEILING
+    // REMOVER for eras that outgrow a task, not the small-era default.
+    val (ra, rb, cleanup) = EraRank.withRowNumberTwoPassPairManaged(
+      df, "graft_rn", buckets, col(eraCol), ids.head, ids.tail, orderKey, ids)
     val a = ra.select((keep :+ col("graft_rn")): _*)
     val b = rb.select(col(eraCol).as("graft_era_b"),
       col("graft_rn").as("graft_rn_b"), col(valueCol))
-    a.join(b, a(eraCol) === col("graft_era_b") &&
+    val joined = a.join(b, a(eraCol) === col("graft_era_b") &&
         col("graft_rn") === col("graft_rn_b"))
       .drop("graft_rn", "graft_rn_b", "graft_era_b")
+    (joined, cleanup)
+  }
+
+  /** Era-size-ADAPTIVE permutation: measures the largest era
+    * ([[EraRank.maxEraRows]] — one column-pruned count aggregate) and
+    * dispatches to the one-pass window form below the task-size
+    * crossover, the shared-pass two-pass form above it. The two forms
+    * are row-identical by construction (FoldsSpec pins it), so the
+    * dispatch is a pure plan choice; SCALE.md's permutation pair
+    * measured the stakes (one-pass 23.7× wall at 100× data vs the
+    * two-pass 5.5× — and the reverse ~2× penalty for running the
+    * two-pass on task-sized eras). `onePassMaxEraRows`: -1 resolves
+    * `spark.graft.rank.onePassMaxEraRows` /
+    * [[EraRank.DefaultOnePassMaxEraRows]]; 0 forces the two-pass. */
+  def permuteWithinEraAdaptive(df: DataFrame, valueCol: String, eraCol: String,
+                               idCols: Seq[String], orderKey: Column,
+                               buckets: Int = 32,
+                               onePassMaxEraRows: Long = -1L): DataFrame = {
+    val ceiling =
+      if (onePassMaxEraRows >= 0) onePassMaxEraRows
+      else df.sparkSession.conf
+        .get("spark.graft.rank.onePassMaxEraRows",
+          EraRank.DefaultOnePassMaxEraRows.toString).toLong
+    if (EraRank.maxEraRows(df, col(eraCol)) <= ceiling)
+      permuteWithinEra(df, valueCol, eraCol, idCols, orderKey)
+    else
+      permuteWithinEraTwoPass(df, valueCol, eraCol, idCols, orderKey, buckets)
   }
 
   def permuteWithinEra(df: DataFrame, valueCol: String, eraCol: String,

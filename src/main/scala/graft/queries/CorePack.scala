@@ -100,14 +100,18 @@ object CorePack extends QueryPack {
   }
 
   /** M2 — the flagship `spearman_rank` pipeline (`metrics.py:5-22`):
-    * scan → per-era rank → global rank-vs-truth correlation. */
+    * scan → per-era rank → global rank-vs-truth correlation. r14:
+    * through the era-size dispatcher ([[graft.operators.EraRank
+    * .spearmanByEraAdaptive]]) — fixture-scale eras dispatch to the
+    * one-pass window; eras past the task-size crossover get the
+    * two-pass form from the same call. */
   def qSpearmanByEra(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
         col("l_extendedprice").as("pred"), col("l_quantity").as("y"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-    EraRank.spearmanByEra(li, col("era"), col("pred"), col("y"),
-      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    EraRank.spearmanByEraAdaptive(li, col("era"), col("pred"), col("y"),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
   }
 
   /** M2 on the TWO-PASS rank path ([[graft.operators.EraRank
@@ -122,8 +126,12 @@ object CorePack extends QueryPack {
       .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
         col("l_extendedprice").as("pred"), col("l_quantity").as("y"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-    EraRank.spearmanByEraTwoPass(li, col("era"), col("pred"), col("y"),
-      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    // r14: through the dispatcher with the ceiling forced to 0 — this
+    // row pins the two-pass branch (the ceiling-remover machinery)
+    // regardless of fixture-scale era sizes
+    EraRank.spearmanByEraAdaptive(li, col("era"), col("pred"), col("y"),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")), onePassMaxEraRows = 0L)
   }
 
   /** M2 per-era diagnostic — one Spearman row per era (the notebook's

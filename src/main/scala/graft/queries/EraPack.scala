@@ -66,7 +66,11 @@ object EraPack extends QueryPack {
     val hashKey =
       (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)
         + col("l_partkey") * lit(7919L) + col("l_suppkey") * lit(104729L)) % lit(999999937L)
-    Folds.permuteWithinEra(base, "l_quantity", "era",
+    // r14: through the era-size dispatcher — at fixture scale it
+    // measures task-sized eras and picks this one-pass form (the plan
+    // FoldsDispatchSpec pins); past the crossover the SAME call picks
+    // the two-pass, so a user never has to know the ceiling exists
+    Folds.permuteWithinEraAdaptive(base, "l_quantity", "era",
         Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), hashKey)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity").as("q_perm"))
@@ -93,8 +97,13 @@ object EraPack extends QueryPack {
     val hashKey =
       (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)
         + col("l_partkey") * lit(7919L) + col("l_suppkey") * lit(104729L)) % lit(999999937L)
-    Folds.permuteWithinEraTwoPass(base, "l_quantity", "era",
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), hashKey)
+    // r14: same dispatcher, ceiling forced to 0 — this row exists to
+    // keep the ceiling-remover machinery oracle-checked, so it pins
+    // the two-pass branch rather than letting fixture-scale era sizes
+    // dispatch it away (see the operator scaladoc for the crossover)
+    Folds.permuteWithinEraAdaptive(base, "l_quantity", "era",
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), hashKey,
+        onePassMaxEraRows = 0L)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity").as("q_perm"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
