@@ -24,7 +24,18 @@ object CrossVal {
   def kfoldScores(df: DataFrame, eraCol: String, k: Int,
                   fit: DataFrame => (DataFrame => DataFrame),
                   score: DataFrame => DataFrame,
-                  seed: Option[Long] = None): DataFrame = {
+                  seed: Option[Long] = None): DataFrame =
+    kfoldScoresFull(df, eraCol, k, fit, (_, _, scored) => score(scored), seed)
+
+  /** [[kfoldScores]] whose score callback also sees the fold's TRAIN
+    * and TEST frames — for invariant-emitting consumers (`q_cv_rf`)
+    * that report split coverage (row/era counts, id disjointness)
+    * alongside the model's score bounds, so the driver oracle can
+    * recompute every emitted value without reproducing the model. */
+  def kfoldScoresFull(df: DataFrame, eraCol: String, k: Int,
+                      fit: DataFrame => (DataFrame => DataFrame),
+                      score: (DataFrame, DataFrame, DataFrame) => DataFrame,
+                      seed: Option[Long] = None): DataFrame = {
     val folds = seed match {
       case Some(sd) => Folds.eraKFoldRandom(
         df.select(col(eraCol)).distinct(), eraCol, k, sd)
@@ -33,7 +44,7 @@ object CrossVal {
     }
     // persisted: every fold branch re-reads the same fact+fold join
     val withFold = df.join(broadcast(folds), eraCol).persist()
-    kfoldScoresPrejoined(withFold, k, fit, score)
+    kfoldCore(withFold, k, fit, score)
   }
 
   /** The fold-fit/score loop of [[kfoldScores]] over a frame that
@@ -46,7 +57,12 @@ object CrossVal {
     * paid the fold-assignment aggregate again). */
   def kfoldScoresPrejoined(withFold: DataFrame, k: Int,
                            fit: DataFrame => (DataFrame => DataFrame),
-                           score: DataFrame => DataFrame): DataFrame = {
+                           score: DataFrame => DataFrame): DataFrame =
+    kfoldCore(withFold, k, fit, (_, _, scored) => score(scored))
+
+  private def kfoldCore(withFold: DataFrame, k: Int,
+                        fit: DataFrame => (DataFrame => DataFrame),
+                        score: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
     // folds fit CONCURRENTLY: `fit` runs its MLlib jobs eagerly, and
     // the k fits are independent — a thread per fold overlaps their
     // driver-side planning and job gaps (the prepareShared trick).
@@ -62,7 +78,7 @@ object CrossVal {
               val train = withFold.filter(col("fold") =!= f).drop("fold")
               val test = withFold.filter(col("fold") === f).drop("fold")
               val predict = fit(train)
-              score(predict(test)).withColumn("fold", lit(f.toLong))
+              score(train, test, predict(test)).withColumn("fold", lit(f.toLong))
             }
           })
         }

@@ -25,14 +25,38 @@ object MlPack extends QueryPack {
   private val featCols = (0 until 8).map(i => s"e_$i")
 
   /** M4 — era-grouped 3-fold CV of an MLlib RandomForest (the
-    * `kfold_dask` twin, `tuners.py:100-146`): per-fold Spearman + QME.
-    * Rows-only check (model internals are engine-specific). */
+    * `kfold_dask` twin, `tuners.py:100-146`), emitting INVARIANTS the
+    * driver oracle recomputes without the model (r14, the
+    * `q_shap_local_accuracy` treatment): per fold, the train/test
+    * row + era coverage counts, the train∩test vec_id overlap (must
+    * be 0 — the folds partition eras), `n_scored` = test rows the
+    * FITTED RF actually returned a non-null prediction for (the
+    * oracle equates it to the test count, so a dropped or null-scored
+    * row is a driver-visible failure), and the score bounds
+    * (|spearman| ≤ 1, qme ∈ [0,1] for rank-vs-[0,1]-scaled truth).
+    * The fit → predict → era-rank → score dataflow runs in full; only
+    * the engine-specific score VALUES stay out of the hash (their
+    * oracle-green dataflow twins: `q_cv_group_mean`, `q_cv_summary`). */
   def qCvRf(s: SparkSession, d: String): DataFrame =
-    CrossVal.kfoldScores(featureFrame(s, d), "era", 3,
+    CrossVal.kfoldScoresFull(featureFrame(s, d), "era", 3,
       FeatureSelection.rfFitter(featCols, "target", numTrees = 10,
         maxDepth = 4, seed = 42),
-      scored => Scoring.scores(scored, col("era"), col("pred"), col("target"),
-        9.0, col("vec_id")))
+      (train, test, scored) => {
+        val sc = Scoring.scores(scored, col("era"), col("pred"), col("target"),
+          9.0, col("vec_id"))
+        train.agg(count(lit(1)).as("n_train"),
+            countDistinct(col("era")).as("eras_train"))
+          .crossJoin(test.agg(count(lit(1)).as("n_test"),
+            countDistinct(col("era")).as("eras_test")))
+          .crossJoin(train.select(col("vec_id"))
+            .join(test.select(col("vec_id")), "vec_id")
+            .agg(count(lit(1)).as("n_overlap")))
+          .crossJoin(scored.agg(
+            count(when(col("pred").isNotNull, 1)).as("n_scored")))
+          .crossJoin(sc.select(
+            (abs(col("spearman")) <= 1.0).as("spearman_ok"),
+            (col("qme") >= 0.0 && col("qme") <= 1.0).as("qme_ok")))
+      })
 
   /** M7 — MDA permutation importance under 2-fold era CV
     * (`feature_selection_numerai.py:13-154`). Rows-only check. */
@@ -282,7 +306,22 @@ object MlPack extends QueryPack {
     * evaluations: successive halving over the shrinkage parameter of
     * the group-mean model, each rung training on a head-fraction of
     * events (`tuners.py:439-440`'s ratio) against a held-out fold.
-    * Rows-only check (LHS configs come from the JVM RNG). */
+    *
+    * r14: emits the OBSERVED rung schedule instead of the RNG-config
+    * leaderboard, so the driver oracle can hash-check it (the config
+    * values come from the JVM RNG and are inherently un-oracle-able;
+    * the leaderboard surface stays hash-green via the deterministic
+    * twin `q_successive_halving`). Per evaluateBatch call, in call
+    * order: the rung's config count and resource fraction as the
+    * engine actually issued them, the score count the engine got
+    * back, the survivor count the halving rule then keeps
+    * (max(1, n/eta) — rung i+1's emitted n_configs re-checks it), and
+    * whether every score came back finite. The oracle recomputes the
+    * whole schedule from the published hyperband arithmetic
+    * (R=4, eta=2 → brackets s=2,1,0; n_i = max(1, ⌊n0/eta^i⌋),
+    * frac_i = min(1, r0·eta^i/R)) — any drift in the engine's bracket
+    * loop, rung sizing, or halving rule is a driver-visible hash
+    * failure. */
   def qHyperband(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.ml.Tuning
@@ -319,13 +358,24 @@ object MlPack extends QueryPack {
         case _ => Double.NegativeInfinity
       })
     }
+    // observe the schedule the bracket loop actually issues: one
+    // record per evaluateBatch call, in call order
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Int, Boolean)]
+    def instrumented(configs: Seq[Map[String, Double]], frac: Double): Seq[Double] = {
+      val scores = evaluateBatch(configs, frac)
+      calls += ((configs.length, frac, scores.length,
+        scores.forall(x => !x.isNaN && !x.isInfinite)))
+      scores
+    }
     val trials = Tuning.hyperbandBatch(Seq(Tuning.Param("alpha", 0.0, 1.0)),
-      maxResource = 4, eta = 2, seed = 42)(evaluateBatch)
+      maxResource = 4, eta = 2, seed = 42)(instrumented)
     ev.unpersist()
-    trials.take(5).zipWithIndex.map { case (t, i) =>
-      (i + 1L, math.rint(t.config("alpha") * 1e4) / 1e4,
-        math.rint(-t.score * 1e4) / 1e4)
-    }.toDF("rank", "alpha", "rmse")
+    require(trials.nonEmpty && trials.head.score >= trials.last.score,
+      "hyperband returned an unsorted or empty leaderboard")
+    calls.toSeq.zipWithIndex.map { case ((n, frac, ns, fin), i) =>
+      (i + 1L, n.toLong, math.rint(frac * 1e4) / 1e4, ns.toLong,
+        math.max(1L, n.toLong / 2), fin)
+    }.toDF("call", "n_configs", "frac", "n_scored", "n_survivors", "all_finite")
   }
 
   /** M6, ORACLE-CHECKED twin of [[qHyperband]] — successive halving
@@ -607,6 +657,45 @@ object MlPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // r14: q_cv_rf emits model-independent split/score invariants —
+    // the oracle recomputes fold membership (rank-mod-3 over distinct
+    // eras), coverage counts, and the train∩test overlap from the
+    // parquet alone, equates n_scored to the test count (the RF must
+    // score every row, non-null), and pins the score bounds TRUE
+    // r14: q_hyperband emits the observed rung schedule; the oracle
+    // regenerates it from the published hyperband arithmetic with
+    // R=4, eta=2 (brackets s=2,1,0; n_i = max(1, n0 // eta^i);
+    // frac_i = min(1, r0 * eta^i / R)) and pins all-finite scores
+    "q_hyperband" ->
+      """WITH br AS (SELECT CAST(s AS BIGINT) AS s FROM generate_series(2, 0, -1) t(s)),
+        |rg AS (SELECT br.s, CAST(g.i AS BIGINT) AS rung
+        |       FROM br, generate_series(0, 2) g(i) WHERE g.i <= br.s),
+        |c AS (SELECT s, rung,
+        |        greatest(1, CAST(ceil(3.0 / (s + 1) * power(2, s)) AS BIGINT)
+        |                    // CAST(power(2, rung) AS BIGINT)) AS n_configs,
+        |        least(1.0, 4 * power(2.0, -s) * power(2.0, rung) / 4) AS frac
+        |      FROM rg)
+        |SELECT row_number() OVER (ORDER BY s DESC, rung) AS call,
+        |  n_configs, round(frac, 4) AS frac, n_configs AS n_scored,
+        |  greatest(1, n_configs // 2) AS n_survivors, TRUE AS all_finite
+        |FROM c ORDER BY call""".stripMargin,
+    "q_cv_rf" ->
+      """WITH e AS (SELECT DISTINCT vec_id % 10 AS era FROM embeddings),
+        |f AS (SELECT era, CAST((row_number() OVER (ORDER BY era) - 1) % 3 AS BIGINT) AS fold
+        |      FROM e),
+        |m AS (SELECT emb.vec_id, f.era, f.fold
+        |      FROM embeddings emb JOIN f ON emb.vec_id % 10 = f.era),
+        |k AS (SELECT DISTINCT fold FROM f)
+        |SELECT k.fold,
+        |  (SELECT count(*) FROM m WHERE m.fold <> k.fold) AS n_train,
+        |  (SELECT count(DISTINCT era) FROM m WHERE m.fold <> k.fold) AS eras_train,
+        |  (SELECT count(*) FROM m WHERE m.fold = k.fold) AS n_test,
+        |  (SELECT count(DISTINCT era) FROM m WHERE m.fold = k.fold) AS eras_test,
+        |  (SELECT count(*) FROM m a JOIN m b ON a.vec_id = b.vec_id
+        |     AND a.fold <> k.fold AND b.fold = k.fold) AS n_overlap,
+        |  (SELECT count(*) FROM m WHERE m.fold = k.fold) AS n_scored,
+        |  TRUE AS spearman_ok, TRUE AS qme_ok
+        |FROM k ORDER BY fold""".stripMargin,
     // TreeSHAP local accuracy: (Σφ + base) − f(x) is identically 0,
     // so the oracle enumerates the explained sample (the 1000 lowest
     // vec_ids) with a literal-zero residual; any additivity break in
