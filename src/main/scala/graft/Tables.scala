@@ -25,13 +25,35 @@ object Tables {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
+  /** Parquet reader confs that change what schema inference RETURNS
+    * for the same footer bytes: under `nanosAsLong` a TIMESTAMP(NANOS)
+    * column infers as LONG (the events loader's dispatch relies on
+    * it); `inferTimestampNTZ` decides NTZ vs session-tz for
+    * unadjusted MICROS. Folded into the memo key so two sessions in
+    * one JVM with different settings can never serve each other a
+    * schema inferred under the other's config (r14, ADVICE). */
+  private def schemaConfKey(spark: SparkSession): String =
+    Seq("spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled")
+      .map(k => try spark.conf.get(k)
+        catch { case _: Exception => "<unset>" }).mkString("|")
+
   /** Fingerprint-memoized schema peek for a fixture path — ONE memo
     * for both the batch loaders here and the streaming sources
     * (EventStream delegates), so the invalidation story lives in one
-    * place. */
+    * place. Memoizes ONLY driver-local paths: [[fingerprintKey]] stats
+    * the local filesystem, and for a path that lives elsewhere
+    * (S3/HDFS) every stat degenerates to constants — one permanently
+    * stable key that would serve a stale schema across a remote
+    * rewrite. Non-local paths skip the memo and pay the footer read
+    * (r14, ADVICE). */
   def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    schemaCache.computeIfAbsent(fingerprintKey(path),
-      _ => spark.read.parquet(path).schema)
+    if (!new java.io.File(path).exists)
+      spark.read.parquet(path).schema
+    else
+      schemaCache.computeIfAbsent(
+        fingerprintKey(path) + "#" + schemaConfKey(spark),
+        _ => spark.read.parquet(path).schema)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -80,7 +102,13 @@ object Tables {
     * walk folds every file. And it folds each file's (relative path,
     * mtime, length) TUPLE into an md5 — an earlier max-mtime +
     * conflated size+count sum could false-hit when a same-sized
-    * rewrite landed within one mtime tick. */
+    * rewrite landed within one mtime tick.
+    *
+    * LOCAL-FILESYSTEM ONLY: the walk stats via java.io.File, so a
+    * path on a remote FS (S3/HDFS) yields one constant digest per
+    * path — valid as a cache key never. Callers must check existence
+    * first ([[schemaOf]] does) or use the Hadoop-FS fingerprint
+    * (`TextPack.docsFingerprint`) for Spark-visible remote paths. */
   def fingerprintKey(path: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def go(f: java.io.File, rel: String): Unit =
