@@ -4,13 +4,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // shuffle/spill scratch: overridable so a RAM-backed dir
+    // (/dev/shm) can take the block-manager writes off the /tmp disk;
+    // default stays the JVM tmpdir
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+    // stream-drain checkpoints on RAM when the host has it: the
+    // offset/commit WAL fsyncs per micro-batch and /tmp is
+    // disk-backed here (~100 ms/drain measured by StreamFloorProbe);
+    // durability across JVMs is meaningless for these
+    // drain-to-completion harness streams
+    val b1 =
+      if (new java.io.File("/dev/shm").isDirectory)
+        b0.config("spark.graft.stream.checkpointDir", "/dev/shm/graft_ckpt")
+      else b0
+    val spark = localDir.fold(b1)(d => b1.config("spark.local.dir", d))
       // the whole-stage-codegen compile cache defaults to 100 entries;
       // ~195 queries × several codegen stages evict it within one
       // sweep, so the spaced-sweep min would re-pay janino compilation

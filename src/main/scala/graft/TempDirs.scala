@@ -24,6 +24,17 @@ object TempDirs {
     p
   }
 
+  /** [[create]] under an explicit parent (e.g. a RAM-backed scratch
+    * dir for stream checkpoints); same exit-hook registration. */
+  def createUnder(base: String, prefix: String): java.nio.file.Path = {
+    require(hookInstalled)
+    val parent = java.nio.file.Paths.get(base)
+    java.nio.file.Files.createDirectories(parent)
+    val p = java.nio.file.Files.createTempDirectory(parent, prefix)
+    dirs.add(p)
+    p
+  }
+
   /** Best-effort recursive delete (also used to prune superseded
     * snapshot versions before JVM exit). */
   def deleteRecursively(p: java.nio.file.Path): Unit = {

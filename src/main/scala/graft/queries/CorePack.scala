@@ -122,7 +122,14 @@ object CorePack extends QueryPack {
     * construction (EraRankTwoPassSpec pins row equality), so DuckDB
     * still checks it with the plain one-window formulation. */
   def qSpearmanTwoPass(s: SparkSession, d: String): DataFrame = {
+    // scoped to the 1996 ship-year, the q_permute_era_two_pass
+    // precedent: this row exists to oracle-check the ceiling-remover
+    // MACHINERY (sketch → offsets → (era, bucket) rank → corr), not
+    // to pay the two-pass constant over the whole fixture — the
+    // harness-scale default is and should be q_spearman_by_era's
+    // adaptive dispatch (r14)
     val li = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1996)
       .select(Tables.eraOfDate(col("l_shipdate")).as("era"),
         col("l_extendedprice").as("pred"), col("l_quantity").as("y"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
@@ -1819,14 +1826,15 @@ object CorePack extends QueryPack {
         |  FROM lineitem)
         |SELECT round(corr(y, r), 6) AS spearman FROM t""".stripMargin,
     // two-pass rank path, same answer: the oracle deliberately uses the
-    // plain one-window formulation — equality IS the check
+    // plain one-window formulation — equality IS the check (1996
+    // ship-year scope, the q_permute_era_two_pass precedent)
     "q_spearman_two_pass" ->
       """WITH t AS (
         |  SELECT l_quantity AS y,
         |    CAST(row_number() OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)
         |      ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS DOUBLE)
         |    / count(*) OVER (PARTITION BY year(l_shipdate)*12 + month(l_shipdate)) AS r
-        |  FROM lineitem)
+        |  FROM lineitem WHERE year(l_shipdate) = 1996)
         |SELECT round(corr(y, r), 6) AS spearman FROM t""".stripMargin,
     "q_spearman_per_era" ->
       """WITH t AS (

@@ -193,11 +193,16 @@ object EventStream {
   def runUserTotalsOnce(spark: SparkSession, dir: String,
                         name: String = "graft_stream_totals"): DataFrame = {
     withDrainPartitions(spark) {
+      val ckpt = newCheckpointDir(spark)
       val q = runningUserTotals(spark, dir).toDF()
         .writeStream.outputMode("update")
         .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        graft.TempDirs.deleteRecursively(ckpt)
+      }
     }
     spark.table(name)
   }
@@ -218,6 +223,20 @@ object EventStream {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Per-drain checkpoint dir, honoring the optional
+    * `spark.graft.stream.checkpointDir` base: the offset/commit WAL is
+    * written and fsynced per micro-batch, and on the bench host /tmp
+    * is disk-backed while /dev/shm is RAM — the harness points the
+    * base there (~100 ms/drain measured by StreamFloorProbe; a
+    * checkpoint that survives the JVM is a durability feature these
+    * drain-to-completion harness streams never use). Unset, the JVM
+    * tmpdir default applies — the production-safe choice. */
+  private def newCheckpointDir(spark: SparkSession): java.nio.file.Path =
+    spark.conf.getOption("spark.graft.stream.checkpointDir") match {
+      case Some(base) => graft.TempDirs.createUnder(base, "graft_stream_ckpt")
+      case None       => graft.TempDirs.create("graft_stream_ckpt")
+    }
+
   /** Probe-only drain: consume a stream through the no-op streaming
     * sink. No driver-side collection — unlike the memory sink the
     * Verify harness needs for its returned DataFrame, which collects
@@ -233,7 +252,7 @@ object EventStream {
       // scale probe drains every stream entry twice per size, so
       // leaving each drain's RocksDB/state checkpoint in /tmp until
       // exit accumulates state data across a probe run
-      val ckpt = graft.TempDirs.create("graft_stream_ckpt")
+      val ckpt = newCheckpointDir(spark)
       val q = df.writeStream.outputMode(mode).format("noop")
         .option("checkpointLocation", ckpt.toString)
         .start()
@@ -254,10 +273,17 @@ object EventStream {
   private def drain(spark: SparkSession, df: DataFrame, name: String,
                     mode: String = "complete"): DataFrame = {
     withDrainPartitions(spark) {
+      // explicit checkpoint (deleted right after) instead of Spark's
+      // implicit temp one, so the harness's checkpointDir base applies
+      val ckpt = newCheckpointDir(spark)
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        graft.TempDirs.deleteRecursively(ckpt)
+      }
     }
     spark.table(name)
   }
@@ -371,7 +397,9 @@ object EventStream {
     @volatile var snap: Option[String] = None
     val ver = new java.util.concurrent.atomic.AtomicInteger(0)
     withDrainPartitions(spark) {
+      val ckpt = newCheckpointDir(spark)
       val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val delta = batch.withColumn("op", lit("U"))
           val base = snap.map(p => spark.read.parquet(p))
@@ -388,7 +416,10 @@ object EventStream {
           ()
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        graft.TempDirs.deleteRecursively(ckpt)
+      }
     }
     // schema-preserving empty fallback: a zero-batch stream must
     // still return the aggregate's columns, not a schemaless frame
