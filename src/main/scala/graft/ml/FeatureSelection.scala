@@ -81,12 +81,29 @@ object FeatureSelection {
         fr.select(test.columns.map(col): _*).withColumn("graft_feat", lit(tag))
       }.reduce(_ unionByName _)
       val scored = predict(tagged)
-      val order = Window.partitionBy(col("graft_feat"), col(eraCol))
-        .orderBy((col("pred") +: idCols.map(col)).map(_.asc): _*)
-      val whole = Window.partitionBy(col("graft_feat"), col(eraCol))
-      val sp = scored
-        .withColumn("graft_r",
-          row_number().over(order).cast("double") / count(lit(1)).over(whole))
+      // r14: era-size-adaptive rank dispatch, measured on the PERSISTED
+      // test frame (cheap) — the variant tag multiplies window-partition
+      // COUNT by features+1 while each (variant, era) partition stays
+      // one era of test rows, so the test frame's largest era is the
+      // honest dispatch statistic for the tagged union. Past the
+      // ceiling, the rank rides the two-pass form with a composite
+      // (variant, era) key — bit-identical values, no window partition
+      // spans an era (the same hazard SCALE.md's permutation pair
+      // quantifies: 23.7x vs 5.5x wall at 100x).
+      val twoPass = graft.operators.EraRank.maxEraRows(test, col(eraCol)) >
+        graft.operators.EraRank.onePassCeiling(test)
+      val ranked =
+        if (!twoPass) {
+          val order = Window.partitionBy(col("graft_feat"), col(eraCol))
+            .orderBy((col("pred") +: idCols.map(col)).map(_.asc): _*)
+          val whole = Window.partitionBy(col("graft_feat"), col(eraCol))
+          scored.withColumn("graft_r",
+            row_number().over(order).cast("double") / count(lit(1)).over(whole))
+        } else {
+          graft.operators.EraRank.withPctRankFirstTwoPass(scored, "graft_r", 32,
+            struct(col("graft_feat"), col(eraCol)), col("pred"), idCols.map(col): _*)
+        }
+      val sp = ranked
         .groupBy(col("graft_feat"))
         .agg(corr(col(targetCol), col("graft_r")).as("spearman"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

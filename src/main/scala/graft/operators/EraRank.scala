@@ -266,6 +266,13 @@ object EraRank {
       .get("spark.graft.rank.onePassMaxEraRows", DefaultOnePassMaxEraRows.toString)
       .toLong
 
+  /** The session's resolved one-pass ceiling (conf or default) — for
+    * callers that dispatch on a statistic they compute themselves
+    * (MDA measures its per-fold TEST frame: the variant tag multiplies
+    * window-partition COUNT, not size, so the test frame's largest era
+    * is the honest dispatch statistic for the 9×-tagged union). */
+  def onePassCeiling(df: DataFrame): Long = resolveOnePassCeiling(df, -1L)
+
   /** Rows in the largest era — the dispatch statistic. One
     * column-pruned count aggregate (era column only reaches the scan),
     * a price worth paying once per pipeline to avoid running the wrong

@@ -122,6 +122,22 @@ object StreamPack extends QueryPack {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("user_id"))
 
+  /** Stream-stream LEFT OUTER join (r14): the funnel shape — per user,
+    * matched click→purchase pairs AND the watermark-closed unconverted
+    * clicks ([[EventStream.clickPurchaseLeftPairs]]). The oracle
+    * replays the outer semantics in batch SQL: matched pairs are the
+    * plain interval join; a null-extended click appears iff no
+    * purchase matched AND the final watermark (min of the two
+    * sides' max event time, minus the 1 h delay) passed its match
+    * horizon (ts_c + 1 h) — the exact condition under which the
+    * streaming operator may emit it. */
+  def qStreamLeftJoin(s: SparkSession, d: String): DataFrame =
+    EventStream.runLeftJoinOnce(s, d, s"graft_stream_lj${runSeq.incrementAndGet()}")
+      .groupBy(col("user_id"))
+      .agg(count(col("purchase_id")).as("n_pairs"),
+        count(when(col("purchase_id").isNull, 1)).as("n_unconverted"))
+      .orderBy(col("user_id"))
+
   /** Streaming incremental near-dup — the daily-crawl-vs-archive
     * dedup ([[EventStream.neardupAgainstHistory]]): docs with
     * `doc_id % 5 == 0` replay as the live stream, the rest are the
@@ -194,6 +210,7 @@ object StreamPack extends QueryPack {
     "q_stream_stats"       -> qStreamStats,
     "q_stream_session"     -> qStreamSession,
     "q_stream_join"        -> qStreamJoin,
+    "q_stream_left_join"   -> qStreamLeftJoin,
     "q_stream_enrich"      -> qStreamEnrich,
     "q_stream_neardup"     -> qStreamNeardup,
     "q_stream_warm_sessions" -> qStreamWarmSessions,
@@ -333,5 +350,29 @@ object StreamPack extends QueryPack {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) AND epoch_us(a.ts) + 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // left-outer replay: matched pairs are the plain interval join;
+    // an unconverted click counts iff the FINAL global watermark
+    // (min of the two sides' max event time − the 1 h delay, Spark's
+    // default min-policy) strictly passed its match horizon ts_c+1h —
+    // the exact eviction condition of the streaming operator
+    "q_stream_left_join" ->
+      """WITH c AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS cs,
+        |             event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT CAST(user_id AS BIGINT) AS u2, epoch_us(ts) AS ps,
+        |        event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(cs) FROM c), (SELECT max(ps) FROM p))
+        |         - 3600000000 AS w),
+        |j AS (SELECT c.user_id, c.click_id, c.cs, p.purchase_id
+        |      FROM c LEFT JOIN p ON c.user_id = p.u2
+        |        AND p.ps >= c.cs AND p.ps <= c.cs + 3600000000),
+        |keep AS (SELECT * FROM j WHERE purchase_id IS NOT NULL
+        |         UNION ALL
+        |         SELECT * FROM j WHERE purchase_id IS NULL
+        |           AND cs + 3600000000 < (SELECT w FROM wm))
+        |SELECT user_id, count(purchase_id) AS n_pairs,
+        |  count(CASE WHEN purchase_id IS NULL THEN 1 END) AS n_unconverted
+        |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

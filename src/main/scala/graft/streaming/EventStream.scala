@@ -349,6 +349,75 @@ object EventStream {
                   name: String = "graft_stream_join"): DataFrame =
     drain(spark, clickPurchasePairs(spark, dir), name, mode = "append")
 
+  /** Stream-stream LEFT OUTER join — [[clickPurchasePairs]] with
+    * unconverted clicks retained (the funnel/abandonment shape inner
+    * joins cannot express). Outer semantics on unbounded streams are
+    * WATERMARK-GATED: a click's null-extended row is emitted only when
+    * the global watermark passes its match horizon (ts_c + 1 h) — only
+    * then can no future purchase legally match it — so clicks whose
+    * horizon the FINAL watermark never passes are not emitted at all
+    * (they are still provisional when the replay ends). That cutoff is
+    * a pure function of the data (final wm = min(max click ts, max
+    * purchase ts) − 1 h under the default min-policy across the two
+    * watermark nodes), which is what makes the drained result exactly
+    * reproducible by the batch oracle. Matched pairs emit immediately,
+    * identical to the inner form. */
+  def clickPurchaseLeftPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").as("ts_c"), col("event_id").as("click_id"))
+      .withWatermark("ts_c", "1 hour")
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("u2"),
+        col("ts").as("ts_p"), col("event_id").as("purchase_id"))
+      .withWatermark("ts_p", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("u2")
+          && col("ts_p") >= col("ts_c")
+          && col("ts_p") <= col("ts_c") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Drain [[clickPurchaseLeftPairs]] in APPEND mode. Null-extended
+    * rows are emitted by the state-cleanup pass of a batch AFTER the
+    * watermark advances; `processAllAvailable` only guarantees the
+    * DATA batches, so the drain polls until the no-data batches stop
+    * adding sink rows (bounded wait, deterministic final relation). */
+  def runLeftJoinOnce(spark: SparkSession, dir: String,
+                      name: String = "graft_stream_left_join"): DataFrame = {
+    withDrainPartitions(spark) {
+      val ckpt = newCheckpointDir(spark)
+      val q = clickPurchaseLeftPairs(spark, dir)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        // wait out the watermark-advance no-data batches: stop when
+        // two consecutive polls see the same sink count AND the last
+        // progress reports no new input (bounded at ~15 s)
+        var stable = 0
+        var last = -1L
+        var spins = 0
+        while (stable < 6 && spins < 300) {
+          val n = spark.table(name).count()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+          spins += 1
+          Thread.sleep(50)
+        }
+      } finally {
+        q.stop()
+        graft.TempDirs.deleteRecursively(ckpt)
+      }
+    }
+    spark.table(name)
+  }
+
   /** Stream-static ENRICHMENT join — the canonical production shape
     * missing from the join family: an unbounded event stream joined to
     * a bounded dimension (customer segments) loaded as a plain batch

@@ -37,6 +37,28 @@ class SelectionSpec extends AnyFunSuite {
     assert(FeatureSelection.selectTop(imps, 1) == Seq("f_good"))
   }
 
+  test("MDA's adaptive rank dispatch: forced two-pass is value-identical") {
+    // r14: MDA's (variant, era) rank windows dispatch on the test
+    // frame's largest era; force the two-pass branch via the session
+    // ceiling and pin that the importances match the one-pass default
+    // exactly (the ranks are bit-identical by construction)
+    val key = "spark.graft.rank.onePassMaxEraRows"
+    val one = FeatureSelection.mda(df, "era", Seq("f_good", "f_noise"),
+      "target", Seq("id"), k = 2, seed = 5,
+      fit = meanFitter(Seq("f_good", "f_noise"))).collect().toSeq
+    val old = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "0")
+      val two = FeatureSelection.mda(df, "era", Seq("f_good", "f_noise"),
+        "target", Seq("id"), k = 2, seed = 5,
+        fit = meanFitter(Seq("f_good", "f_noise"))).collect().toSeq
+      assert(one == two)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("kfoldScores: informative model scores higher than noise model") {
     def scoreOf(feats: Seq[String]): Double =
       CrossVal.kfoldScores(df, "era", 3, meanFitter(feats),
