@@ -334,6 +334,91 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-PQ ANN, ORACLE-CHECKED end to end — the composition every
+    * production ANN system runs (FAISS IndexIVFPQ; Jégou et al. 2011):
+    * coarse lists prune the corpus to nprobe/k AND product-quantized
+    * RESIDUAL codes stand in for the float payload inside them. The
+    * seeded twin of [[graft.operators.IvfPq]] (which carries the
+    * Lloyd-fitted quality path): centroids are the 16 smallest-id
+    * vectors, codebooks the NEXT 16 vectors' residuals w.r.t. their
+    * own coarse assignment (the seed vectors' residuals are
+    * identically zero — degenerate codebooks — so the second sixteen
+    * are the deterministic training set), both fully relational so
+    * DuckDB replays every stage verbatim. Encode: per (vector,
+    * subspace) the codeword minimizing the index-ordered squared L2
+    * of the RESIDUAL subvector, ties to the lower codeword. Search:
+    * per (query, probed cluster) the LUT is built from the query's
+    * residual AGAINST THAT CLUSTER'S centroid (the per-list LUT is
+    * what distinguishes IVF-PQ's ADC from flat PQ), candidates join
+    * cluster-keyed, distances fold in fixed m order, ranking on the
+    * rounded distance with the vec_id tie-break. */
+  def qAnnIvfPqSeeded(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = broadcast(e.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    def l2(a: Column, b: Column): Column = {
+      val diff = zip_with(a, b, _ - _)
+      sqrt(dot(diff, diff))
+    }
+    def d2(a: Column, b: Column): Column = {
+      val diff = zip_with(a, b, _ - _)
+      dot(diff, diff)
+    }
+    val asg = e.crossJoin(cents)
+      .select(col("vec_id"), col("v"), col("cid"), l2(col("v"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
+        first(col("v")).as("v"))
+    val resid = asg.join(cents, col("cluster") === col("cid"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("v"), col("cv"), _ - _).as("r"))
+    val b = e.orderBy(col("vec_id")).limit(32)
+      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
+      .filter(col("rn") > 16)
+      .select(col("vec_id").as("bid"), (col("rn") - 17).cast("int").as("j"))
+    val ms = s.range(0, 8).select(col("id").cast("int").as("m"))
+    val cb = broadcast(resid.join(broadcast(b), col("vec_id") === col("bid"))
+      .crossJoin(ms)
+      .select(col("m"), col("j"), expr("slice(r, m*8+1, 8)").as("cw")))
+    val sub = resid.crossJoin(broadcast(ms))
+      .select(col("vec_id"), col("cluster"), col("m"),
+        expr("slice(r, m*8+1, 8)").as("sv"))
+    val codes = sub.join(cb, "m")
+      .select(col("vec_id"), col("cluster"), col("m"), col("j"),
+        d2(col("sv"), col("cw")).as("d2"))
+      .groupBy(col("vec_id"), col("cluster"), col("m"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = q.crossJoin(cents)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(l2(col("qv"), col("cv")), col("cid"))))
+      .filter(col("rn") <= 4)
+      .select(col("q_id"), col("cid").as("pcl"),
+        zip_with(col("qv"), col("cv"), _ - _).as("qr"))
+    val lut = broadcast(probes.crossJoin(broadcast(ms))
+      .select(col("q_id"), col("pcl"), col("m").as("lm"),
+        expr("slice(qr, m*8+1, 8)").as("qsv"))
+      .join(cb, col("lm") === col("m"))
+      .select(col("q_id"), col("pcl"), col("lm"), col("j"),
+        d2(col("qsv"), col("cw")).as("d2")))
+    val percell = codes.join(lut,
+        codes("cluster") === lut("pcl") && codes("m") === lut("lm")
+          && codes("code") === lut("j"))
+      .select(col("q_id"), col("vec_id"), codes("m"), col("d2"))
+    percell.groupBy(col("q_id"), col("vec_id"))
+      .agg((0 to 7).map(i => max(when(col("m") === i, col("d2"))))
+        .reduce(_ + _).as("dist2"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_d2", round(col("dist2"), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_d2"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adc_d2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** PQ ANN with recall measurement ([[graft.operators.Pq]]): 8
     * subspaces x 16 codewords (vectors stored as 8 codes — 32x
     * compression), ADC search against the code relation only, recall@5
@@ -542,6 +627,7 @@ object SimilarityPack extends QueryPack {
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_ivf_seeded"  -> qAnnIvfSeeded,
     "q_ann_pq_seeded"   -> qAnnPqSeeded,
+    "q_ann_ivfpq_seeded" -> qAnnIvfPqSeeded,
     "q_ann_pq"          -> qAnnPq,
     "q_embed_quantize"  -> qEmbedQuantize,
   )
@@ -625,6 +711,67 @@ object SimilarityPack extends QueryPack {
         |  FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < 10),
         |percell AS (SELECT l.q_id, c.vec_id, c.m, l.d2
         |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code),
+        |tot AS (SELECT q_id, vec_id,
+        |    (max(CASE WHEN m = 0 THEN d2 END) + max(CASE WHEN m = 1 THEN d2 END)
+        |     + max(CASE WHEN m = 2 THEN d2 END) + max(CASE WHEN m = 3 THEN d2 END)
+        |     + max(CASE WHEN m = 4 THEN d2 END) + max(CASE WHEN m = 5 THEN d2 END)
+        |     + max(CASE WHEN m = 6 THEN d2 END) + max(CASE WHEN m = 7 THEN d2 END))
+        |      AS dist2
+        |  FROM percell GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, vec_id AS n_id, round(dist2, 6) AS adc_d2,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(dist2, 6), vec_id) AS BIGINT) AS rank
+        |  FROM tot WHERE vec_id <> q_id)
+        |SELECT q_id, n_id, adc_d2, rank FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // the full IVF-PQ pipeline replayed relationally: seeded
+    // centroids (16 smallest ids), assignment with lower-cid tie
+    // break, RESIDUAL codebooks from the next 16 vectors, per-(query,
+    // probed-cluster) residual LUTs, fixed-m-order ADC fold, ranking
+    // on the rounded distance
+    "q_ann_ivfpq_seeded" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |          SELECT e.vec_id, c.cid,
+        |            row_number() OVER (PARTITION BY e.vec_id
+        |              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |          FROM e, c) WHERE rn = 1),
+        |res AS (SELECT a.vec_id, a.cluster,
+        |    list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS r
+        |  FROM asg a JOIN e ON a.vec_id = e.vec_id JOIN c ON a.cluster = c.cid),
+        |b AS (SELECT vec_id AS bid, CAST(rn - 17 AS INT) AS j FROM (
+        |        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        |        FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 32))
+        |      WHERE rn > 16),
+        |ms AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS m),
+        |cb AS (SELECT ms.m, b.j, list_slice(res.r, ms.m*8 + 1, ms.m*8 + 8) AS cw
+        |       FROM res JOIN b ON res.vec_id = b.bid, ms),
+        |sub AS (SELECT vec_id, cluster, m,
+        |    list_slice(r, m*8 + 1, m*8 + 8) AS sv FROM res, ms),
+        |enc AS (SELECT s.vec_id, s.cluster, s.m, cb.j,
+        |    list_sum(list_transform(list_zip(s.sv, cb.cw),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        |  FROM sub s JOIN cb ON s.m = cb.m),
+        |codes AS (SELECT vec_id, cluster, m, j AS code FROM (
+        |    SELECT vec_id, cluster, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        |    FROM enc) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (SELECT q_id, cid AS pcl,
+        |    list_transform(list_zip(qv, cv), x -> x[1] - x[2]) AS qr FROM (
+        |      SELECT q.q_id, c.cid, q.qv, c.cv,
+        |        row_number() OVER (PARTITION BY q.q_id
+        |          ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
+        |      FROM q, c) WHERE rn <= 4),
+        |lut AS (SELECT p.q_id, p.pcl, cb.m AS lm, cb.j,
+        |    list_sum(list_transform(
+        |      list_zip(list_slice(p.qr, cb.m*8 + 1, cb.m*8 + 8), cb.cw),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        |  FROM probes p, cb),
+        |percell AS (SELECT l.q_id, cd.vec_id, cd.m, l.d2
+        |  FROM codes cd JOIN lut l
+        |    ON cd.cluster = l.pcl AND cd.m = l.lm AND cd.code = l.j),
         |tot AS (SELECT q_id, vec_id,
         |    (max(CASE WHEN m = 0 THEN d2 END) + max(CASE WHEN m = 1 THEN d2 END)
         |     + max(CASE WHEN m = 2 THEN d2 END) + max(CASE WHEN m = 3 THEN d2 END)
