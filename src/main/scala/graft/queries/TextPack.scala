@@ -636,6 +636,45 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** ANY-ALIGNMENT repeated-passage detection — the Spark reduction of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": suffix-array repeats >= 50
+    * tokens): where [[qSpanDedup]] hashes only every 10th-aligned
+    * span (C4's coarse grid — a passage straddling a boundary is
+    * invisible), this hashes the 8-word window AT EVERY POSITION (the
+    * fused rolling kernel emits all of them in one scan-local pass),
+    * flags windows whose global frequency exceeds 1, and merges
+    * overlapping duplicated windows per doc into MAXIMAL repeated
+    * regions (gaps-and-islands with a <8 position gap). Exact for any
+    * repeated passage of >= 8 tokens at any alignment, the published
+    * reduction's contract. Per doc: region count, longest region,
+    * tokens covered. Scale: window rows are linear in corpus tokens,
+    * the frequency join is one hash-keyed shuffle (no pair expansion
+    * anywhere — only a c>1 flag), and the island merge windows
+    * partition per doc (bounded by doc length, never corpus-sized). */
+  def qRepeatedPassages(s: SparkSession, d: String): DataFrame = {
+    val wins = docsSpread(s, d)
+      .select(col("doc_id"), posexplode(
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val dup = wins.join(freq, "h").filter(col("c") > 1L)
+      .select(col("doc_id"), col("pos"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val regions = dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wnd) <= 7L, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("brk")).over(wnd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(8L)).as("len_toks"))
+    regions.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        max(col("len_toks")).as("max_len"),
+        sum(col("len_toks")).as("dup_toks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Test-set DECONTAMINATION — flag training docs sharing any 4-gram
     * with a held-out benchmark set (here: every 50th doc id, standing
     * in for the benchmark corpus). The benchmark n-gram universe is
@@ -1357,6 +1396,7 @@ object TextPack extends QueryPack {
     "q_containment"   -> qContainment,
     "q_token_budget"  -> qTokenBudget,
     "q_span_dedup"    -> qSpanDedup,
+    "q_repeated_passages" -> qRepeatedPassages,
     "q_decontaminate" -> qDecontaminate,
     "q_mix_sample"    -> qMixSample,
     "q_importance_resample" -> qImportanceResample,
@@ -1799,6 +1839,30 @@ object TextPack extends QueryPack {
         | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         | CAST(sum(CASE WHEN c > 1 THEN 0 ELSE 10 END) AS BIGINT) AS keep_toks
         |FROM hs JOIN freq USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // any-alignment repeated passages: per-position 8-gram hashes,
+    // global freq > 1, overlapping windows merged into maximal
+    // regions (gap < 8) per doc
+    "q_repeated_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+        |           WHERE len(string_split(text,' ')) >= 8),
+        |sp AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 7)) AS i FROM t),
+        |win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    ('0x'||substr(md5(array_to_string(list_slice(w, i, i+7),' ')),1,15))::BIGINT AS h
+        |  FROM sp),
+        |freq AS (SELECT h, count(*) AS c FROM win GROUP BY 1),
+        |dup AS (SELECT doc_id, pos FROM win JOIN freq USING (h) WHERE c > 1),
+        |fl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+        |         THEN 0 ELSE 1 END AS brk FROM dup),
+        |g AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM fl),
+        |isl AS (SELECT doc_id, grp,
+        |    max(pos) - min(pos) + 8 AS len_toks FROM g GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(max(len_toks) AS BIGINT) AS max_len,
+        |  CAST(sum(len_toks) AS BIGINT) AS dup_toks
+        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (SELECT doc_id,
         |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,

@@ -136,6 +136,10 @@ object ScaleProbe {
     // what these entries test)
     "q_semdedup", "q_embed_neardup", "q_containment", "q_pagerank3",
     "q_dedup_apply",
+    // r14: any-alignment repeated passages — window rows linear in
+    // corpus tokens, one hash-keyed freq join, per-doc island merge;
+    // word-salting keeps cross-copy window collisions at zero
+    "q_repeated_passages",
     // the shared-pass positional permutation (r12 rebuild) vs its
     // one-pass sibling — the pair that quantifies the ceiling-remover
     // constant round over round
@@ -171,6 +175,11 @@ object ScaleProbe {
     // banded join) linearly; word-salting keeps cross-copy candidate
     // structure from inflating (no cross-copy shingle collisions)
     "q_stream_neardup",
+    // r14: stream-stream LEFT OUTER join — same bounded join state as
+    // the inner form plus the unmatched-left buffer, which the
+    // watermark evicts; the probe checks the outer bookkeeping stays
+    // linear as users and events grow
+    "q_stream_left_join",
     // r14: the batch→streaming warm-start migration (r13 flagship).
     // Claim under test: snapshot build is one per-key shuffle and the
     // initial-state distribution is one state-store write per carried
@@ -231,6 +240,9 @@ object ScaleProbe {
       // timed path includes the initial-state distribution per key
       "q_stream_warm_sessions" ->
         ((s, d) => EventStream.probeWarmSessions(s, d)),
+      "q_stream_left_join" ->
+        ((s, d) => EventStream.drainNoop(s,
+          EventStream.clickPurchaseLeftPairs(s, d), mode = "append")),
       "q_stream_neardup" ->
         ((s, d) => {
           // r14: through the real silver-table path — index WRITTEN to
