@@ -22,56 +22,80 @@ import graft.operators.Multimodal.MediaPayload
   */
 object MultimodalPack extends QueryPack {
 
+  /** Memoized binary-fixture tables: PNG-encoding 6k images per query
+    * PER SWEEP was fixture GENERATION billed to the operator under
+    * test (r14 bench: the family cost 21 s, mostly `ImageIO.write`).
+    * A real pipeline reads image bytes from storage, so each payload
+    * kind is synthesized ONCE per data dir into a TempDirs parquet
+    * (the zorderDirs/pairTableDirs derived-layout pattern, fingerprint
+    * keyed so a fixture rewrite misses) and every query reads the
+    * binary column back — the DECODE kernels, the thing the queries
+    * actually check, still run on every execution. */
+  private val payloadDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def memoizedPayloads(s: SparkSession, d: String, kind: String)
+                              (build: => Dataset[MediaPayload]): DataFrame = {
+    val key = s"${Tables.fingerprintKey(s"$d/documents.parquet")}#$kind"
+    val dir = payloadDirs.computeIfAbsent(key, _ => {
+      val out = graft.TempDirs.create(s"graft_media_$kind").toString
+      build.toDF().write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(dir)
+  }
+
   /** Synthesized single-image fixture: one real PNG per doc. Built in
     * a typed map (partition-local; only `doc_id` is scanned). */
-  private def pngPayloads(s: SparkSession, d: String): Dataset[MediaPayload] = {
-    import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .map(id => MediaPayload(id, Multimodal.synthPng(id)))
-  }
+  private def pngPayloads(s: SparkSession, d: String): DataFrame =
+    memoizedPayloads(s, d, "png") {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map(id => MediaPayload(id, Multimodal.synthPng(id)))
+    }
+
+  private def containerPayloads(s: SparkSession, d: String): DataFrame =
+    memoizedPayloads(s, d, "container") {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map(id => MediaPayload(id, Multimodal.synthContainer(id)))
+    }
 
   /** Real decode battery including corrupt blobs: every doc_id % 97 ==
     * 0 payload is truncated to its first 8 bytes (a bare PNG magic —
     * the reader engages, then hits EOF), and the kernel must emit a
     * null-metadata row for it rather than fail the task. */
   def qImageDecode(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .map { id =>
-        val png = Multimodal.synthPng(id)
-        MediaPayload(id, if (id % 97 == 0) png.take(8) else png)
-      }
-    Multimodal.decodeBatch(payloads.toDF()).toDF().orderBy(col("doc_id"))
+    val payloads = memoizedPayloads(s, d, "png_corrupt") {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val png = Multimodal.synthPng(id)
+          MediaPayload(id, if (id % 97 == 0) png.take(8) else png)
+        }
+    }
+    Multimodal.decodeBatch(payloads).toDF().orderBy(col("doc_id"))
   }
 
   /** Container metadata: header walk + a real decode of frame 0. */
-  def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .map(id => MediaPayload(id, Multimodal.synthContainer(id)))
-    Multimodal.containerMetaBatch(payloads.toDF()).toDF()
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.containerMetaBatch(containerPayloads(s, d)).toDF()
       .orderBy(col("doc_id"))
-  }
 
   /** Real resize: decode → nearest-neighbor ÷2 → measure the actual
     * resized raster (transform-then-measure, no shortcuts). */
   def qMediaResize(s: SparkSession, d: String): DataFrame =
-    Multimodal.resizeBatch(pngPayloads(s, d).toDF(), factor = 2).toDF()
+    Multimodal.resizeBatch(pngPayloads(s, d), factor = 2).toDF()
       .orderBy(col("doc_id"))
 
   /** Real frame sampling: seek every 2nd frame in the container and
     * decode only those, emitting per-frame dims + pixel sums. */
-  def qFrameSample(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .map(id => MediaPayload(id, Multimodal.synthContainer(id)))
-    Multimodal.frameSampleBatch(payloads.toDF(), stride = 2).toDF()
+  def qFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSampleBatch(containerPayloads(s, d), stride = 2).toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
-  }
 
   /** Real feature extraction: full raster statistics per image. */
   def qMediaFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.extractFeaturesBatch(pngPayloads(s, d).toDF()).toDF()
+    Multimodal.extractFeaturesBatch(pngPayloads(s, d)).toDF()
       .orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(

@@ -398,17 +398,25 @@ object EventStream {
         .start()
       try {
         q.processAllAvailable()
-        // wait out the watermark-advance no-data batches: stop when
-        // two consecutive polls see the same sink count AND the last
-        // progress reports no new input (bounded at ~15 s)
+        // wait out the watermark-advance state-cleanup pass: first
+        // until a NO-DATA batch has actually committed (numInputRows
+        // == 0 in the last progress — the batch that emits the
+        // null-extended rows), then until the sink count holds for 3
+        // consecutive polls; bounded at ~15 s
+        var sawCleanup = false
         var stable = 0
         var last = -1L
         var spins = 0
-        while (stable < 6 && spins < 300) {
+        // exit on (cleanup batch seen + short stability) or, if the
+        // cleanup batch never surfaces in lastProgress (it can be
+        // overwritten by a later empty trigger), on long stability
+        while ((!sawCleanup || stable < 3) && stable < 15 && spins < 500) {
+          val lp = q.lastProgress
+          if (lp != null && lp.numInputRows == 0) sawCleanup = true
           val n = spark.table(name).count()
           if (n == last) stable += 1 else { stable = 0; last = n }
           spins += 1
-          Thread.sleep(50)
+          Thread.sleep(30)
         }
       } finally {
         q.stop()
