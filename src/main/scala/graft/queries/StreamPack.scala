@@ -138,6 +138,22 @@ object StreamPack extends QueryPack {
         count(when(col("purchase_id").isNull, 1)).as("n_unconverted"))
       .orderBy(col("user_id"))
 
+  /** Stream-stream FULL OUTER join (r14): both funnel directions —
+    * matched pairs, watermark-closed unconverted clicks, AND orphan
+    * purchases whose attributing click never arrived in window
+    * ([[EventStream.clickPurchaseFullPairs]]). The oracle replays both
+    * sides' null gating in batch SQL: a click closes when the final
+    * watermark passes ts_c + 1 h (its last matchable purchase time), a
+    * purchase when it passes ts_p (its last matchable click time). */
+  def qStreamFullJoin(s: SparkSession, d: String): DataFrame =
+    EventStream.runFullJoinOnce(s, d, s"graft_stream_fj${runSeq.incrementAndGet()}")
+      .groupBy(col("user_id"))
+      .agg(count(when(col("click_id").isNotNull
+          && col("purchase_id").isNotNull, 1)).as("n_pairs"),
+        count(when(col("purchase_id").isNull, 1)).as("n_unconverted"),
+        count(when(col("click_id").isNull, 1)).as("n_orphans"))
+      .orderBy(col("user_id"))
+
   /** Streaming incremental near-dup — the daily-crawl-vs-archive
     * dedup ([[EventStream.neardupAgainstHistory]]): docs with
     * `doc_id % 5 == 0` replay as the live stream, the rest are the
@@ -211,6 +227,7 @@ object StreamPack extends QueryPack {
     "q_stream_session"     -> qStreamSession,
     "q_stream_join"        -> qStreamJoin,
     "q_stream_left_join"   -> qStreamLeftJoin,
+    "q_stream_full_join"   -> qStreamFullJoin,
     "q_stream_enrich"      -> qStreamEnrich,
     "q_stream_neardup"     -> qStreamNeardup,
     "q_stream_warm_sessions" -> qStreamWarmSessions,
@@ -355,6 +372,39 @@ object StreamPack extends QueryPack {
     // (min of the two sides' max event time − the 1 h delay, Spark's
     // default min-policy) strictly passed its match horizon ts_c+1h —
     // the exact eviction condition of the streaming operator
+    // full-outer replay: both sides' null gating under the final
+    // global watermark — a click closes when the wm strictly passed
+    // ts_c + 1h, a purchase when it strictly passed ts_p (its own
+    // join window's last matchable click time)
+    "q_stream_full_join" ->
+      """WITH c AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS cs,
+        |             event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT CAST(user_id AS BIGINT) AS u2, epoch_us(ts) AS ps,
+        |        event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(cs) FROM c), (SELECT max(ps) FROM p))
+        |         - 3600000000 AS w),
+        |m AS (SELECT c.user_id, c.click_id, p.purchase_id
+        |      FROM c JOIN p ON c.user_id = p.u2
+        |        AND p.ps >= c.cs AND p.ps <= c.cs + 3600000000),
+        |lu AS (SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+        |       FROM c LEFT JOIN p ON c.user_id = p.u2
+        |         AND p.ps >= c.cs AND p.ps <= c.cs + 3600000000
+        |       WHERE p.purchase_id IS NULL
+        |         AND c.cs + 3600000000 < (SELECT w FROM wm)),
+        |ro AS (SELECT p.u2 AS user_id, CAST(NULL AS BIGINT) AS click_id, p.purchase_id
+        |       FROM p LEFT JOIN c ON p.u2 = c.user_id
+        |         AND p.ps >= c.cs AND p.ps <= c.cs + 3600000000
+        |       WHERE c.click_id IS NULL AND p.ps < (SELECT w FROM wm)),
+        |keep AS (SELECT * FROM m UNION ALL SELECT * FROM lu
+        |         UNION ALL SELECT * FROM ro)
+        |SELECT user_id,
+        |  count(CASE WHEN click_id IS NOT NULL AND purchase_id IS NOT NULL
+        |             THEN 1 END) AS n_pairs,
+        |  count(CASE WHEN purchase_id IS NULL THEN 1 END) AS n_unconverted,
+        |  count(CASE WHEN click_id IS NULL THEN 1 END) AS n_orphans
+        |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_left_join" ->
       """WITH c AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS cs,
         |             event_id AS click_id

@@ -382,16 +382,56 @@ object EventStream {
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** [[clickPurchaseLeftPairs]] with FULL OUTER semantics — both
+    * funnel directions at once: unconverted clicks AND orphan
+    * purchases (conversions whose attributing click is missing or out
+    * of window). Null emission is watermark-gated on BOTH sides; each
+    * side's cutoff is the same pure function of the data as the left
+    * form's (a side's row is closed when the final global watermark
+    * passes the latest event time that could still match it — click:
+    * ts_c + 1 h; purchase: ts_p, since matching clicks satisfy
+    * ts_c ≥ ts_p − 1 h and the engine holds the row until the
+    * watermark passes its own join window). */
+  def clickPurchaseFullPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id").cast("long").as("uc"),
+        col("ts").as("ts_c"), col("event_id").as("click_id"))
+      .withWatermark("ts_c", "1 hour")
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("up"),
+        col("ts").as("ts_p"), col("event_id").as("purchase_id"))
+      .withWatermark("ts_p", "1 hour")
+    clicks.join(purchases,
+        col("uc") === col("up")
+          && col("ts_p") >= col("ts_c")
+          && col("ts_p") <= col("ts_c") + expr("INTERVAL 1 HOUR"),
+        "fullOuter")
+      .select(coalesce(col("uc"), col("up")).as("user_id"),
+        col("click_id"), col("purchase_id"))
+  }
+
   /** Drain [[clickPurchaseLeftPairs]] in APPEND mode. Null-extended
     * rows are emitted by the state-cleanup pass of a batch AFTER the
     * watermark advances; `processAllAvailable` only guarantees the
     * DATA batches, so the drain polls until the no-data batches stop
     * adding sink rows (bounded wait, deterministic final relation). */
   def runLeftJoinOnce(spark: SparkSession, dir: String,
-                      name: String = "graft_stream_left_join"): DataFrame = {
+                      name: String = "graft_stream_left_join"): DataFrame =
+    drainOuter(spark, clickPurchaseLeftPairs(spark, dir), name)
+
+  /** Drain [[clickPurchaseFullPairs]] — same cleanup-batch wait. */
+  def runFullJoinOnce(spark: SparkSession, dir: String,
+                      name: String = "graft_stream_full_join"): DataFrame =
+    drainOuter(spark, clickPurchaseFullPairs(spark, dir), name)
+
+  private def drainOuter(spark: SparkSession, df: DataFrame,
+                         name: String): DataFrame = {
     withDrainPartitions(spark) {
       val ckpt = newCheckpointDir(spark)
-      val q = clickPurchaseLeftPairs(spark, dir)
+      val q = df
         .writeStream.outputMode("append")
         .format("memory").queryName(name)
         .option("checkpointLocation", ckpt.toString)

@@ -179,7 +179,7 @@ object ScaleProbe {
     // the inner form plus the unmatched-left buffer, which the
     // watermark evicts; the probe checks the outer bookkeeping stays
     // linear as users and events grow
-    "q_stream_left_join",
+    "q_stream_left_join", "q_stream_full_join",
     // r14: the batch→streaming warm-start migration (r13 flagship).
     // Claim under test: snapshot build is one per-key shuffle and the
     // initial-state distribution is one state-store write per carried
@@ -243,6 +243,9 @@ object ScaleProbe {
       "q_stream_left_join" ->
         ((s, d) => EventStream.drainNoop(s,
           EventStream.clickPurchaseLeftPairs(s, d), mode = "append")),
+      "q_stream_full_join" ->
+        ((s, d) => EventStream.drainNoop(s,
+          EventStream.clickPurchaseFullPairs(s, d), mode = "append")),
       "q_stream_neardup" ->
         ((s, d) => {
           // r14: through the real silver-table path — index WRITTEN to

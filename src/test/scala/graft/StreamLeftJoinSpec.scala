@@ -57,4 +57,46 @@ class StreamLeftJoinSpec extends AnyFunSuite {
   test("repeated drains are deterministic") {
     assert(drainOnce("r1") == drainOnce("r2"))
   }
+
+  test("full outer: matched = inner; both null sets are watermark-gated") {
+    val out = EventStream.runFullJoinOnce(spark, TestSpark.sf, "graft_fj_spec")
+    val matched = out.filter(col("click_id").isNotNull && col("purchase_id").isNotNull)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val inner = EventStream.runJoinOnce(spark, TestSpark.sf, "graft_fj_spec_i")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    assert(matched.except(inner).count() == 0 && inner.except(matched).count() == 0)
+
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cs"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("us").as("ps"),
+        col("event_id").as("purchase_id"))
+    val wm = math.min(
+      clicks.agg(max(col("cs"))).head.getLong(0),
+      purchases.agg(max(col("ps"))).head.getLong(0)) - 3600000000L
+    val expUnconv = clicks
+      .join(purchases, col("user_id") === col("u2")
+        && col("ps") >= col("cs") && col("ps") <= col("cs") + 3600000000L,
+        "left_anti")
+      .filter(col("cs") + 3600000000L < lit(wm))
+      .select(col("user_id"), col("click_id"))
+    val gotUnconv = out.filter(col("purchase_id").isNull)
+      .select(col("user_id"), col("click_id"))
+    assert(gotUnconv.except(expUnconv).count() == 0
+      && expUnconv.except(gotUnconv).count() == 0)
+    val expOrphan = purchases
+      .join(clicks, clicks("user_id") === col("u2")
+        && col("ps") >= col("cs") && col("ps") <= col("cs") + 3600000000L,
+        "left_anti")
+      .filter(col("ps") < lit(wm))
+      .select(col("u2").as("user_id"), col("purchase_id"))
+    val gotOrphan = out.filter(col("click_id").isNull)
+      .select(col("user_id"), col("purchase_id"))
+    assert(gotOrphan.except(expOrphan).count() == 0
+      && expOrphan.except(gotOrphan).count() == 0)
+    assert(expOrphan.count() > 0, "fixture should have orphan purchases")
+  }
 }
