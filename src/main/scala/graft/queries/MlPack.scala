@@ -636,7 +636,28 @@ object MlPack extends QueryPack {
       .toDF("sum_sigma_sq", "sigma_desc", "v_ortho_resid", "n")
   }
 
+  /** A14 — the `timer` futures poller (`utils.py:58-86`) driver-checked
+    * (r14; previously test-only): a real aggregation job runs under
+    * [[graft.ml.Progress.tracked]] (SparkListener task tally), and the
+    * emitted relation carries BOTH the job's answer (per-status order
+    * counts — the oracle recomputes them) and the poller's invariants:
+    * `tasks_ran` (the listener saw >= 1 finished task — a dead
+    * listener emits FALSE and fails the hash) and `n_failed` (the
+    * exact failed-task tally, pinned to 0). The 3-row collect is the
+    * tracked body's own result, the A14 contract. */
+  def qProgressPoll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (rows, fin, fail) = graft.ml.Progress.tracked(s) {
+      Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n")).orderBy(col("o_orderstatus")).collect()
+    }
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), fin > 0, fail))
+      .toDF("o_orderstatus", "n", "tasks_ran", "n_failed")
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_progress_poll"    -> qProgressPoll,
     "q_forward_select"   -> qForwardSelect,
     "q_pca_reduce"       -> qPcaReduce,
     "q_svd_topk"         -> qSvdTopk,
@@ -657,6 +678,13 @@ object MlPack extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // A14 driver-checked: the tracked job's answer recomputed from
+    // parquet; the listener invariants pinned (>=1 task finished, 0
+    // failed)
+    "q_progress_poll" ->
+      """SELECT o_orderstatus, count(*) AS n, TRUE AS tasks_ran,
+        |  CAST(0 AS BIGINT) AS n_failed
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // r14: q_cv_rf emits model-independent split/score invariants —
     // the oracle recomputes fold membership (rank-mod-3 over distinct
     // eras), coverage counts, and the train∩test overlap from the
