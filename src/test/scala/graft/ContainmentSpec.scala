@@ -68,6 +68,63 @@ class ContainmentSpec extends AnyFunSuite {
     assert(jac < 0.05, s"engineered pair's Jaccard should be tiny, got $jac")
   }
 
+  test("randomized equivalence sweep: anchor == exhaustive on planted corpora") {
+    // 5 seeded random corpora, each with word-salad docs plus planted
+    // containment structure (verbatim substrings, duplicated docs,
+    // overlapping-but-not-contained pairs): the anchor probe and the
+    // exhaustive self-join must produce the identical pair relation —
+    // the empirical face of the recall-exactness proof (a contained
+    // set's rarest shingle is in the container).
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919L)
+      def salad(n: Int): String =
+        (0 until n).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+      val base = (0 until 24).map(i => (i.toLong, salad(6 + rnd.nextInt(20))))
+      val docs0 = base ++
+        // contained: doc k's full text embedded in filler
+        base.take(3).zipWithIndex.map { case ((_, t), j) =>
+          (100L + j, s"${salad(8)} $t ${salad(8)}") } ++
+        // exact duplicates (mutual containment)
+        base.slice(3, 5).zipWithIndex.map { case ((_, t), j) => (200L + j, t) }
+      val df = docs0.toDF("doc_id", "text")
+      val dsh = df.select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
+      // exhaustive reference
+      val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val x = dsh.select(col("doc_id").as("a"), col("sh"))
+      val y = dsh.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+      val exhaustive = x.join(y, col("sh") === col("sh_b") && col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .join(sizes.toDF("a", "na"), "a").join(sizes.toDF("b", "nb"), "b")
+        .filter(col("c") === least(col("na"), col("nb")))
+        .select(col("a"), col("b"))
+      // anchor probe
+      val dfc = dsh.groupBy(col("sh")).agg(count(lit(1)).as("graft_df"))
+      val anchors = dsh.join(dfc, Seq("sh")).groupBy(col("doc_id"))
+        .agg(min_by(col("sh"), struct(col("graft_df"), col("sh"))).as("sh"))
+      val cand = anchors.select(col("doc_id").as("u"), col("sh"))
+        .join(dsh.select(col("doc_id").as("v"), col("sh")), Seq("sh"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")).distinct()
+      val arrs = dsh.groupBy(col("doc_id"))
+        .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("nsh"))
+      val anchor = cand
+        .join(arrs.select(col("doc_id").as("a"), col("shs").as("sh_a"),
+          col("nsh").as("na")), Seq("a"))
+        .join(arrs.select(col("doc_id").as("b"), col("shs").as("sh_b"),
+          col("nsh").as("nb")), Seq("b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          === least(col("na"), col("nb")))
+        .select(col("a"), col("b"))
+      assert(anchor.except(exhaustive).count() == 0
+        && exhaustive.except(anchor).count() == 0,
+        s"anchor != exhaustive at seed $seed")
+      assert(exhaustive.count() >= 3, s"planted pairs missing at seed $seed")
+    }
+  }
+
   test("candidate volume is anchor-bounded, not df-squared") {
     import spark.implicits._
     // 50 docs sharing one moderately-hot shingle prefix: exhaustive

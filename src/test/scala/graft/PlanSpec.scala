@@ -346,4 +346,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("repeated passages: island windows partition per doc; no pair expansion") {
+    // r14: the freq join must be a plain hash join on the window hash
+    // (a c>1 flag — never a candidate self-join), and every window
+    // function must partition by doc_id (bounded by doc length; a
+    // global window would funnel the corpus through one task)
+    val p = plan("q_repeated_passages")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(3000))
+    assert(!p.contains("windowspecdefinition()"),
+      "found an unpartitioned window:\n" + p.take(1500))
+  }
+
+  test("IVF-PQ seeded: the 16-row fan-outs broadcast; ranking is windowed per query") {
+    // the centroid / codebook / probe relations are all tiny
+    // broadcasts — the fact-sized side must never sort-merge or
+    // shuffle for them
+    val p = plan("q_ann_ivfpq_seeded")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
