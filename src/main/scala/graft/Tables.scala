@@ -41,19 +41,19 @@ object Tables {
   /** Fingerprint-memoized schema peek for a fixture path — ONE memo
     * for both the batch loaders here and the streaming sources
     * (EventStream delegates), so the invalidation story lives in one
-    * place. Memoizes ONLY driver-local paths: [[fingerprintKey]] stats
-    * the local filesystem, and for a path that lives elsewhere
-    * (S3/HDFS) every stat degenerates to constants — one permanently
-    * stable key that would serve a stale schema across a remote
-    * rewrite. Non-local paths skip the memo and pay the footer read
-    * (r14, ADVICE). */
+    * place. Driver-local paths fingerprint via the java.io walk;
+    * remote (S3/HDFS) paths via the Hadoop-FS twin (r15 — previously
+    * they skipped the memo and paid the footer read every call). A
+    * path that exists nowhere skips the memo so the PARQUET reader's
+    * error, not a stat error, is what the caller sees. */
   def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    if (!new java.io.File(path).exists)
-      spark.read.parquet(path).schema
-    else
-      schemaCache.computeIfAbsent(
-        fingerprintKey(path) + "#" + schemaConfKey(spark),
-        _ => spark.read.parquet(path).schema)
+    (try Some(fingerprintKeyAny(spark, path))
+     catch { case _: java.io.IOException => None }) match {
+      case Some(key) =>
+        schemaCache.computeIfAbsent(key + "#" + schemaConfKey(spark),
+          _ => spark.read.parquet(path).schema)
+      case None => spark.read.parquet(path).schema
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -106,9 +106,10 @@ object Tables {
     *
     * LOCAL-FILESYSTEM ONLY: the walk stats via java.io.File, so a
     * path on a remote FS (S3/HDFS) yields one constant digest per
-    * path — valid as a cache key never. Callers must check existence
-    * first ([[schemaOf]] does) or use the Hadoop-FS fingerprint
-    * (`TextPack.docsFingerprint`) for Spark-visible remote paths. */
+    * path — valid as a cache key never. Callers should use
+    * [[fingerprintKeyAny]], which dispatches here for driver-local
+    * paths and to the Hadoop-FS twin ([[fingerprintKeyHadoop]]) for
+    * every other Spark-visible filesystem. */
   def fingerprintKey(path: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def go(f: java.io.File, rel: String): Unit =
@@ -120,6 +121,42 @@ object Tables {
     go(new java.io.File(path), "")
     s"$path@" + md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Hadoop-FS twin of [[fingerprintKey]]: the same per-file
+    * (relative path, mtime, length) tuple fold, but stat'd through
+    * `FileSystem.listFiles(recursive)` so it is valid for ANY
+    * Spark-visible filesystem — the S3/HDFS layouts a 100 TB
+    * partitioned tree actually lives on, where java.io.File stats
+    * degenerate to constants. The listing order is FS-dependent, so
+    * entries are sorted before folding (the local walk sorts by name
+    * for the same reason). Throws the filesystem's IOException for a
+    * missing path — callers that want a soft miss go through
+    * [[fingerprintKeyAny]]'s error contract or catch it. */
+  def fingerprintKeyHadoop(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(p).toUri.getPath
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base)
+      entries += s"$rel|${st.getModificationTime}|${st.getLen}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+    s"$path@" + md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Fingerprint for any Spark-readable path: the cheap java.io walk
+    * when the path exists on the driver's local filesystem, the
+    * Hadoop-FS twin otherwise. Propagates the filesystem's
+    * IOException for a path that exists nowhere — memo callers catch
+    * it and fall through to the un-memoized read so the REAL reader
+    * error (not a stat error) is what surfaces. */
+  def fingerprintKeyAny(spark: SparkSession, path: String): String =
+    if (new java.io.File(path).exists) fingerprintKey(path)
+    else fingerprintKeyHadoop(spark, path)
 
   /** Re-spread a scan across the session's shuffle parallelism before
     * a COMPUTE-heavy kernel (shingling, signature hashing, array

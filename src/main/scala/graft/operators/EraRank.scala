@@ -105,33 +105,16 @@ object EraRank {
     * window computed exactly ONCE (no diamond), both bit-identical to
     * independent [[withRowNumberTwoPass]] calls (FoldsSpec pins the
     * permutation built on this against the one-pass form
-    * row-for-row). */
-  @deprecated("the shared bucketed base stays persisted with no release path; " +
-    "use withRowNumberTwoPassPairManaged and invoke its cleanup once both " +
-    "rankings are consumed", "r14")
-  def withRowNumberTwoPassPair(df: DataFrame, out: String, buckets: Int,
-                               era: Column,
-                               predA: Column, tieA: Seq[Column],
-                               predB: Column, tieB: Seq[Column]): (DataFrame, DataFrame) = {
-    // KNOWN BOUNDED LEAK: the shared bucketed base stays persisted
-    // (MEMORY_AND_DISK) after this call — the returned frames are
-    // lazy, so there is no safe point inside the call to unpersist,
-    // and dropping it early would forfeit the share the pair form
-    // exists for. One entry per call; the harness clears the cache
-    // between queries. Long-lived library sessions should use
-    // [[withRowNumberTwoPassPairManaged]] and invoke the cleanup once
-    // both rankings are consumed (results stay correct afterwards:
-    // bucketing is a pure function of values and frozen literals, so
-    // a post-cleanup recompute is consistent by construction).
-    val (ra, rb, _) =
-      withRowNumberTwoPassPairManaged(df, out, buckets, era, predA, tieA, predB, tieB)
-    (ra, rb)
-  }
-
-  /** [[withRowNumberTwoPassPair]] plus an explicit cleanup hook that
-    * unpersists the shared bucketed base. Call it after BOTH returned
-    * frames have been consumed (an eviction before then only costs a
-    * consistent recompute, never a wrong answer). */
+    * row-for-row).
+    *
+    * The third element is an explicit cleanup hook that unpersists
+    * the shared bucketed base. Call it after BOTH returned frames
+    * have been consumed (an eviction before then only costs a
+    * consistent recompute, never a wrong answer). The unmanaged pair
+    * overload (a bounded persist leak by construction — no safe
+    * unpersist point inside a call returning lazy frames) was
+    * deprecated in r14 and removed in r15 so the leak class is
+    * unconstructible. */
   def withRowNumberTwoPassPairManaged(df: DataFrame, out: String, buckets: Int,
                                       era: Column,
                                       predA: Column, tieA: Seq[Column],

@@ -177,11 +177,12 @@ object Folds {
                                idCols: Seq[String], orderKey: Column,
                                buckets: Int = 32,
                                onePassMaxEraRows: Long = -1L): DataFrame = {
+    // one resolver for both dispatchers (EraRank owns the conf key):
+    // a future key/default change lands in exactly one place, so the
+    // rank and permutation crossovers can never silently diverge
     val ceiling =
       if (onePassMaxEraRows >= 0) onePassMaxEraRows
-      else df.sparkSession.conf
-        .get("spark.graft.rank.onePassMaxEraRows",
-          EraRank.DefaultOnePassMaxEraRows.toString).toLong
+      else EraRank.onePassCeiling(df)
     if (EraRank.maxEraRows(df, col(eraCol)) <= ceiling)
       permuteWithinEra(df, valueCol, eraCol, idCols, orderKey)
     else

@@ -111,9 +111,10 @@ object IvfPq {
         (qid, ci, d)
       }.sortBy(t => (t._3, t._2)).take(nprobe).map(t => (t._1, t._2))
     }.toSeq
+    val byId = queries.toMap
     val luts: Map[(Long, Int), Array[Array[Double]]] =
       probesSeq.map { case (qid, ci) =>
-        val qv = queries.find(_._1 == qid).get._2
+        val qv = byId(qid)
         val c = index.centroids(ci)
         (qid, ci) -> Array.tabulate(m) { sub =>
           val off = sub * subDim

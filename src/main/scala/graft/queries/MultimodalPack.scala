@@ -34,15 +34,23 @@ object MultimodalPack extends QueryPack {
   private val payloadDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def memoizedPayloads(s: SparkSession, d: String, kind: String)
-                              (build: => Dataset[MediaPayload]): DataFrame = {
-    val key = s"${Tables.fingerprintKey(s"$d/documents.parquet")}#$kind"
-    val dir = payloadDirs.computeIfAbsent(key, _ => {
-      val out = graft.TempDirs.create(s"graft_media_$kind").toString
-      build.toDF().write.mode("overwrite").parquet(out)
-      out
-    })
-    s.read.parquet(dir)
-  }
+                              (build: => Dataset[MediaPayload]): DataFrame =
+    // fingerprintKeyAny: local walk for driver-local dirs, Hadoop-FS
+    // stat for remote ones (a remote dir previously degenerated to one
+    // constant digest — stale payloads across fixture rewrites, r15
+    // ADVICE). A path that stats nowhere skips the memo entirely so
+    // the documents reader's own error surfaces from `build`.
+    (try Some(Tables.fingerprintKeyAny(s, s"$d/documents.parquet"))
+     catch { case _: java.io.IOException => None }) match {
+      case Some(fp) =>
+        val dir = payloadDirs.computeIfAbsent(s"$fp#$kind", _ => {
+          val out = graft.TempDirs.create(s"graft_media_$kind").toString
+          build.toDF().write.mode("overwrite").parquet(out)
+          out
+        })
+        s.read.parquet(dir)
+      case None => build.toDF()
+    }
 
   /** Synthesized single-image fixture: one real PNG per doc. Built in
     * a typed map (partition-local; only `doc_id` is scanned). */

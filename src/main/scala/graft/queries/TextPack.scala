@@ -179,23 +179,15 @@ object TextPack extends QueryPack {
   private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val cleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** Content fingerprint of the `documents` table backing a data dir
-    * (file count + total bytes + max mtime via the Hadoop FS API, so
-    * it is valid for any Spark-visible filesystem, not just the
-    * driver-local one): a rewritten/regenerated dataset at the same
-    * path invalidates the memoized pair table instead of silently
-    * serving stale results. */
-  private def docsFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    var n = 0L; var len = 0L; var mt = 0L
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next(); n += 1; len += st.getLen
-      mt = math.max(mt, st.getModificationTime)
-    }
-    s"$n-$len-$mt"
-  }
+  /** Content fingerprint of the `documents` table backing a data dir,
+    * via [[graft.Tables.fingerprintKeyAny]] (r15: the shared per-file
+    * tuple fold — local walk or Hadoop-FS stat — replaces this file's
+    * own conflated count+bytes+max-mtime digest, which could false-hit
+    * on a same-sized rewrite within one mtime tick): a rewritten
+    * dataset at the same path invalidates the memoized pair table
+    * instead of silently serving stale results. */
+  private def docsFingerprint(s: SparkSession, d: String): String =
+    graft.Tables.fingerprintKeyAny(s, s"$d/documents.parquet")
 
   private def registerScratch(s: SparkSession, dir: String): Unit = {
     scratchDirs.add(dir)
