@@ -151,10 +151,46 @@ object Bench {
     val highVariance = Set("q_dpp_join", "q_dedup_clusters",
       "q_embed_neardup", "q_dcor_pval", "q_cv_rf", "q_cube",
       "q_cv_summary")
+    // HOST-NOISE CANARY (r15): the r14 driver artifact recorded 2.51x
+    // the round-1 baseline purely from host contention (same-day
+    // worktree control: r13's own HEAD re-benched 1.4x slower on the
+    // r14 box; the calm-window sample at the same HEAD was 1.49x) —
+    // and nothing in the JSON carried that evidence. These seven
+    // queries are round-1-era shapes whose code is frozen (scan,
+    // grouped agg, broadcast star join, semi join, top-k, lag/lead
+    // window), each <0.5 s, pinned at their calm-window times
+    // (committed BENCH_DETAIL sample 3a97bea, cross-checked against
+    // the round-1 record). Each sweep's canary ratio =
+    // (that sweep's summed canary seconds) / (pinned sum): ~1.0 on a
+    // quiet host, 1.5-2.5 in the r14 contention window. The min over
+    // sweeps lands in the headline JSON so a reader can mechanically
+    // attribute an inflated total to the box, and a ratio > 1.35
+    // after the two spaced sweeps triggers a FULL third sweep — the
+    // total becomes min-of-3, the strongest defense a single run can
+    // mount against a contention window that outlasts one sweep.
+    val canaryPinned = Map(
+      "q1_pricing_summary" -> 0.329, "q6_forecast_revenue" -> 0.133,
+      "q_filter_project" -> 0.231, "q_join_star" -> 0.493,
+      "q_semi_join" -> 0.191, "q_topk_orders" -> 0.068,
+      "q_lag_lead" -> 0.463)
+    def canaryRatio(sw: Seq[(String, (Boolean, Double))]): Option[Double] = {
+      val present = sw.collect {
+        case (n, (true, t)) if canaryPinned.contains(n) => (n, t)
+      }
+      if (present.isEmpty) None
+      else Some(present.map(_._2).sum / present.map(p => canaryPinned(p._1)).sum)
+    }
     val sweepA = sweep(sorted)
     val sweepB = sweep(sorted)
-    val sweepC = sweep(sorted.filter(q =>
-      q._1.startsWith("q_stream") || highVariance(q._1))).toMap
+    val earlyRatios = Seq(sweepA, sweepB).flatMap(canaryRatio(_))
+    val contended = earlyRatios.nonEmpty && earlyRatios.min > 1.35
+    val sweepCList = sweep(
+      if (contended) sorted
+      else sorted.filter(q =>
+        q._1.startsWith("q_stream") || highVariance(q._1)))
+    val canaryRatios =
+      earlyRatios ++ (if (contended) canaryRatio(sweepCList) else None)
+    val sweepC = sweepCList.toMap
     // second timed shared build under a probe memo tag, spaced two
     // full sweeps from the first: _shared_pairs was the one remaining
     // single-sample timing, fully exposed to a load window at run
@@ -202,13 +238,25 @@ object Bench {
     // in `errors` (and negative per-query times), never mixed into the
     // benchmark figure
     val total = results.collect { case (_, (true, v)) => v }.sum
+    // the canary verdict rides BOTH json lines: ratio ~1.0 = quiet
+    // host (the total is trustworthy as-is); >>1 = the recorded total
+    // carries host contention of about that factor on work the code
+    // hasn't changed — attribution a reader can recompute from the
+    // per_sweep values and the pinned constant
+    val canaryField =
+      if (canaryRatios.isEmpty) ""
+      else {
+        val per = canaryRatios.map(fmt).mkString("[", ",", "]")
+        s""","canary":{"ratio":${fmt(canaryRatios.min)},"per_sweep":$per,"pinned_sec":${fmt(canaryPinned.values.sum)}}"""
+      }
+    val sweepsField = s""","full_sweeps":${if (contended) 3 else 2}"""
     // Full per-query detail goes to a file: the harness keeps only the
     // final ~2000 bytes of the log, and ~90 query entries (~2.5 KB)
     // have never fit, so no round's bench line has parsed. The stdout
     // line carries the headline plus as many of the SLOWEST queries as
     // fit a byte budget that keeps the whole line inside the tail
     // (slowest-first because those are the ones perf review needs).
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$canaryField$sweepsField,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // delete any stale detail file from a prior run BEFORE writing, so a
     // failed write can never leave an old round's file masquerading as
     // current; only NonFatal is swallowed (OOM/interrupt must propagate),
@@ -224,7 +272,7 @@ object Bench {
         case scala.util.control.NonFatal(_) => false // cwd not writable: stdout line still stands alone
       }
     val detailField = if (detailOk) s""","detail":"BENCH_DETAIL.json"""" else ""
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errors":$errs$detailField"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$canaryField$sweepsField,"sf":"$sfDir","errors":$errs$detailField"""
     val budget = 1600 - head.length
     val slowFirst = results.sortBy { case (_, (_, v)) => -v }
       .map { case (k, (ok, v)) => entry(k, ok, v) }
