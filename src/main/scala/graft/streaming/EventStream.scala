@@ -414,23 +414,73 @@ object EventStream {
   }
 
   /** Drain [[clickPurchaseLeftPairs]] in APPEND mode. Null-extended
-    * rows are emitted by the state-cleanup pass of a batch AFTER the
-    * watermark advances; `processAllAvailable` only guarantees the
-    * DATA batches, so the drain polls until the no-data batches stop
-    * adding sink rows (bounded wait, deterministic final relation). */
+    * rows are emitted by the state-cleanup pass of the batch that RUNS
+    * WITH the final watermark — a no-data batch after the last data
+    * batch, which `processAllAvailable` does not wait for. The drain
+    * exits on an EXPLICIT SIGNAL (r15, replacing the r14 sink-count
+    * stability poll the ADVICE flagged as hash-flaky under load): the
+    * final watermark is a pure function of the data
+    * ([[outerHorizonMs]]), and a listener latch fires when a committed
+    * progress reports it. */
   def runLeftJoinOnce(spark: SparkSession, dir: String,
                       name: String = "graft_stream_left_join"): DataFrame =
-    drainOuter(spark, clickPurchaseLeftPairs(spark, dir), name)
+    drainOuter(spark, clickPurchaseLeftPairs(spark, dir), name,
+      outerHorizonMs(spark, dir))
 
-  /** Drain [[clickPurchaseFullPairs]] — same cleanup-batch wait. */
+  /** Drain [[clickPurchaseFullPairs]] — same signal-gated exit. */
   def runFullJoinOnce(spark: SparkSession, dir: String,
                       name: String = "graft_stream_full_join"): DataFrame =
-    drainOuter(spark, clickPurchaseFullPairs(spark, dir), name)
+    drainOuter(spark, clickPurchaseFullPairs(spark, dir), name,
+      outerHorizonMs(spark, dir))
 
+  /** The final global watermark of the click/purchase outer joins, in
+    * epoch millis — computable BEFORE the stream runs because it is a
+    * pure function of the replayed data: each side's watermark node
+    * ends at (its max event time − 1 h) and the global watermark is
+    * their min under Spark's default multi-watermark policy. Both
+    * sides floor micros→millis exactly as Spark's event-time stats do
+    * (integer division), so the equality test against the reported
+    * watermark is exact, not approximate. Returns Long.MinValue (the
+    * wait degenerates to a no-op) when either side is empty — then the
+    * watermark never advances and no null row is ever emitted, which
+    * the gated semantics define as the correct final relation. */
+  private[graft] def outerHorizonMs(spark: SparkSession, dir: String): Long = {
+    val mx = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg((max(expr("unix_micros(ts)")).cast("long") / lit(1000L))
+        .cast("long").as("mx_ms"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (for { c <- mx.get("click"); p <- mx.get("purchase") }
+      yield math.min(c, p) - 3600000L).getOrElse(Long.MinValue)
+  }
+
+  /** Drain an append-mode outer join and exit when the state-cleanup
+    * batch carrying the FINAL watermark has committed. The listener is
+    * registered before `start()`, so the signal cannot be missed; a
+    * progress event is posted only after its batch (including the sink
+    * write) commits, so once the latch fires the null-extended rows
+    * are in the sink. A drain that never sees the signal throws
+    * instead of returning a possibly-nulls-missing relation — loud
+    * beats silently nondeterministic (the r14 failure mode). */
   private def drainOuter(spark: SparkSession, df: DataFrame,
-                         name: String): DataFrame = {
+                         name: String, horizonMs: Long): DataFrame = {
     withDrainPartitions(spark) {
       val ckpt = newCheckpointDir(spark)
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.name == name) {
+            val w = e.progress.eventTime.get("watermark")
+            if (w != null &&
+                java.time.Instant.parse(w).toEpochMilli >= horizonMs)
+              latch.countDown()
+          }
+      }
+      spark.streams.addListener(listener)
       val q = df
         .writeStream.outputMode("append")
         .format("memory").queryName(name)
@@ -438,28 +488,15 @@ object EventStream {
         .start()
       try {
         q.processAllAvailable()
-        // wait out the watermark-advance state-cleanup pass: first
-        // until a NO-DATA batch has actually committed (numInputRows
-        // == 0 in the last progress — the batch that emits the
-        // null-extended rows), then until the sink count holds for 3
-        // consecutive polls; bounded at ~15 s
-        var sawCleanup = false
-        var stable = 0
-        var last = -1L
-        var spins = 0
-        // exit on (cleanup batch seen + short stability) or, if the
-        // cleanup batch never surfaces in lastProgress (it can be
-        // overwritten by a later empty trigger), on long stability
-        while ((!sawCleanup || stable < 3) && stable < 15 && spins < 500) {
-          val lp = q.lastProgress
-          if (lp != null && lp.numInputRows == 0) sawCleanup = true
-          val n = spark.table(name).count()
-          if (n == last) stable += 1 else { stable = 0; last = n }
-          spins += 1
-          Thread.sleep(30)
-        }
+        if (horizonMs > Long.MinValue &&
+            !latch.await(120, java.util.concurrent.TimeUnit.SECONDS))
+          throw new IllegalStateException(
+            s"outer-join drain '$name': no committed batch reached the " +
+              s"final watermark ($horizonMs ms) within 120 s — refusing " +
+              "to return a provisional (nulls-missing) relation")
       } finally {
         q.stop()
+        spark.streams.removeListener(listener)
         graft.TempDirs.deleteRecursively(ckpt)
       }
     }

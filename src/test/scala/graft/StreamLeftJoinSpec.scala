@@ -58,6 +58,34 @@ class StreamLeftJoinSpec extends AnyFunSuite {
     assert(drainOnce("r1") == drainOnce("r2"))
   }
 
+  test("drain exit signal equals the engine's final committed watermark exactly") {
+    // r15: the drain exits on an explicit signal — a committed progress
+    // whose watermark reaches outerHorizonMs (the data-determined final
+    // value) — instead of sink-count stability. Pin that the signal's
+    // µs→ms floor arithmetic matches what Spark actually reports: the
+    // MAX watermark over all committed progresses of a full drain must
+    // EQUAL the precomputed horizon (never short of it, never past it).
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == "graft_lj_spec_sig") {
+          val w = e.progress.eventTime.get("watermark")
+          if (w != null)
+            seen.add(java.time.Instant.parse(w).toEpochMilli)
+        }
+    }
+    spark.streams.addListener(l)
+    try EventStream.runLeftJoinOnce(spark, TestSpark.sf, "graft_lj_spec_sig")
+    finally spark.streams.removeListener(l)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.nonEmpty)
+    assert(seen.asScala.map(_.longValue).max
+      == EventStream.outerHorizonMs(spark, TestSpark.sf))
+  }
+
   test("full outer: matched = inner; both null sets are watermark-gated") {
     val out = EventStream.runFullJoinOnce(spark, TestSpark.sf, "graft_fj_spec")
     val matched = out.filter(col("click_id").isNotNull && col("purchase_id").isNotNull)
