@@ -644,27 +644,49 @@ object TextPack extends QueryPack {
     * the frequency join is one hash-keyed shuffle (no pair expansion
     * anywhere — only a c>1 flag), and the island merge windows
     * partition per doc (bounded by doc length, never corpus-sized). */
-  def qRepeatedPassages(s: SparkSession, d: String): DataFrame = {
-    val wins = docsSpread(s, d)
-      .select(col("doc_id"), posexplode(
-        graft.functions.ShingleHash.shingle_hash60(col("text"), 8)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
-    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val dup = wins.join(freq, "h").filter(col("c") > 1L)
-      .select(col("doc_id"), col("pos"))
-    val wnd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val regions = dup
-      .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(wnd) <= 7L, 0L).otherwise(1L))
-      .withColumn("grp", sum(col("brk")).over(wnd))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg((max(col("pos")) - min(col("pos")) + lit(8L)).as("len_toks"))
-    regions.groupBy(col("doc_id"))
+  def qRepeatedPassages(s: SparkSession, d: String): DataFrame =
+    repeatedPassageRegions(docsSpread(s, d))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_passages"),
         max(col("len_toks")).as("max_len"),
         sum(col("len_toks")).as("dup_toks"))
       .orderBy(col("doc_id"))
+
+  /** Frame-parametric core of [[qRepeatedPassages]]: per-doc maximal
+    * repeated regions (`doc_id`, `grp`, `sp` start pos, `len_toks`).
+    *
+    * r15 rewrite of the frequency step: the old form inner-joined the
+    * FULL window relation to the FULL per-hash count relation (both
+    * ~|corpus tokens| rows — windows are mostly unique, so the agg
+    * barely compresses), a sort-merge of two corpus-scale relations on
+    * top of the groupBy shuffle. But the join only ever KEEPS hashes
+    * with c > 1 — the genuinely repeated windows, a tiny fraction of
+    * the corpus — so filtering the count relation BEFORE the join and
+    * probing with a LEFT SEMI turns it into corpus-scan × small-set:
+    * AQE sees the post-filter size at runtime and broadcasts it (no
+    * second shuffle of the window relation at all), and in a
+    * degenerate everything-repeats corpus it degrades to the old
+    * sort-merge rather than breaking. One corpus-scale shuffle total
+    * (the count), where the old plan paid three. Row-identical by
+    * [[graft.RepeatedPassagesSpec]]'s equivalence pin. */
+  private[graft] def repeatedPassageRegions(df: DataFrame): DataFrame = {
+    val wins = df
+      .select(col("doc_id"), posexplode(
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1L).select(col("h"))
+    val dup = wins.join(dupH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wnd) <= 7L, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("brk")).over(wnd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("sp"),
+        (max(col("pos")) - min(col("pos")) + lit(8L)).as("len_toks"))
   }
 
   /** Test-set DECONTAMINATION — flag training docs sharing any 4-gram
@@ -853,8 +875,22 @@ object TextPack extends QueryPack {
     * the exhaustive form on the fixture. */
   def qContainment(s: SparkSession, d: String): DataFrame = {
     val dsh = shingleRelation(s, d)
-    val dfc = dsh.groupBy(col("sh")).agg(count(lit(1)).as("graft_df"))
-    val anchors = dsh.join(dfc, Seq("sh"))
+    // rarest-shingle anchors WITHOUT a corpus-scale×corpus-scale join
+    // (r15 — the pre-r15 form joined the full shingle relation to the
+    // full df relation on sh, a sort-merge of two ~|corpus shingles|
+    // relations that dominated the probe's 10× cell): a doc's rarest
+    // shingle only needs EXACT df for shingles that repeat — for
+    // natural text a small minority — and every other shingle has
+    // df = 1 by definition. So broadcast only the df > 1 rows
+    // (AQE sizes the post-filter relation at runtime) and coalesce
+    // the misses to 1: identical (df, sh) ordering, so min_by picks
+    // the identical anchor, and a degenerate everything-repeats
+    // corpus merely degrades to the old sort-merge join.
+    val dfcHot = dsh.groupBy(col("sh")).agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") > 1L)
+    val anchors = dsh.join(dfcHot, Seq("sh"), "left")
+      .select(col("doc_id"), col("sh"),
+        coalesce(col("graft_df"), lit(1L)).as("graft_df"))
       .groupBy(col("doc_id"))
       .agg(min_by(col("sh"), struct(col("graft_df"), col("sh"))).as("sh"))
     val cand = anchors.select(col("doc_id").as("u"), col("sh"))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -9,16 +10,23 @@ import graft.queries.TextPack
   * exact-substring-dedup reduction): it must catch a passage repeated
   * at ANY word offset — including those invisible to the 10-aligned
   * C4 span grid — merge overlapping duplicated windows into one
-  * maximal region, and stay silent on unique text.
+  * maximal region, and stay silent on unique text. r15: the suite runs
+  * the REAL frame-parametric core (`TextPack.repeatedPassageRegions`,
+  * the semi-join form) and pins it row-identical to the pre-r15
+  * full-frequency-join form on randomized corpora.
   */
 class RepeatedPassagesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def run(docs: Seq[(Long, String)]) = {
+  private def run(docs: Seq[(Long, String)]) =
+    TextPack.repeatedPassageRegions(docs.toDF("doc_id", "text"))
+
+  /** The pre-r15 frequency step: full window relation inner-joined to
+    * the full per-hash count relation, filtered AFTER the join — the
+    * reference for the semi-join rewrite's equivalence pin. */
+  private def oldForm(docs: Seq[(Long, String)]): DataFrame = {
     val df = docs.toDF("doc_id", "text")
-    // inline replica of qRepeatedPassages' pipeline over an arbitrary
-    // frame (the query fn is dir-bound)
     val wins = df.select(col("doc_id"), posexplode(
         graft.functions.ShingleHash.shingle_hash60(col("text"), 8)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
@@ -70,5 +78,32 @@ class RepeatedPassagesSpec extends AnyFunSuite {
     val got = run(Seq((1L, uniq("z", 40)), (2L, selfRep))).collect()
     assert(got.forall(_.getLong(0) == 2L), "unique doc must be absent")
     assert(got.nonEmpty, "within-doc repeat must be detected")
+  }
+
+  test("semi-join form is row-identical to the full-frequency-join form") {
+    // randomized corpora: seeded word soup over a small vocabulary so
+    // repeats arise by collision, plus planted passages at odd offsets
+    val rnd = new scala.util.Random(4177)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def soup(n: Int): String =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    for (trial <- 0 until 5) {
+      val planted = soup(8 + rnd.nextInt(12))
+      val docs = (0L until 24L).map { id =>
+        val base = soup(20 + rnd.nextInt(40))
+        val text =
+          if (id % 3 == 0) {
+            val words = base.split(" ")
+            val cut = rnd.nextInt(words.length)
+            (words.take(cut) ++ planted.split(" ") ++ words.drop(cut))
+              .mkString(" ")
+          } else base
+        (id, text)
+      }
+      val a = run(docs).orderBy("doc_id", "grp").collect().toSeq
+      val b = oldForm(docs).orderBy("doc_id", "grp").collect().toSeq
+      assert(a == b, s"trial $trial diverged")
+      assert(a.nonEmpty, s"trial $trial should contain planted repeats")
+    }
   }
 }
