@@ -1062,6 +1062,39 @@ object CorePack extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** JSON-LINES sink + scan round-trip (engine-new — the interchange
+    * format LLM training pipelines actually ingest and emit: corpus
+    * shards, annotation dumps, eval sets are JSONL before they are
+    * anything else). Same contract as [[qCsvRoundtrip]]: the
+    * documents projection is written ONCE per dir as JSONL
+    * (fingerprint-memoized via the r15 local/remote dispatcher +
+    * shutdown-hook cleanup), read back with an EXPLICIT schema
+    * (never infer on a 100 TB scan — JSON inference is a full extra
+    * pass over every byte), and aggregated; the oracle runs the same
+    * aggregate on the original parquet, so the writer→reader path
+    * must be value-exact. The projected columns are integers and
+    * strings — exact through JSON by construction. At scale the same
+    * pair is a partitioned multi-file write and a schema'd parallel
+    * scan of splittable line-delimited text — same code, no
+    * `coalesce(1)`. */
+  private val jsonlDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def qJsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = jsonlDirs.computeIfAbsent(
+      Tables.fingerprintKeyAny(s, s"$d/documents.parquet"), _ => {
+      val out = graft.TempDirs.create("graft_jsonl_rt_")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").json(out.toAbsolutePath.toString)
+      out.toAbsolutePath.toString
+    })
+    s.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+      .json(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Schema EVOLUTION scan — the lake reality the fixed-schema
     * loaders don't exercise: files written before a column existed
     * coexist with files written after, and one read must span both.
@@ -1305,6 +1338,7 @@ object CorePack extends QueryPack {
     "q_merge_changes"      -> qMergeChanges,
     "q_zorder_scan"        -> qZorderScan,
     "q_csv_roundtrip"      -> qCsvRoundtrip,
+    "q_jsonl_roundtrip"    -> qJsonlRoundtrip,
     "q_schema_evolution"   -> qSchemaEvolution,
     "q20_dominant_supplier" -> q20DominantSupplier,
     "q2_min_cost"          -> q2MinCost,
@@ -1448,6 +1482,12 @@ object CorePack extends QueryPack {
         |            ELSE 'PRE' END AS status,
         | count(*) AS n, round(sum(o_totalprice), 0) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the JSONL copy must be value-exact, so the oracle aggregates
+    // the original parquet directly (ints → BIGINT both sides)
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CSV copy must be value-exact, so the oracle aggregates the
     // original parquet directly
     "q_csv_roundtrip" ->

@@ -140,6 +140,13 @@ object ScaleProbe {
     // corpus tokens, one hash-keyed freq join, per-doc island merge;
     // word-salting keeps cross-copy window collisions at zero
     "q_repeated_passages",
+    // r15: the multimodal kernels' first measured cells. Claim under
+    // test: partition-local mapPartitions decode/explode, ZERO
+    // shuffle until the tiny audit aggregate — wall should track doc
+    // count linearly. Payload fixtures memoize per data dir, so run 1
+    // of the min-of-2 pays synthesis and run 2 times the kernel alone
+    // (exactly the steady-state a pipeline reading stored bytes sees)
+    "q_image_decode", "q_frame_sample", "q_media_features",
     // the shared-pass positional permutation (r12 rebuild) vs its
     // one-pass sibling — the pair that quantifies the ceiling-remover
     // constant round over round

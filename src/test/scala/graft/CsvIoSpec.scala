@@ -24,4 +24,20 @@ class CsvIoSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.agg(max("spearman")).as[Double].head() == 0.049398)
   }
+
+  test("JSONL round-trip aggregate equals the direct parquet aggregate") {
+    // the r15 JSONL source/sink pair: the written-and-read-back copy
+    // must be value-exact, so the query's per-lang aggregate must
+    // match the same aggregate computed on the original parquet
+    val viaJsonl = graft.queries.CorePack
+      .qJsonlRoundtrip(spark, TestSpark.sf)
+      .collect().toSeq
+    val direct = Tables.documents(spark, TestSpark.sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+      .collect().toSeq
+    assert(viaJsonl == direct)
+    assert(viaJsonl.nonEmpty)
+  }
 }
