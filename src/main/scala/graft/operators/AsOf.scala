@@ -51,4 +51,76 @@ object AsOf {
       .filter(col("graft_tag") === 1)
       .drop("graft_tag", "graft_ref")
   }
+
+  /** The full merge_asof surface (r15): `direction` backward (latest
+    * at-or-before — [[asOfJoin]]'s semantics), forward (earliest
+    * at-or-after), or nearest (closer of the two, ties to backward —
+    * the pandas rule); optional `tolerance` nulls a match farther
+    * than the bound. `timeCol` must be NUMERIC (epoch micros) —
+    * nearest/tolerance need time arithmetic, and a caller with
+    * timestamps projects `unix_micros(ts)` first.
+    *
+    * Same composition as [[asOfJoin]] — tag, union, per-key window —
+    * so the probe side never replicates and both direction frames
+    * ride ONE shuffle on the key (the two orderings differ only in
+    * tag polarity, an in-partition re-sort, not an exchange). The
+    * matched (time, payload) travel together in one struct so the
+    * tolerance test and the emitted payload can never come from
+    * different reference rows. Tie rules, deterministic both ways:
+    * backward picks the max-id reference at the matched time, forward
+    * the min-id (each direction's nearest-in-sort-order); a reference
+    * AT the probe's own time matches in both directions (Δ = 0). */
+  def asOfJoinDirectional(left: DataFrame, right: DataFrame, key: String,
+                          timeCol: String, idCol: String, payload: String,
+                          direction: String = "backward",
+                          tolerance: Long = -1L): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val payT = right.schema(payload).dataType
+    val probe = left
+      .withColumn("graft_tag", lit(1))
+      .withColumn("graft_ref", lit(null).cast(payT))
+    val ref = right
+      .select(col(key), col(timeCol), col(idCol), col(payload).as("graft_ref"))
+      .withColumn("graft_tag", lit(0))
+    val probeCols = probe.columns
+    val refAligned = ref.select(probeCols.map {
+      case c if ref.columns.contains(c) => col(c)
+      case c => lit(null).cast(probe.schema(c).dataType).as(c)
+    }: _*)
+    val u = probe.unionByName(refAligned)
+      .withColumn("graft_m", when(col("graft_tag") === 0,
+        struct(col(timeCol).as("t"), col("graft_ref").as("p"))))
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col(timeCol).asc, col("graft_tag").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // probe rows sort BEFORE equal-time references here (tag desc), so
+    // the (current, following) frame still sees at-time references
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col(timeCol).asc, col("graft_tag").desc, col(idCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val mB = last(col("graft_m"), ignoreNulls = true).over(wB)
+    val mF = first(col("graft_m"), ignoreNulls = true).over(wF)
+    val withPick = direction match {
+      case "backward" => u.withColumn("graft_pick", mB)
+      case "forward"  => u.withColumn("graft_pick", mF)
+      case "nearest" => u
+        .withColumn("graft_b", mB).withColumn("graft_f", mF)
+        .withColumn("graft_pick",
+          when(col("graft_b").isNull, col("graft_f"))
+            .when(col("graft_f").isNull, col("graft_b"))
+            .when(col(timeCol) - col("graft_b.t")
+              <= col("graft_f.t") - col(timeCol), col("graft_b"))
+            .otherwise(col("graft_f")))
+    }
+    val inTol =
+      if (tolerance < 0) lit(true)
+      else abs(col(timeCol) - col("graft_pick.t")) <= lit(tolerance)
+    withPick
+      .filter(col("graft_tag") === 1)
+      .withColumn(s"${payload}_asof",
+        when(col("graft_pick").isNotNull && inTol, col("graft_pick.p")))
+      .drop("graft_tag", "graft_ref", "graft_m", "graft_pick",
+        "graft_b", "graft_f")
+  }
 }

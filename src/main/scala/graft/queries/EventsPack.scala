@@ -86,6 +86,28 @@ object EventsPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** The r15 merge_asof surface — direction NEAREST with a 24 h
+    * tolerance: every event matched to its temporally closest signup
+    * (before OR after, ties to backward), nulled when the closest is
+    * more than a day away. Times ride as epoch micros (the numeric
+    * contract of [[graft.operators.AsOf.asOfJoinDirectional]]); the
+    * oracle replays the same two-direction window construction in
+    * SQL, so the pick and tolerance arithmetic must be exact. */
+  def qAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"))
+    val signups = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"))
+    graft.operators.AsOf.asOfJoinDirectional(
+        ev, signups, "user_id", "t", "event_id", "event_id",
+        direction = "nearest", tolerance = 86400000000L)
+      .select(col("event_id"), col("event_id_asof"))
+      .orderBy(col("event_id"))
+  }
+
   /** The same as-of semantics through the FULL custom Catalyst path —
     * `AsOfJoinNode` logical node, `AsOfStrategy` planner rule,
     * `AsOfJoinExec` physical operator (required distribution/ordering
@@ -661,6 +683,7 @@ object EventsPack extends QueryPack {
     "q_sliding_window" -> qSlidingWindow,
     "q_asof_join"      -> qAsofJoin,
     "q_asof_custom"    -> qAsofCustom,
+    "q_asof_nearest"   -> qAsofNearest,
     "q_json_extract"   -> qJsonExtract,
     "q_date_agg"       -> qDateAgg,
     "q_tumbling_window" -> qTumblingWindow,
@@ -949,6 +972,37 @@ object EventsPack extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_id_asof
         |  FROM u)
         |SELECT event_id, event_id_asof FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    // nearest + 24h tolerance: both direction windows replayed in SQL
+    // (backward = last ref at-or-before in (t, tag, id) order; forward
+    // = first ref at-or-after with probes sorted before equal-time
+    // refs), matched time and payload picked by the SAME condition so
+    // they can never come from different rows; ties to backward
+    "q_asof_nearest" ->
+      """WITH sign AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
+        |u AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 0 AS tag, event_id, event_id AS ref FROM sign
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS t, 1 AS tag, event_id, NULL AS ref FROM events),
+        |w AS (SELECT user_id, tag, event_id, t,
+        |    last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER wb AS bt,
+        |    last_value(CASE WHEN tag = 0 THEN ref END IGNORE NULLS) OVER wb AS bp,
+        |    first_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER wf AS ft,
+        |    first_value(CASE WHEN tag = 0 THEN ref END IGNORE NULLS) OVER wf AS fp
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, tag, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY t, tag DESC, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |p AS (SELECT event_id, t,
+        |    CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+        |         WHEN t - bt <= ft - t THEN bt ELSE ft END AS pick_t,
+        |    CASE WHEN bt IS NULL THEN fp WHEN ft IS NULL THEN bp
+        |         WHEN t - bt <= ft - t THEN bp ELSE fp END AS pick_p
+        |  FROM w WHERE tag = 1)
+        |SELECT event_id,
+        |  CASE WHEN pick_t IS NOT NULL AND abs(t - pick_t) <= 86400000000
+        |       THEN pick_p END AS event_id_asof
+        |FROM p ORDER BY event_id""".stripMargin,
     // identical oracle as q_asof_join: the custom physical operator
     // must reproduce the composition's answer exactly
     "q_asof_custom" ->

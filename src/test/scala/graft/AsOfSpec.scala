@@ -91,4 +91,71 @@ class AsOfSpec extends AnyFunSuite {
     assert(viaWindow.except(viaMerge).count() == 0)
     assert(viaMerge.except(viaWindow).count() == 0)
   }
+
+  // --- r15: the directional merge_asof surface ---
+
+  private def directional(direction: String, tolerance: Long = -1L) = {
+    val probe = Seq((1L, 5L, 100L), (1L, 15L, 101L), (1L, 25L, 102L),
+        (1L, 40L, 104L), (2L, 9L, 103L))
+      .toDF("k", "t", "id")
+    val ref = Seq((1L, 10L, 200L), (1L, 20L, 201L), (1L, 25L, 202L))
+      .toDF("k", "t", "id").withColumn("pay", col("id") - 193L)
+    AsOf.asOfJoinDirectional(probe, ref, "k", "t", "id", "pay",
+        direction, tolerance)
+      .select(col("id"), col("pay_asof")).orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toSeq
+  }
+
+  test("directional backward equals asOfJoin's semantics") {
+    assert(directional("backward") == Seq(
+      (100L, None),      // t=5: before the first ref
+      (101L, Some(7L)),  // t=15: ref at 10
+      (102L, Some(9L)),  // t=25: ref AT 25 matches
+      (103L, None),      // key 2: no refs
+      (104L, Some(9L)))) // t=40: latest ref at 25
+  }
+
+  test("directional forward picks earliest at-or-after; at-time matches") {
+    assert(directional("forward") == Seq(
+      (100L, Some(7L)),  // t=5: next ref at 10
+      (101L, Some(8L)),  // t=15: next ref at 20
+      (102L, Some(9L)),  // t=25: ref AT 25 matches
+      (103L, None),      // key 2: no refs
+      (104L, None)))     // t=40: nothing after
+  }
+
+  test("directional nearest picks the closer side, ties to backward") {
+    assert(directional("nearest") == Seq(
+      (100L, Some(7L)),  // only forward exists (10)
+      (101L, Some(7L)),  // |15-10| == |20-15| -> tie to backward
+      (102L, Some(9L)),  // exact at-time match
+      (103L, None),
+      (104L, Some(9L)))) // only backward exists (25)
+  }
+
+  test("tolerance nulls matches beyond the bound, keeps those within") {
+    assert(directional("nearest", tolerance = 5L) == Seq(
+      (100L, Some(7L)),  // delta 5 == bound: kept
+      (101L, Some(7L)),  // delta 5: kept
+      (102L, Some(9L)),  // delta 0
+      (103L, None),
+      (104L, None)))     // delta 15 > 5: nulled
+  }
+
+  test("directional backward equals asOfJoin row-for-row on the fixture") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("t"), col("event_id"),
+        col("event_id").as("pay"))
+    val a = AsOf.asOfJoin(ev, signups, "user_id", "t", "event_id", "pay")
+      .select(col("event_id"), col("pay_asof"))
+    val b = AsOf.asOfJoinDirectional(ev, signups, "user_id", "t",
+        "event_id", "pay", "backward")
+      .select(col("event_id"), col("pay_asof"))
+    assert(a.count() == b.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
 }
