@@ -147,6 +147,11 @@ object ScaleProbe {
     // of the min-of-2 pays synthesis and run 2 times the kernel alone
     // (exactly the steady-state a pipeline reading stored bytes sees)
     "q_image_decode", "q_frame_sample", "q_media_features",
+    // r15: the directional as-of (nearest + tolerance) — two window
+    // frames over ONE key shuffle; the user_id shift grows keys
+    // `factor`x while ts stays unshifted, so per-key series densify —
+    // the window-pressure regime an as-of join actually faces
+    "q_asof_nearest",
     // the shared-pass positional permutation (r12 rebuild) vs its
     // one-pass sibling — the pair that quantifies the ceiling-remover
     // constant round over round
