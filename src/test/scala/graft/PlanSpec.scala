@@ -368,4 +368,16 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("directional as-of: both direction frames ride ONE key shuffle") {
+    // nearest computes a backward and a forward window whose specs
+    // differ only in tag polarity — same hashpartitioning(user_id), so
+    // the plan must carry exactly one shuffle exchange for them (the
+    // union's two scan legs feed it; re-sorts between the windows are
+    // in-partition). A second hashpartitioning exchange would mean the
+    // two frames stopped sharing distribution.
+    val p = plan("q_asof_nearest")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 key shuffle, got $shuffles:\n${p.take(2000)}")
+  }
 }
