@@ -121,6 +121,37 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** FILTERED vector search — top-5 cosine restricted to candidates
+    * matching a metadata predicate (here: same `label` as the query),
+    * the filtered-ANN surface every production vector store exposes
+    * (RAG retrieval scoped to a tenant/language/source slice). The
+    * predicate is applied BEFORE scoring, not as a post-filter on an
+    * unfiltered top-k — a post-filter can return fewer than k rows or
+    * miss matches entirely when the slice is selective, which is the
+    * classic filtered-ANN correctness trap. Spark-first shape: the
+    * tiny query set broadcasts and the predicate becomes the join
+    * condition, so the corpus scan is pruned to matching rows (at
+    * 100 TB with label-partitioned storage this is partition pruning,
+    * not a scan-then-filter). */
+  def qAnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("label"), col("vec_id").as("n_id"),
+        col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Sign-LSH bucketing: [[lshBitsFor]] (8 at fixture scale,
     * corpus-relative above) scrambled-hash pseudo-hyperplanes
     * ([[planeW]], plane index = bit index); bucket = sign-bit vector.
@@ -622,6 +653,7 @@ object SimilarityPack extends QueryPack {
     "q_semdedup"         -> qSemdedup,
     "q_nearest_centroid" -> qNearestCentroid,
     "q_ann_cosine"      -> qAnnCosine,
+    "q_ann_filtered"    -> qAnnFiltered,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_ann_ivf"         -> qAnnIvf,
@@ -827,6 +859,20 @@ object SimilarityPack extends QueryPack {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "q_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, q.label, e.vec_id AS n_id,
+        |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+        |  FROM e JOIN q ON e.label = q.label AND e.vec_id != q.q_id),
+        |ranked AS (
+        |  SELECT q_id, label, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, label, n_id, cos, rank FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
     // banded replay: 4 bands x 8 planes (fixture width), plane index
     // band*64 + j, scrambled-hash weights — same integer arithmetic

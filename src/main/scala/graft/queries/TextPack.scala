@@ -1280,6 +1280,42 @@ object TextPack extends QueryPack {
           sum(col("c") * log(col("c"))) / sum(col("c")), 5).as("entropy"))
       .orderBy(col("lang"))
 
+  /** Unigram language-model QUALITY SCORE — the CCNet-style filter
+    * (Wenzek et al., `facebookresearch/cc_net`): fit a per-language
+    * unigram LM on the corpus itself, score each document by its mean
+    * token log-probability, and band each language's docs into
+    * head/middle/tail terciles (the buckets CCNet keeps/samples/drops).
+    * A doc of common in-language words scores near the language's
+    * typical logprob; templated or out-of-distribution text lands in
+    * the tail. Scale shape: the fitted model is VOCABULARY-sized
+    * (merges associatively from a partial hash agg on (lang, word)),
+    * so the score join is corpus × broadcast-able model (AQE picks the
+    * broadcast at runtime); the per-doc mean partial-aggregates
+    * map-side; the tercile window partitions by language — at 100 TB
+    * the band boundaries would come from a quantile sketch instead,
+    * but the keep/drop semantics are identical. Ranking ties break on
+    * the ROUNDED score + doc_id so banding is engine-stable. */
+  def qUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docsSpread(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("w"))
+    val uni = w.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.groupBy(col("lang")).agg(sum(col("c")).cast("double").as("n"))
+    val model = uni.join(tot, Seq("lang"))
+      .select(col("lang"), col("w"), log(col("c") / col("n")).as("lp"))
+    val nt = w.join(model, Seq("lang", "w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        round(avg(col("lp")), 5).as("logprob"))
+      .withColumn("nt", ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("logprob").desc, col("doc_id"))))
+    nt.select(col("doc_id"), col("lang"), col("n_toks"), col("logprob"),
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail").as("band"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Inverted-index build — per-term document frequency, collection
     * frequency, and the first 20 postings in doc order (the IR index
     * relation; full posting lists shard by term at scale, the sample
@@ -1402,6 +1438,7 @@ object TextPack extends QueryPack {
     "q_inverted_index" -> qInvertedIndex,
     "q_regr_slope"    -> qRegrSlope,
     "q_unigram_entropy" -> qUnigramEntropy,
+    "q_unigram_logprob" -> qUnigramLogprob,
     "q_bigram_pmi"    -> qBigramPmi,
     "q_bm25"          -> qBm25,
     "q_length_hist"   -> qLengthHist,
@@ -1577,6 +1614,23 @@ object TextPack extends QueryPack {
         |SELECT lang, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
         | round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 5) AS entropy
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH w AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w
+        |           FROM documents),
+        |uni AS (SELECT lang, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c) * 1.0 AS n FROM uni GROUP BY 1),
+        |sc AS (SELECT w.doc_id, w.lang, count(*) AS n_toks,
+        |         round(avg(ln(uni.c / tot.n)), 5) AS logprob
+        |       FROM w JOIN uni ON w.lang = uni.lang AND w.w = uni.w
+        |              JOIN tot ON w.lang = tot.lang
+        |       GROUP BY 1, 2),
+        |nt AS (SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks, logprob,
+        |         ntile(3) OVER (PARTITION BY lang
+        |                        ORDER BY logprob DESC, doc_id) AS b
+        |       FROM sc)
+        |SELECT doc_id, lang, n_toks, logprob,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+        |FROM nt ORDER BY doc_id""".stripMargin,
     "q_bigram_pmi" ->
       """WITH w AS (SELECT doc_id,
         |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,

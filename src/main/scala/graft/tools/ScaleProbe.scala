@@ -152,6 +152,14 @@ object ScaleProbe {
     // `factor`x while ts stays unshifted, so per-key series densify —
     // the window-pressure regime an as-of join actually faces
     "q_asof_nearest",
+    // r15: filtered ANN — the query set stays the fixed 10 vectors
+    // (copy-0 ids) while the corpus grows `factor`x, the production
+    // regime: a broadcast query join against the label slice, so
+    // scored rows grow linearly with the slice. And the unigram-LM
+    // quality score — vocab-sized model join + per-doc mean + per-lang
+    // tercile window; word-salting grows the vocab linearly while
+    // per-copy token mass stays constant
+    "q_ann_filtered", "q_unigram_logprob",
     // the shared-pass positional permutation (r12 rebuild) vs its
     // one-pass sibling — the pair that quantifies the ceiling-remover
     // constant round over round
