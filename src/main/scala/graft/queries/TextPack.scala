@@ -1069,6 +1069,60 @@ object TextPack extends QueryPack {
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS scheme): hash every positional k-gram,
+    * slide a w-hash window, and in each window keep the MINIMUM hash
+    * (ties → rightmost position, the paper's rule that maximizes
+    * fingerprint reuse across overlapping windows). The selected
+    * (hash, position) set is the document's fingerprint sketch with
+    * two published guarantees: any shared substring of at least
+    * w + k − 1 tokens yields a shared fingerprint (detection is
+    * NEVER missed above the noise threshold), and expected density is
+    * 2/(w+1) — position-robust dedup at a fixed compression rate,
+    * where a fixed 0 mod p selection (the C4-style grid) can miss
+    * arbitrarily long matches. Scan-local: the whole select runs as
+    * higher-order array expressions inside whole-stage codegen —
+    * zero shuffle at any corpus size. Documents shorter than one full
+    * window winnow their single truncated window.
+    *
+    * The hashing and the window-minimum selection are both fused
+    * native kernels ([[graft.functions.ShingleHash]] +
+    * [[graft.functions.WinnowSelect]] — the O(m) monotonic-deque
+    * sliding minimum): the first cut of this operator composed
+    * `transform(sequence, t => aggregate(...))` higher-order
+    * expressions, whose interpreted per-window folds cost 22× wall at
+    * the 100× probe; the kernels brought it back to scan speed.
+    *
+    * Returns (doc_id, m = gram count, nwin = window count, sel =
+    * distinct selected (h, p) structs). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.shingle_hash60(col("text"), k).as("graft_hs"))
+      .withColumn("m", size(col("graft_hs")).cast("long"))
+      .filter(col("m") > 0L)
+      .withColumn("nwin", greatest(col("m") - (w - 1), lit(1L)))
+      .withColumn("sel", transform(
+        graft.functions.WinnowSelect.winnow_positions(col("graft_hs"), w),
+        p => struct(element_at(col("graft_hs"), p.cast("int")).as("h"),
+          p.as("p"))))
+      .select(col("doc_id"), col("m"), col("nwin"), col("sel"))
+
+  /** Driver query over [[winnowFingerprints]]: per-doc gram/window
+    * counts, fingerprint count, density (≈ 2/(w+1) on natural text),
+    * and the XOR of selected hashes — an order-independent integer
+    * pin that the oracle can only reproduce by selecting EXACTLY the
+    * same (hash, position) set. */
+  def qWinnow(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(docsSpread(s, d))
+      .select(col("doc_id"), col("m").as("n_grams"),
+        col("nwin").as("n_windows"),
+        size(col("sel")).cast("long").as("n_fps"),
+        round(size(col("sel")) / col("nwin").cast("double"), 6).as("density"),
+        aggregate(col("sel"), lit(0L),
+          (a, x) => a.bitwiseXOR(x.getField("h"))).as("fp_xor"))
+      .orderBy(col("doc_id"))
+
   /** Marker-word language scoring + argmax prediction over a frame
     * with a `text` column (factored out so the argmax is unit-testable
     * on hand-built docs). */
@@ -1501,6 +1555,7 @@ object TextPack extends QueryPack {
     "q_weighted_sample" -> qWeightedSample,
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
+    "q_winnow"        -> qWinnow,
     "q_langid"        -> qLangid,
     "q_blocklist_scrub" -> qBlocklistScrub,
   )
@@ -2075,6 +2130,34 @@ object TextPack extends QueryPack {
       """SELECT doc_id,
         | ('0x' || substr(md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))),1,15))::BIGINT AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowing replay: positional 3-gram hashes, window starts t,
+    // rank by (h ASC, pos DESC) within each (doc, t) — rk=1 is the
+    // rightmost-tie minimum; truncated single window when m < 4
+    "q_winnow" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.pos,
+        |    ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w),1,15))::BIGINT AS h
+        |    FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |             JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |m AS (SELECT doc_id, count(*) AS m FROM tri GROUP BY 1),
+        |win AS (SELECT t.doc_id, t.pos AS t FROM tri t JOIN m USING (doc_id)
+        |        WHERE t.pos <= greatest(m.m - 3, 1)),
+        |cand AS (SELECT win.doc_id, win.t, g.pos, g.h,
+        |    row_number() OVER (PARTITION BY win.doc_id, win.t
+        |                       ORDER BY g.h ASC, g.pos DESC) AS rk
+        |    FROM win JOIN tri g ON g.doc_id = win.doc_id
+        |                       AND g.pos BETWEEN win.t AND win.t + 3),
+        |sel AS (SELECT DISTINCT doc_id, pos, h FROM cand WHERE rk = 1),
+        |agg AS (SELECT doc_id, count(*) AS n_fps, bit_xor(h) AS fp_xor
+        |        FROM sel GROUP BY 1)
+        |SELECT m.doc_id, CAST(m.m AS BIGINT) AS n_grams,
+        |  CAST(greatest(m.m - 3, 1) AS BIGINT) AS n_windows,
+        |  CAST(agg.n_fps AS BIGINT) AS n_fps,
+        |  round(agg.n_fps * 1.0 / greatest(m.m - 3, 1), 6) AS density,
+        |  CAST(agg.fp_xor AS BIGINT) AS fp_xor
+        |FROM m JOIN agg USING (doc_id) ORDER BY m.doc_id""".stripMargin,
     "q_langid" ->
       """WITH t AS (SELECT lang,
         |    list_distinct(string_split(lower(text), ' ')) AS w FROM documents),
