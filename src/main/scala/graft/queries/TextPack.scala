@@ -1123,6 +1123,43 @@ object TextPack extends QueryPack {
           (a, x) => a.bitwiseXOR(x.getField("h"))).as("fp_xor"))
       .orderBy(col("doc_id"))
 
+  /** Near-dup CANDIDATE PAIRS from shared winnow fingerprints — what
+    * MOSS actually does with the sketch: docs sharing >= 2 selected
+    * (window-minimum) hashes are copy candidates, scored by the
+    * fingerprint-set Jaccard. The same banded-join shape as the
+    * minhash path but over a sketch 2/(w+1) the density of the full
+    * shingle relation — candidate generation joins fingerprint
+    * buckets, never all-pairs, and the detection guarantee (any
+    * shared run of >= w+k-1 tokens shares a fingerprint) survives
+    * because selection is window-local. Hot-fingerprint buckets
+    * (boilerplate) are capped by the same broadcast anti-join as
+    * [[minhashBandedPairs]]. */
+  def qWinnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowPairs(docsSpread(s, d)).orderBy(col("a"), col("b"))
+
+  /** [[qWinnowPairs]] over any frame with (doc_id, text) — the
+    * fingerprint-bucket join, hot cap, and >= 2-shared threshold. */
+  def winnowPairs(docs: DataFrame,
+                  maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val fps = winnowFingerprints(docs)
+      .select(col("doc_id"), explode(col("sel")).as("f"))
+      .select(col("doc_id"), col("f.h").as("h"))
+      .distinct()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val hot = fps.groupBy(col("h")).agg(count(lit(1)).as("graft_n"))
+      .filter(col("graft_n") > maxBucket).select(col("h"))
+    val bounded = fps.join(broadcast(hot), Seq("h"), "left_anti")
+    bounded.select(col("doc_id").as("a"), col("h"))
+      .join(bounded.select(col("doc_id").as("b"), col("h").as("h_b")),
+        col("h") === col("h_b") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(sizes.toDF("a", "na"), "a").join(sizes.toDF("b", "nb"), "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
+          .as("sim"))
+  }
+
   /** Marker-word language scoring + argmax prediction over a frame
     * with a `text` column (factored out so the argmax is unit-testable
     * on hand-built docs). */
@@ -1556,6 +1593,7 @@ object TextPack extends QueryPack {
     "q_simhash_dedup" -> qSimhashDedup,
     "q_fingerprint"   -> qFingerprint,
     "q_winnow"        -> qWinnow,
+    "q_winnow_pairs"  -> qWinnowPairs,
     "q_langid"        -> qLangid,
     "q_blocklist_scrub" -> qBlocklistScrub,
   )
@@ -2158,6 +2196,35 @@ object TextPack extends QueryPack {
         |  round(agg.n_fps * 1.0 / greatest(m.m - 3, 1), 6) AS density,
         |  CAST(agg.fp_xor AS BIGINT) AS fp_xor
         |FROM m JOIN agg USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+    // same selection replay, then the fingerprint-bucket pair join
+    // (the 100000 hot cap never binds at fixture scale, as in the
+    // minhash oracle)
+    "q_winnow_pairs" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.pos,
+        |    ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w),1,15))::BIGINT AS h
+        |    FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |             JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |m AS (SELECT doc_id, count(*) AS m FROM tri GROUP BY 1),
+        |win AS (SELECT t.doc_id, t.pos AS t FROM tri t JOIN m USING (doc_id)
+        |        WHERE t.pos <= greatest(m.m - 3, 1)),
+        |cand AS (SELECT win.doc_id, win.t, g.pos, g.h,
+        |    row_number() OVER (PARTITION BY win.doc_id, win.t
+        |                       ORDER BY g.h ASC, g.pos DESC) AS rk
+        |    FROM win JOIN tri g ON g.doc_id = win.doc_id
+        |                       AND g.pos BETWEEN win.t AND win.t + 3),
+        |sel AS (SELECT DISTINCT doc_id, h FROM cand WHERE rk = 1),
+        |sizes AS (SELECT doc_id, count(*) AS nfp FROM sel GROUP BY 1),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+        |          FROM sel x JOIN sel y ON x.h = y.h AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  round(n_shared * 1.0 / (sa.nfp + sb.nfp - n_shared), 6) AS sim
+        |FROM pairs JOIN sizes sa ON a = sa.doc_id
+        |           JOIN sizes sb ON b = sb.doc_id
+        |ORDER BY a, b""".stripMargin,
     "q_langid" ->
       """WITH t AS (SELECT lang,
         |    list_distinct(string_split(lower(text), ' ')) AS w FROM documents),

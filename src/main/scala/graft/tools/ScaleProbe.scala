@@ -160,10 +160,12 @@ object ScaleProbe {
     // tercile window; word-salting grows the vocab linearly while
     // per-copy token mass stays constant
     "q_ann_filtered", "q_unigram_logprob",
-    // r15: winnowing fingerprints — the whole selection is
-    // higher-order array expressions inside one scan (zero shuffle);
-    // wall should track doc count linearly and nothing else
-    "q_winnow",
+    // r15: winnowing fingerprints — fused-kernel selection in one
+    // scan (zero shuffle); wall should track doc count linearly. The
+    // pair query adds the fingerprint-bucket join at 2/(w+1) shingle
+    // density; word-salting keeps cross-copy collisions at zero so
+    // candidates grow linearly
+    "q_winnow", "q_winnow_pairs",
     // the shared-pass positional permutation (r12 rebuild) vs its
     // one-pass sibling — the pair that quantifies the ceiling-remover
     // constant round over round

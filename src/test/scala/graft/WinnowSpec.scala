@@ -94,6 +94,27 @@ class WinnowSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("winnowPairs surfaces every pair sharing a long planted run") {
+    // 20-token shared runs guarantee >= 2 shared fingerprints (the
+    // pair threshold): 100 trials, each trial's two docs otherwise
+    // drawn from disjoint vocabularies — all 100 pairs must surface,
+    // and no cross-trial pair may appear
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 100).flatMap { i =>
+      val run = Seq.fill(20)(s"run${i}_${rnd.nextInt(4)}")
+      def filler(tag: String) =
+        Seq.fill(rnd.nextInt(40) + 10)(s"$tag${rnd.nextInt(60)}")
+      Seq((i * 2L, (filler(s"a$i") ++ run ++ filler(s"a$i")).mkString(" ")),
+        (i * 2L + 1L, (filler(s"b$i") ++ run ++ filler(s"b$i")).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val pairs = TextPack.winnowPairs(docs)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val expected = (0 until 100).map(i => (i * 2L, i * 2L + 1L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed planted pairs: ${(expected -- pairs).take(5)}")
+    assert(pairs == expected, s"spurious pairs: ${(pairs -- expected).take(5)}")
+  }
+
   test("short docs: fewer grams than a window winnow the single truncated window") {
     val r = winnow((1L, "a b c"), (2L, "a b c d"), (3L, "a b"))
       .select(col("doc_id"), col("m"), col("nwin"), size(col("sel")).as("n"))
