@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval().asInstanceOf[Number].intValue,
         children(2).eval().asInstanceOf[Number].intValue)))
     e.injectFunction((
+      new FunctionIdentifier("winnow_positions"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_positions"),
+      (children: Seq[Expression]) => WinnowSelect(children(0),
+        children(1).eval().asInstanceOf[Number].intValue)))
+    e.injectFunction((
       new FunctionIdentifier("sim_hash48"),
       new ExpressionInfo(classOf[SimHash].getName, "sim_hash48"),
       (children: Seq[Expression]) => SimHash(children.head)))

@@ -369,6 +369,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("filtered ANN: the query set broadcasts, ranking is WindowGroupLimit") {
+    // the label predicate rides the broadcast join condition — the
+    // corpus scan must never sort-merge against the 10-row query set,
+    // and the top-k never materializes a full per-query sort
+    val p = plan("q_ann_filtered")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
+  test("unigram logprob: the model join broadcasts onto the corpus side") {
+    // vocab-sized relations (the fitted model, the per-lang totals)
+    // broadcast; the corpus-scale words relation is never sort-merged
+    // against either
+    val p = plan("q_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("winnow selection is scan-local: no hash shuffle anywhere") {
+    // both kernels (shingle hashing, window-minimum selection) run
+    // inside the scan projection — the only exchanges are docsSpread's
+    // deliberate round-robin fan-out (single-file fixture → cores) and
+    // the final presentation sort's range partitioning; a
+    // hashpartitioning exchange would mean a key shuffle crept into
+    // what must stay one pass
+    val p = plan("q_winnow")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(p.contains("rangepartitioning"), p.take(1500))
+  }
+
   test("directional as-of: both direction frames ride ONE key shuffle") {
     // nearest computes a backward and a forward window whose specs
     // differ only in tag polarity — same hashpartitioning(user_id), so

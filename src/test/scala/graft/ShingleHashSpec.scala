@@ -82,6 +82,13 @@ class ShingleHashSpec extends AnyFunSuite {
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .as[Double].head()
     assert(dp == 11.0)
+    val wp = spark.sql(
+      "SELECT winnow_positions(shingle_hash60('a b c d e f g h', 3), 4) AS p")
+      .as[Seq[Long]].head()
+    val wantWp = graft.functions.WinnowSelect.compute(
+      graft.functions.ShingleHash.compute(
+        UTF8String.fromString("a b c d e f g h"), 3), 4)
+    assert(wp == wantWp.toLongArray().toSeq && wp.nonEmpty)
   }
 
   test("shingle_strings kernel equals the HOF composition everywhere") {
