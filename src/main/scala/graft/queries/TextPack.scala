@@ -1416,23 +1416,55 @@ object TextPack extends QueryPack {
     * the ROUNDED score + doc_id so banding is engine-stable. */
   def qUnigramLogprob(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = docsSpread(s, d)
-      .select(col("doc_id"), col("lang"),
-        explode(TextOps.words(col("text"))).as("w"))
-    val uni = w.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
-    val tot = uni.groupBy(col("lang")).agg(sum(col("c")).cast("double").as("n"))
-    val model = uni.join(tot, Seq("lang"))
-      .select(col("lang"), col("w"), log(col("c") / col("n")).as("lp"))
-    val nt = w.join(model, Seq("lang", "w"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).cast("long").as("n_toks"),
-        round(avg(col("lp")), 5).as("logprob"))
+    val nt = unigramLogprobScores(docsSpread(s, d))
       .withColumn("nt", ntile(3).over(Window.partitionBy(col("lang"))
         .orderBy(col("logprob").desc, col("doc_id"))))
     nt.select(col("doc_id"), col("lang"), col("n_toks"), col("logprob"),
         when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
           .otherwise("tail").as("band"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The per-doc scoring half of [[qUnigramLogprob]] over any frame
+    * with (doc_id, lang, text): fit the per-language unigram model,
+    * score each doc by mean token log-probability. Returns
+    * (doc_id, lang, n_toks, logprob rounded to 5). */
+  private[graft] def unigramLogprobScores(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), col("lang"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val uni = w.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.groupBy(col("lang")).agg(sum(col("c")).cast("double").as("n"))
+    val model = uni.join(tot, Seq("lang"))
+      .select(col("lang"), col("w"), log(col("c") / col("n")).as("lp"))
+    w.join(model, Seq("lang", "w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        round(avg(col("lp")), 5).as("logprob"))
+  }
+
+  /** PRODUCTION banding twin of [[qUnigramLogprob]]: band boundaries
+    * from `percentile_approx` sketches (one partial-mergeable agg per
+    * language, boundaries broadcast back) instead of the exact
+    * tercile window. The exact form sorts every language partition —
+    * at 100 TB a single language can be most of the corpus and that
+    * sort is the scale hazard; the sketch path is two linear passes
+    * and never materializes a per-language total order, with
+    * identical keep/drop semantics up to sketch error at the two
+    * boundaries (CCNet itself bands on streamed quantile estimates).
+    * `UnigramLogprobBandsSpec` pins >= 95% band agreement with the
+    * exact terciles on the fixture and exact agreement away from the
+    * boundary neighborhoods. */
+  def unigramLogprobBandsApprox(docs: DataFrame,
+                                accuracy: Int = 10000): DataFrame = {
+    val sc = unigramLogprobScores(docs)
+    val cuts = sc.groupBy(col("lang")).agg(percentile_approx(
+      col("logprob"), array(lit(2.0 / 3), lit(1.0 / 3)), lit(accuracy))
+      .as("cuts"))
+    sc.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("logprob"),
+        when(col("logprob") >= element_at(col("cuts"), 1), "head")
+          .when(col("logprob") >= element_at(col("cuts"), 2), "middle")
+          .otherwise("tail").as("band"))
   }
 
   /** Inverted-index build — per-term document frequency, collection
