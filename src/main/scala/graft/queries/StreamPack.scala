@@ -169,6 +169,19 @@ object StreamPack extends QueryPack {
     EventStream.runNeardupOnce(s, d,
       s"graft_stream_nd${runSeq.incrementAndGet()}")
 
+  /** Streaming quality gate — filter-on-ingest against the
+    * batch-fitted per-language unigram LM
+    * ([[EventStream.qualityGate]]): history (doc_id % 5 != 0) fits
+    * the model, written as silver tables; the live fifth streams
+    * through a stateless broadcast scorer (mean token logprob, OOV at
+    * ln(0.5/n)), kept iff within the 0.15-nat entropy-relative
+    * margin. The oracle refits the model and rescores every live doc
+    * in SQL — fit, OOV fallback, threshold, and keep bit all
+    * replayed exactly. */
+  def qStreamQualityGate(s: SparkSession, d: String): DataFrame =
+    EventStream.runQualityGateOnce(s, d,
+      s"graft_stream_qg${runSeq.incrementAndGet()}")
+
   /** The batch → streaming WARM-START migration, driver-checked end
     * to end ([[EventStream.runWarmSessionsOnce]]): archive half
     * sessionized in batch (shared kernel, closed under the archive
@@ -230,6 +243,7 @@ object StreamPack extends QueryPack {
     "q_stream_full_join"   -> qStreamFullJoin,
     "q_stream_enrich"      -> qStreamEnrich,
     "q_stream_neardup"     -> qStreamNeardup,
+    "q_stream_quality_gate" -> qStreamQualityGate,
     "q_stream_warm_sessions" -> qStreamWarmSessions,
   )
 
@@ -361,6 +375,34 @@ object StreamPack extends QueryPack {
         |  CAST(max(n_match) AS BIGINT) AS best_match
         |FROM nm WHERE n_match >= 8
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // model refit on the history slice; OOV fallback ln(0.5/n); the
+    // keep bit compares the UNROUNDED score to the threshold, as the
+    // kernel does
+    "q_stream_quality_gate" ->
+      """WITH hist AS (SELECT lang, unnest(string_split(text,' ')) AS w
+        |              FROM documents WHERE doc_id % 5 <> 0),
+        |uni AS (SELECT lang, w, count(*) AS c FROM hist GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c) * 1.0 AS n FROM uni GROUP BY 1),
+        |model AS (SELECT uni.lang, uni.w, ln(uni.c / tot.n) AS lp
+        |          FROM uni JOIN tot USING (lang)),
+        |thr AS (SELECT uni.lang,
+        |          sum((uni.c / tot.n) * ln(uni.c / tot.n)) - 0.15 AS thr,
+        |          any_value(tot.n) AS n
+        |        FROM uni JOIN tot USING (lang) GROUP BY 1),
+        |live AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w
+        |         FROM documents WHERE doc_id % 5 = 0),
+        |sc AS (SELECT live.doc_id, live.lang, count(*) AS n_toks,
+        |         sum(CASE WHEN model.lp IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |         sum(coalesce(model.lp, ln(0.5 / thr.n))) / count(*) AS score
+        |       FROM live JOIN thr ON live.lang = thr.lang
+        |                 LEFT JOIN model ON live.lang = model.lang
+        |                                AND live.w = model.w
+        |       GROUP BY 1, 2)
+        |SELECT sc.doc_id, sc.lang, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(n_oov AS BIGINT) AS n_oov, round(score, 5) AS score,
+        |  CAST(CASE WHEN score >= thr.thr THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sc JOIN thr ON sc.lang = thr.lang
+        |ORDER BY sc.doc_id""".stripMargin,
     "q_stream_join" ->
       """SELECT CAST(a.user_id AS BIGINT) AS user_id, count(*) AS n_pairs
         |FROM events a JOIN events b ON a.user_id = b.user_id

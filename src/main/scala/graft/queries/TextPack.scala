@@ -1442,6 +1442,28 @@ object TextPack extends QueryPack {
         round(avg(col("lp")), 5).as("logprob"))
   }
 
+  /** Per-language unigram MODEL + KEEP THRESHOLD fitted on a document
+    * slice — the relations a streaming quality gate ships to its
+    * executors. Model = (lang, w, lp = ln(c/n)); threshold =
+    * (lang, thr = Σ p·ln p − 0.15, n): a document of typical
+    * in-language text scores near the model's negative entropy
+    * (Σ p·ln p IS the expected token logprob under the model), so
+    * "keep" = within a 0.15-nat margin of typical — the
+    * perplexity-relative cut CCNet applies, with the reference point
+    * computed from the model itself instead of a tuned constant. */
+  private[graft] def unigramModelRelations(docs: DataFrame): (DataFrame, DataFrame) = {
+    val w = docs.select(col("lang"), explode(TextOps.words(col("text"))).as("w"))
+    val uni = w.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.groupBy(col("lang")).agg(sum(col("c")).cast("double").as("n"))
+    val p = col("c") / col("n")
+    val model = uni.join(tot, Seq("lang"))
+      .select(col("lang"), col("w"), log(p).as("lp"))
+    val thr = uni.join(tot, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg((sum(p * log(p)) - 0.15).as("thr"), max(col("n")).as("n"))
+    (model, thr)
+  }
+
   /** PRODUCTION banding twin of [[qUnigramLogprob]]: band boundaries
     * from `percentile_approx` sketches (one partial-mergeable agg per
     * language, boundaries broadcast back) instead of the exact

@@ -143,6 +143,112 @@ object EventStream {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING QUALITY GATE — score an arriving document stream
+    * against a BATCH-FITTED per-language unigram LM and keep/drop by
+    * an entropy-relative threshold: the filter-on-ingest step a crawl
+    * pipeline runs before anything else touches a document (CCNet's
+    * perplexity cut, with the unigram model standing in for KenLM).
+    * The model relations come from a written silver table
+    * ([[writeQualityModel]]) and ship to executors as ONE broadcast —
+    * exactly how production distributes a fasttext/KenLM scorer file
+    * (vocabulary-scale, ~100 MB at web scale; never joined per
+    * batch). Scoring is a stateless per-partition kernel: mean token
+    * logprob with OOV tokens at ln(0.5/n_lang); keep = score within
+    * the model's 0.15-nat margin of its own negative entropy
+    * ([[graft.queries.TextPack.unigramModelRelations]]). No
+    * watermark, no state store — per-batch cost is independent of
+    * history size, every row final on emit (append mode), and each
+    * output row is a pure function of (doc, model), so the relation
+    * is batch-boundary-independent by construction. Documents in a
+    * language the model has never seen are quarantined (dropped),
+    * mirroring production routing to a manual queue. */
+  def qualityGate(spark: SparkSession, dir: String,
+                  model: DataFrame, thr: DataFrame): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = schemaOf(spark, path)
+    val live = spark.readStream.schema(schema).parquet(stagedStreamPath(path))
+      .filter(col("doc_id") % 5 === 0)
+    qualityScore(live, collectModel(model), collectThresholds(thr))
+  }
+
+  private[graft] def collectModel(model: DataFrame): Map[(String, String), Double] = {
+    import model.sparkSession.implicits._
+    model.select(col("lang"), col("w"), col("lp"))
+      .as[(String, String, Double)].collect()
+      .map { case (l, w, v) => (l, w) -> v }.toMap
+  }
+
+  private[graft] def collectThresholds(thr: DataFrame): Map[String, (Double, Double)] = {
+    import thr.sparkSession.implicits._
+    thr.select(col("lang"), col("thr"), col("n"))
+      .as[(String, Double, Double)].collect()
+      .map { case (l, t, n) => l -> (t, n) }.toMap
+  }
+
+  /** The stateless scoring kernel over any (possibly streaming) frame
+    * with (doc_id, lang, text) — shared by the file-replay drain and
+    * the MemoryStream batch-boundary spec. */
+  private[graft] def qualityScore(docs: DataFrame,
+                                  lpm: Map[(String, String), Double],
+                                  thm: Map[String, (Double, Double)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bLp = spark.sparkContext.broadcast(lpm)
+    val bThr = spark.sparkContext.broadcast(thm)
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val lp = bLp.value
+        val th = bThr.value
+        it.flatMap { case (id, lang, text) =>
+          th.get(lang).map { case (thrV, n) =>
+            val toks = text.split(" ")
+            val oov = math.log(0.5 / n)
+            var s = 0.0
+            var nOov = 0L
+            toks.foreach { t =>
+              lp.get((lang, t)) match {
+                case Some(v) => s += v
+                case None    => s += oov; nOov += 1
+              }
+            }
+            val score = s / toks.length
+            (id, lang, toks.length.toLong, nOov, score,
+              if (score >= thrV) 1L else 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "lang", "n_toks", "n_oov", "score", "keep")
+      .withColumn("score", round(col("score"), 5))
+  }
+
+  /** Fit the model on the HISTORY slice (doc_id % 5 != 0 — the same
+    * archive/live split as the near-dup stream), WRITE both relations
+    * as silver tables, and return the read-back frames: the gate
+    * scores arrivals against what the batch job persisted, never
+    * against a plan over raw history. */
+  def writeQualityModel(spark: SparkSession, dir: String,
+                        out: String): (DataFrame, DataFrame) = {
+    val hist = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 =!= 0)
+    val (model, thr) = graft.queries.TextPack.unigramModelRelations(hist)
+    model.write.mode("overwrite").parquet(s"$out/model")
+    thr.write.mode("overwrite").parquet(s"$out/thr")
+    (spark.read.parquet(s"$out/model"), spark.read.parquet(s"$out/thr"))
+  }
+
+  /** Drain [[qualityGate]] through the silver-model path (append
+    * mode — stateless, every row final when emitted). */
+  def runQualityGateOnce(spark: SparkSession, dir: String,
+                         name: String = "graft_stream_qgate"): DataFrame = {
+    val silver = graft.TempDirs.create("graft_qgate_silver")
+    try {
+      val (model, thr) = writeQualityModel(spark, dir, silver.toString)
+      drain(spark, qualityGate(spark, dir, model, thr), name, mode = "append")
+    } finally graft.TempDirs.deleteRecursively(silver)
+    spark.table(name).orderBy(col("doc_id"))
+  }
+
   /** Streaming exact dedup (the north-star dedup family as a STREAM
     * op): content-hash `dropDuplicates` over a document stream →
     * per-language distinct counts. The dedup key includes `lang` so

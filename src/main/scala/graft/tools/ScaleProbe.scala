@@ -200,7 +200,7 @@ object ScaleProbe {
     // time should track TOTAL volume (index build + live sketch +
     // banded join) linearly; word-salting keeps cross-copy candidate
     // structure from inflating (no cross-copy shingle collisions)
-    "q_stream_neardup",
+    "q_stream_neardup", "q_stream_quality_gate",
     // r14: stream-stream LEFT OUTER join — same bounded join state as
     // the inner form plus the unmatched-left buffer, which the
     // watermark evicts; the probe checks the outer bookkeeping stays
@@ -272,6 +272,19 @@ object ScaleProbe {
       "q_stream_full_join" ->
         ((s, d) => EventStream.drainNoop(s,
           EventStream.clickPurchaseFullPairs(s, d), mode = "append")),
+      // r15 quality gate: stateless broadcast scorer — the timed path
+      // is model fit + silver write + collect/broadcast + stream
+      // scoring; the model is vocabulary-sized (word-salted copies
+      // grow it linearly), the scoring pass is linear in docs
+      "q_stream_quality_gate" ->
+        ((s, d) => {
+          val silver = graft.TempDirs.create("graft_probe_qgate")
+          try {
+            val (model, thr) = EventStream.writeQualityModel(s, d, silver.toString)
+            EventStream.drainNoop(s, EventStream.qualityGate(s, d, model, thr),
+              mode = "append")
+          } finally graft.TempDirs.deleteRecursively(silver)
+        }),
       "q_stream_neardup" ->
         ((s, d) => {
           // r14: through the real silver-table path — index WRITTEN to
