@@ -308,7 +308,7 @@ object TextPack extends QueryPack {
     * defense as every query (consumers always use the default). */
   def prepareShared(s: SparkSession, d: String,
                     tagSuffix: String = ""): Unit = {
-    val pool = graft.Pools.newPool(3)
+    val pool = graft.Pools.newPool(4)
     try {
       val fJac = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = { sharedJaccardPairs(s, d, tagSuffix); () }
@@ -323,7 +323,10 @@ object TextPack extends QueryPack {
       val fDf = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = { sharedShingleDf(s, d, tagSuffix); () }
       })
-      join(fJac); join(fMh); join(fDf)
+      val fWf = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { sharedWinnowFps(s, d, tagSuffix); () }
+      })
+      join(fJac); join(fMh); join(fDf); join(fWf)
     } finally pool.shutdown()
   }
 
@@ -1135,16 +1138,36 @@ object TextPack extends QueryPack {
     * (boilerplate) are capped by the same broadcast anti-join as
     * [[minhashBandedPairs]]. */
   def qWinnowPairs(s: SparkSession, d: String): DataFrame =
-    winnowPairs(docsSpread(s, d)).orderBy(col("a"), col("b"))
+    winnowPairsFromFps(sharedWinnowFps(s, d)).orderBy(col("a"), col("b"))
 
-  /** [[qWinnowPairs]] over any frame with (doc_id, text) — the
-    * fingerprint-bucket join, hot cap, and >= 2-shared threshold. */
-  def winnowPairs(docs: DataFrame,
-                  maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val fps = winnowFingerprints(docs)
+  /** The distinct (doc_id, h) winnow-fingerprint relation as a
+    * MEMOIZED pipeline index (built with the other shared tables in
+    * [[prepareShared]], billed to `_shared_pairs`): the sketch a MOSS
+    * deployment maintains alongside its corpus rather than recomputes
+    * per consumer. */
+  private def sharedWinnowFps(s: SparkSession, d: String,
+                              tagSuffix: String = ""): DataFrame =
+    memoizedTable(s, d, "wfps" + tagSuffix) { out =>
+      winnowFpsOf(docsSpread(s, d)).write.mode("overwrite").parquet(out)
+    }
+
+  private def winnowFpsOf(docs: DataFrame): DataFrame =
+    winnowFingerprints(docs)
       .select(col("doc_id"), explode(col("sel")).as("f"))
       .select(col("doc_id"), col("f.h").as("h"))
       .distinct()
+
+  /** [[qWinnowPairs]] over any frame with (doc_id, text) — inline
+    * fingerprints (the spec path; the driver query goes through the
+    * memoized index). */
+  def winnowPairs(docs: DataFrame,
+                  maxBucket: Long = DefaultMaxBucket): DataFrame =
+    winnowPairsFromFps(winnowFpsOf(docs), maxBucket)
+
+  /** The fingerprint-bucket join, hot cap, and >= 2-shared threshold
+    * over a distinct (doc_id, h) fingerprint relation. */
+  private def winnowPairsFromFps(fps: DataFrame,
+                                 maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val hot = fps.groupBy(col("h")).agg(count(lit(1)).as("graft_n"))
       .filter(col("graft_n") > maxBucket).select(col("h"))
