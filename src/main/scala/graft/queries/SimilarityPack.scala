@@ -152,6 +152,70 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** MMR-DIVERSIFIED retrieval (Carbonell & Goldstein 1998) — the
+    * re-rank every RAG stack runs between ANN and the context window:
+    * from each query's top-20 cosine candidates, greedily select 5 by
+    * `mmr = λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)` (λ = 0.7), so the
+    * second-best near-duplicate of an already-selected passage loses
+    * to a novel one. Spark shape: candidate generation is the same
+    * broadcast scan + WindowGroupLimit as [[qAnnCosine]]; the greedy
+    * selection runs DISTRIBUTED in `flatMapGroups` over ≤ 20-row
+    * per-query groups (bounded work per group, never a driver loop —
+    * at 100 TB the groups shard across the cluster like any other
+    * key). All scores round to 6 before comparison with vec_id
+    * tie-breaks, so the selection is engine-stable; the DuckDB oracle
+    * unrolls the 5 greedy steps as CTEs (the PageRank-unroll
+    * precedent) and replays the selection exactly. */
+  def qAnnMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"),
+        col("v"), col("nrm"))
+    // both literals written out: (1 - 0.7) is 0.30000000000000004 in
+    // binary, which would diverge from the oracle's literal 0.3
+    val lambda = 0.7
+    val mu = 0.3
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    cand.as[(Long, Long, Double, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(r => (-r._3, r._2))
+        def sim(a: Int, b: Int): Double = {
+          val (va, vb) = (cs(a)._4, cs(b)._4)
+          var dp = 0.0
+          var i = 0
+          while (i < va.length) { dp += va(i) * vb(i); i += 1 }
+          r6(dp / (cs(a)._5 * cs(b)._5))
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        while (picked.length < math.min(5, cs.length)) {
+          val chosen = cs.indices.filterNot(i => picked.exists(_._1 == i))
+            .map { i =>
+              val maxSim = if (picked.isEmpty) 0.0
+                else picked.map(p => sim(i, p._1)).max
+              (i, r6(lambda * cs(i)._3 - mu * maxSim))
+            }
+            .minBy { case (i, score) => (-score, cs(i)._2) }
+          picked += chosen
+        }
+        picked.zipWithIndex.map { case ((i, score), rank) =>
+          (qid, cs(i)._2, (rank + 1).toLong, cs(i)._3, score)
+        }
+      }
+      .toDF("q_id", "n_id", "mmr_rank", "cos", "mmr")
+      .orderBy(col("q_id"), col("mmr_rank"))
+  }
+
   /** Sign-LSH bucketing: [[lshBitsFor]] (8 at fixture scale,
     * corpus-relative above) scrambled-hash pseudo-hyperplanes
     * ([[planeW]], plane index = bit index); bucket = sign-bit vector.
@@ -654,6 +718,7 @@ object SimilarityPack extends QueryPack {
     "q_nearest_centroid" -> qNearestCentroid,
     "q_ann_cosine"      -> qAnnCosine,
     "q_ann_filtered"    -> qAnnFiltered,
+    "q_ann_mmr"         -> qAnnMmr,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_ann_ivf"         -> qAnnIvf,
@@ -860,6 +925,80 @@ object SimilarityPack extends QueryPack {
         |  FROM scored)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // the 5 greedy MMR steps unrolled as CTEs (the PageRank-unroll
+    // precedent): pk<k> = picks after step k, step k+1 scores every
+    // unpicked candidate by 0.7*cos - 0.3*max(sim to picks) on
+    // 6-rounded values with n_id tie-breaks — exactly the engine's
+    // flatMapGroups selection
+    "q_ann_mmr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+        |  FROM e, q WHERE e.vec_id != q.q_id),
+        |c AS (SELECT q_id, n_id, cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        |  FROM scored) WHERE rk <= 20),
+        |sim AS (SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+        |    round(list_cosine_similarity(ea.v, eb.v), 6) AS s
+        |  FROM c a JOIN c b ON a.q_id = b.q_id AND a.n_id != b.n_id
+        |    JOIN e ea ON ea.vec_id = a.n_id JOIN e eb ON eb.vec_id = b.n_id),
+        |p1 AS (SELECT q_id, n_id, cos, round(0.7*cos, 6) AS mmr FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY round(0.7*cos, 6) DESC, n_id) = 1),
+        |st2 AS (SELECT c.q_id, c.n_id, c.cos,
+        |    round(0.7*c.cos - 0.3*max(s.s), 6) AS mmr
+        |  FROM c JOIN sim s ON s.q_id = c.q_id AND s.i = c.n_id
+        |    JOIN p1 pk ON pk.q_id = s.q_id AND pk.n_id = s.j
+        |  WHERE NOT EXISTS (SELECT 1 FROM p1 x
+        |    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+        |  GROUP BY 1, 2, 3),
+        |p2 AS (SELECT q_id, n_id, cos, mmr FROM st2
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY mmr DESC, n_id) = 1),
+        |pk2 AS (SELECT q_id, n_id FROM p1 UNION ALL SELECT q_id, n_id FROM p2),
+        |st3 AS (SELECT c.q_id, c.n_id, c.cos,
+        |    round(0.7*c.cos - 0.3*max(s.s), 6) AS mmr
+        |  FROM c JOIN sim s ON s.q_id = c.q_id AND s.i = c.n_id
+        |    JOIN pk2 pk ON pk.q_id = s.q_id AND pk.n_id = s.j
+        |  WHERE NOT EXISTS (SELECT 1 FROM pk2 x
+        |    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+        |  GROUP BY 1, 2, 3),
+        |p3 AS (SELECT q_id, n_id, cos, mmr FROM st3
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY mmr DESC, n_id) = 1),
+        |pk3 AS (SELECT q_id, n_id FROM pk2 UNION ALL SELECT q_id, n_id FROM p3),
+        |st4 AS (SELECT c.q_id, c.n_id, c.cos,
+        |    round(0.7*c.cos - 0.3*max(s.s), 6) AS mmr
+        |  FROM c JOIN sim s ON s.q_id = c.q_id AND s.i = c.n_id
+        |    JOIN pk3 pk ON pk.q_id = s.q_id AND pk.n_id = s.j
+        |  WHERE NOT EXISTS (SELECT 1 FROM pk3 x
+        |    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+        |  GROUP BY 1, 2, 3),
+        |p4 AS (SELECT q_id, n_id, cos, mmr FROM st4
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY mmr DESC, n_id) = 1),
+        |pk4 AS (SELECT q_id, n_id FROM pk3 UNION ALL SELECT q_id, n_id FROM p4),
+        |st5 AS (SELECT c.q_id, c.n_id, c.cos,
+        |    round(0.7*c.cos - 0.3*max(s.s), 6) AS mmr
+        |  FROM c JOIN sim s ON s.q_id = c.q_id AND s.i = c.n_id
+        |    JOIN pk4 pk ON pk.q_id = s.q_id AND pk.n_id = s.j
+        |  WHERE NOT EXISTS (SELECT 1 FROM pk4 x
+        |    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+        |  GROUP BY 1, 2, 3),
+        |p5 AS (SELECT q_id, n_id, cos, mmr FROM st5
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY mmr DESC, n_id) = 1),
+        |ranked AS (
+        |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS mmr_rank, cos, mmr FROM p1
+        |  UNION ALL SELECT q_id, n_id, 2, cos, mmr FROM p2
+        |  UNION ALL SELECT q_id, n_id, 3, cos, mmr FROM p3
+        |  UNION ALL SELECT q_id, n_id, 4, cos, mmr FROM p4
+        |  UNION ALL SELECT q_id, n_id, 5, cos, mmr FROM p5)
+        |SELECT q_id, n_id, mmr_rank, cos, mmr FROM ranked
+        |ORDER BY q_id, mmr_rank""".stripMargin,
     "q_ann_filtered" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

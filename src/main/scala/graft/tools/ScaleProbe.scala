@@ -160,6 +160,10 @@ object ScaleProbe {
     // tercile window; word-salting grows the vocab linearly while
     // per-copy token mass stays constant
     "q_ann_filtered", "q_unigram_logprob",
+    // r15: MMR re-rank — candidate generation is the broadcast scan,
+    // the greedy selection runs over fixed-size (<= 20-row) groups,
+    // so wall should track the corpus scan and nothing else
+    "q_ann_mmr",
     // r15: winnowing fingerprints — fused-kernel selection in one
     // scan (zero shuffle); wall should track doc count linearly. The
     // pair query adds the fingerprint-bucket join at 2/(w+1) shingle
