@@ -216,6 +216,54 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"), col("mmr_rank"))
   }
 
+  /** HYBRID retrieVAL FUSION — reciprocal-rank fusion (Cormack et
+    * al., the k=60 RRF every hybrid search stack ships) of a LEXICAL
+    * ranking (BM25 for the fixed query {spark, join, window} —
+    * [[graft.queries.TextPack.bm25Scores]]) and a SEMANTIC ranking
+    * (cosine to a Rocchio-style pseudo-relevance-feedback vector: the
+    * mean embedding of the top-3 lexical docs — how a hybrid stack
+    * derives a query vector when the query itself has no embedding).
+    * `rrf(d) = Σ_lists 1/(60 + rank_list(d))` over each ranker's
+    * top-50, fused by a full-outer join, top-20 out. Scale shape:
+    * both rankings are bounded TakeOrdered heads (the global windows
+    * sit AFTER limit(50), never over the corpus); the PRF vector is a
+    * 64-row broadcast; the fusion join touches ≤ 100 rows. Ranks
+    * compare on ROUNDED scores with id tie-breaks — engine-stable,
+    * and the oracle replays the whole fusion exactly. */
+  def qRrfHybrid(s: SparkSession, d: String): DataFrame = {
+    val lexTop = graft.queries.TextPack.bm25Scores(s, d)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+    val ex = embSpread(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), col("p"), col("x").cast("double").as("x"))
+    val prf = lexTop.filter(col("r_lex") <= 3).select(col("doc_id").as("vec_id"))
+      .join(ex, "vec_id")
+      .groupBy(col("p")).agg(avg(col("x")).as("qx"))
+    val qn = prf.agg(sqrt(sum(col("qx") * col("qx"))).as("qn"))
+    val semTop = ex.join(broadcast(prf), "p")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("qx")).as("dp"),
+        sqrt(sum(col("x") * col("x"))).as("nv"))
+      .crossJoin(broadcast(qn))
+      .withColumn("cos", round(col("dp") / (col("nv") * col("qn")), 6))
+      .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("r_sem"))
+    lexTop.select(col("doc_id"), col("r_lex"))
+      .join(semTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   /** Sign-LSH bucketing: [[lshBitsFor]] (8 at fixture scale,
     * corpus-relative above) scrambled-hash pseudo-hyperplanes
     * ([[planeW]], plane index = bit index); bucket = sign-bit vector.
@@ -719,6 +767,7 @@ object SimilarityPack extends QueryPack {
     "q_ann_cosine"      -> qAnnCosine,
     "q_ann_filtered"    -> qAnnFiltered,
     "q_ann_mmr"         -> qAnnMmr,
+    "q_rrf_hybrid"      -> qRrfHybrid,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_ann_ivf"         -> qAnnIvf,
@@ -925,6 +974,50 @@ object SimilarityPack extends QueryPack {
         |  FROM scored)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // lexical top-50 (the q_bm25 arithmetic without its top-20 cap),
+    // PRF vector = per-position mean of the top-3 lexical docs'
+    // embeddings, semantic top-50 by cosine to it, k=60 RRF fuse
+    "q_rrf_hybrid" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+        |           FROM documents),
+        |dl AS (SELECT doc_id, len(string_split(text,' ')) * 1.0 AS dl
+        |       FROM documents),
+        |stats AS (SELECT count(*) * 1.0 AS n,
+        |          avg(len(string_split(text,' '))) AS avgdl FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) * 1.0 AS tf FROM w
+        |       WHERE t IN ('spark','join','window') GROUP BY 1, 2),
+        |dfs AS (SELECT t, count(*) * 1.0 AS df FROM tf GROUP BY 1),
+        |bm AS (SELECT tf.doc_id,
+        |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 5) AS bm25
+        |  FROM tf JOIN dfs USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats
+        |  GROUP BY 1),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+        |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+        |ex AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS p,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |prf AS (SELECT p, avg(x) AS qx FROM ex
+        |  WHERE vec_id IN (SELECT doc_id FROM lex WHERE r_lex <= 3)
+        |  GROUP BY 1),
+        |qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM prf),
+        |dots AS (SELECT vec_id, sum(x * qx) AS dp,
+        |    sqrt(sum(x * x)) AS nv
+        |  FROM ex JOIN prf USING (p) GROUP BY 1),
+        |sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+        |    ORDER BY cos DESC, vec_id) AS BIGINT) AS r_sem
+        |  FROM (SELECT vec_id, round(dp / (nv * qn), 6) AS cos
+        |        FROM dots, qn ORDER BY cos DESC, vec_id LIMIT 50)),
+        |fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    lex.r_lex, sem.r_sem,
+        |    round(coalesce(1.0 / (60.0 + lex.r_lex), 0.0) +
+        |          coalesce(1.0 / (60.0 + sem.r_sem), 0.0), 6) AS rrf
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id, coalesce(r_lex, 0) AS r_lex,
+        |  coalesce(r_sem, 0) AS r_sem, rrf
+        |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+        |ORDER BY rrf DESC, doc_id""".stripMargin,
     // the 5 greedy MMR steps unrolled as CTEs (the PageRank-unroll
     // precedent): pk<k> = picks after step k, step k+1 scores every
     // unpicked candidate by 0.7*cos - 0.3*max(sim to picks) on

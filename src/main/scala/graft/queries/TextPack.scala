@@ -1341,7 +1341,15 @@ object TextPack extends QueryPack {
     * length join shuffles on the uniform doc key — the classic
     * scatter-gather ranking pass, fact scanned twice, never
     * collected. */
-  def qBm25(s: SparkSession, d: String): DataFrame = {
+  def qBm25(s: SparkSession, d: String): DataFrame =
+    bm25Scores(s, d)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** The full BM25-scored relation (every doc hitting >= 1 query
+    * term) for the fixed query {spark, join, window} — [[qBm25]]'s
+    * top-20 and the hybrid RRF fusion both rank over it. */
+  private[graft] def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val docs = docsSpread(s, d)
     val wlen = size(TextOps.words(col("text")))
     val stats = docs.agg(count(lit(1)).cast("double").as("n"),
@@ -1361,8 +1369,6 @@ object TextPack extends QueryPack {
         (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("sc")), 5).as("bm25"), count(lit(1)).as("n_terms"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
   /** Corpus-audit length histogram — doc counts per (lang, 50-char

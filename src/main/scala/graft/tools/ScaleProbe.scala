@@ -164,6 +164,9 @@ object ScaleProbe {
     // the greedy selection runs over fixed-size (<= 20-row) groups,
     // so wall should track the corpus scan and nothing else
     "q_ann_mmr",
+    // r15: hybrid RRF — two bounded TakeOrdered heads + a <= 100-row
+    // fusion join; wall should track the two corpus scans
+    "q_rrf_hybrid",
     // r15: winnowing fingerprints — fused-kernel selection in one
     // scan (zero shuffle); wall should track doc count linearly. The
     // pair query adds the fingerprint-bucket join at 2/(w+1) shingle

@@ -50,4 +50,24 @@ class MmrSpec extends AnyFunSuite {
     assert(diversified > 0,
       "MMR selected exactly the plain top-5 for every query — lambda inert")
   }
+
+  test("RRF fusion: scores recompute from the ranks; both rankers contribute") {
+    val rows = SimilarityPack.qRrfHybrid(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 20)
+    // rrf recomputes exactly from the emitted ranks (0 = unranked)
+    rows.foreach { case (id, rl, rs, rrf) =>
+      val want = BigDecimal(
+        (if (rl > 0) 1.0 / (60.0 + rl) else 0.0) +
+        (if (rs > 0) 1.0 / (60.0 + rs) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rrf - want) < 1e-9, s"doc $id rrf $rrf != $want")
+    }
+    // descending fusion order, and the fused head draws on BOTH lists
+    assert(rows.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
+    assert(rows.exists(r => r._2 > 0 && r._3 > 0),
+      "no doc ranked by both lexical and semantic lists — fusion vacuous")
+    assert(rows.head._2 > 0 && rows.head._3 > 0,
+      "the top fused doc should be dual-listed at k=60")
+  }
 }
