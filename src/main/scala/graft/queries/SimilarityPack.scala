@@ -162,10 +162,17 @@ object SimilarityPack extends QueryPack {
     * selection runs DISTRIBUTED in `flatMapGroups` over ≤ 20-row
     * per-query groups (bounded work per group, never a driver loop —
     * at 100 TB the groups shard across the cluster like any other
-    * key). All scores round to 6 before comparison with vec_id
-    * tie-breaks, so the selection is engine-stable; the DuckDB oracle
+    * key). Scoring runs on an EXACT INTEGER GRID: with `cos` and the
+    * pairwise sims 6-rounded, `mmr_u = 7·cos_u − 3·sim_u` in 1e-7
+    * units is pure Long arithmetic — no decimal rounding of a product
+    * can ever land on a half grid (the r15 defect: `0.7·cos` with
+    * cos 6-rounded sits exactly on the 1e-7 half grid whenever cos's
+    * last digit is odd, and Scala's `Double.toString` HALF_UP rounds
+    * up where DuckDB's binary `round()` rounds down). The emitted
+    * `mmr = mmr_u / 1e7` is one IEEE division of exact integers on
+    * both sides — bit-identical by construction. The DuckDB oracle
     * unrolls the 5 greedy steps as CTEs (the PageRank-unroll
-    * precedent) and replays the selection exactly. */
+    * precedent) and replays the integer selection exactly. */
   def qAnnMmr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
@@ -180,36 +187,40 @@ object SimilarityPack extends QueryPack {
       .filter(col("rk") <= 20)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cos"),
         col("v"), col("nrm"))
-    // both literals written out: (1 - 0.7) is 0.30000000000000004 in
-    // binary, which would diverge from the oracle's literal 0.3
-    val lambda = 0.7
-    val mu = 0.3
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // r6 then rint to micro-units: cos is on the 1e-6 decimal grid,
+    // so cos*1e6 sits within ulps of an integer — rint is exact and
+    // mode-independent (never near .5)
+    def r6u(x: Double): Long = {
+      val r = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.rint(r * 1e6).toLong
+    }
     cand.as[(Long, Long, Double, Seq[Double], Double)]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val cs = it.toArray.sortBy(r => (-r._3, r._2))
-        def sim(a: Int, b: Int): Double = {
+        val cu = cs.map(r => math.rint(r._3 * 1e6).toLong)
+        def simU(a: Int, b: Int): Long = {
           val (va, vb) = (cs(a)._4, cs(b)._4)
           var dp = 0.0
           var i = 0
           while (i < va.length) { dp += va(i) * vb(i); i += 1 }
-          r6(dp / (cs(a)._5 * cs(b)._5))
+          r6u(dp / (cs(a)._5 * cs(b)._5))
         }
-        val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        // mmr_u = 7*cos_u - 3*maxSim_u in exact 1e-7 integer units
+        // (0.7*cos = 7*cos_u*1e-7, 0.3*sim = 3*sim_u*1e-7)
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
         while (picked.length < math.min(5, cs.length)) {
           val chosen = cs.indices.filterNot(i => picked.exists(_._1 == i))
             .map { i =>
-              val maxSim = if (picked.isEmpty) 0.0
-                else picked.map(p => sim(i, p._1)).max
-              (i, r6(lambda * cs(i)._3 - mu * maxSim))
+              val maxSimU = if (picked.isEmpty) 0L
+                else picked.map(p => simU(i, p._1)).max
+              (i, 7L * cu(i) - 3L * maxSimU)
             }
             .minBy { case (i, score) => (-score, cs(i)._2) }
           picked += chosen
         }
-        picked.zipWithIndex.map { case ((i, score), rank) =>
-          (qid, cs(i)._2, (rank + 1).toLong, cs(i)._3, score)
+        picked.zipWithIndex.map { case ((i, scoreU), rank) =>
+          (qid, cs(i)._2, (rank + 1).toLong, cs(i)._3, scoreU / 1e7)
         }
       }
       .toDF("q_id", "n_id", "mmr_rank", "cos", "mmr")
@@ -1020,9 +1031,13 @@ object SimilarityPack extends QueryPack {
         |ORDER BY rrf DESC, doc_id""".stripMargin,
     // the 5 greedy MMR steps unrolled as CTEs (the PageRank-unroll
     // precedent): pk<k> = picks after step k, step k+1 scores every
-    // unpicked candidate by 0.7*cos - 0.3*max(sim to picks) on
-    // 6-rounded values with n_id tie-breaks — exactly the engine's
-    // flatMapGroups selection
+    // unpicked candidate by mmr_u = 7*cos_u - 3*max(sim_u to picks)
+    // in EXACT 1e-7 INTEGER units (cos_u/sim_u = micro-units of the
+    // 6-rounded values) with n_id tie-breaks — exactly the engine's
+    // flatMapGroups selection, and structurally immune to the r15
+    // half-grid rounding defect (no decimal rounding of a product
+    // anywhere; the emitted mmr = mmr_u/1e7 is one IEEE division of
+    // exact integers on both sides)
     "q_ann_mmr" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
@@ -1030,67 +1045,69 @@ object SimilarityPack extends QueryPack {
         |  SELECT q.q_id, e.vec_id AS n_id,
         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
         |  FROM e, q WHERE e.vec_id != q.q_id),
-        |c AS (SELECT q_id, n_id, cos FROM (
+        |c AS (SELECT q_id, n_id, cos,
+        |    CAST(round(cos * 1e6) AS BIGINT) AS cu FROM (
         |  SELECT q_id, n_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
         |  FROM scored) WHERE rk <= 20),
         |sim AS (SELECT a.q_id, a.n_id AS i, b.n_id AS j,
-        |    round(list_cosine_similarity(ea.v, eb.v), 6) AS s
+        |    CAST(round(round(list_cosine_similarity(ea.v, eb.v), 6) * 1e6)
+        |      AS BIGINT) AS su
         |  FROM c a JOIN c b ON a.q_id = b.q_id AND a.n_id != b.n_id
         |    JOIN e ea ON ea.vec_id = a.n_id JOIN e eb ON eb.vec_id = b.n_id),
-        |p1 AS (SELECT q_id, n_id, cos, round(0.7*cos, 6) AS mmr FROM c
+        |p1 AS (SELECT q_id, n_id, cos, 7 * cu AS mmr_u FROM c
         |  QUALIFY row_number() OVER (PARTITION BY q_id
-        |    ORDER BY round(0.7*cos, 6) DESC, n_id) = 1),
+        |    ORDER BY 7 * cu DESC, n_id) = 1),
         |st2 AS (SELECT c.q_id, c.n_id, c.cos,
-        |    round(0.7*c.cos - 0.3*max(s.s), 6) AS mmr
+        |    7 * c.cu - 3 * max(s.su) AS mmr_u
         |  FROM c JOIN sim s ON s.q_id = c.q_id AND s.i = c.n_id
         |    JOIN p1 pk ON pk.q_id = s.q_id AND pk.n_id = s.j
         |  WHERE NOT EXISTS (SELECT 1 FROM p1 x
         |    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
-        |  GROUP BY 1, 2, 3),
-        |p2 AS (SELECT q_id, n_id, cos, mmr FROM st2
+        |  GROUP BY 1, 2, 3, c.cu),
+        |p2 AS (SELECT q_id, n_id, cos, mmr_u FROM st2
         |  QUALIFY row_number() OVER (PARTITION BY q_id
-        |    ORDER BY mmr DESC, n_id) = 1),
+        |    ORDER BY mmr_u DESC, n_id) = 1),
         |pk2 AS (SELECT q_id, n_id FROM p1 UNION ALL SELECT q_id, n_id FROM p2),
         |st3 AS (SELECT c.q_id, c.n_id, c.cos,
-        |    round(0.7*c.cos - 0.3*max(s.s), 6) AS mmr
+        |    7 * c.cu - 3 * max(s.su) AS mmr_u
         |  FROM c JOIN sim s ON s.q_id = c.q_id AND s.i = c.n_id
         |    JOIN pk2 pk ON pk.q_id = s.q_id AND pk.n_id = s.j
         |  WHERE NOT EXISTS (SELECT 1 FROM pk2 x
         |    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
-        |  GROUP BY 1, 2, 3),
-        |p3 AS (SELECT q_id, n_id, cos, mmr FROM st3
+        |  GROUP BY 1, 2, 3, c.cu),
+        |p3 AS (SELECT q_id, n_id, cos, mmr_u FROM st3
         |  QUALIFY row_number() OVER (PARTITION BY q_id
-        |    ORDER BY mmr DESC, n_id) = 1),
+        |    ORDER BY mmr_u DESC, n_id) = 1),
         |pk3 AS (SELECT q_id, n_id FROM pk2 UNION ALL SELECT q_id, n_id FROM p3),
         |st4 AS (SELECT c.q_id, c.n_id, c.cos,
-        |    round(0.7*c.cos - 0.3*max(s.s), 6) AS mmr
+        |    7 * c.cu - 3 * max(s.su) AS mmr_u
         |  FROM c JOIN sim s ON s.q_id = c.q_id AND s.i = c.n_id
         |    JOIN pk3 pk ON pk.q_id = s.q_id AND pk.n_id = s.j
         |  WHERE NOT EXISTS (SELECT 1 FROM pk3 x
         |    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
-        |  GROUP BY 1, 2, 3),
-        |p4 AS (SELECT q_id, n_id, cos, mmr FROM st4
+        |  GROUP BY 1, 2, 3, c.cu),
+        |p4 AS (SELECT q_id, n_id, cos, mmr_u FROM st4
         |  QUALIFY row_number() OVER (PARTITION BY q_id
-        |    ORDER BY mmr DESC, n_id) = 1),
+        |    ORDER BY mmr_u DESC, n_id) = 1),
         |pk4 AS (SELECT q_id, n_id FROM pk3 UNION ALL SELECT q_id, n_id FROM p4),
         |st5 AS (SELECT c.q_id, c.n_id, c.cos,
-        |    round(0.7*c.cos - 0.3*max(s.s), 6) AS mmr
+        |    7 * c.cu - 3 * max(s.su) AS mmr_u
         |  FROM c JOIN sim s ON s.q_id = c.q_id AND s.i = c.n_id
         |    JOIN pk4 pk ON pk.q_id = s.q_id AND pk.n_id = s.j
         |  WHERE NOT EXISTS (SELECT 1 FROM pk4 x
         |    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
-        |  GROUP BY 1, 2, 3),
-        |p5 AS (SELECT q_id, n_id, cos, mmr FROM st5
+        |  GROUP BY 1, 2, 3, c.cu),
+        |p5 AS (SELECT q_id, n_id, cos, mmr_u FROM st5
         |  QUALIFY row_number() OVER (PARTITION BY q_id
-        |    ORDER BY mmr DESC, n_id) = 1),
+        |    ORDER BY mmr_u DESC, n_id) = 1),
         |ranked AS (
-        |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS mmr_rank, cos, mmr FROM p1
-        |  UNION ALL SELECT q_id, n_id, 2, cos, mmr FROM p2
-        |  UNION ALL SELECT q_id, n_id, 3, cos, mmr FROM p3
-        |  UNION ALL SELECT q_id, n_id, 4, cos, mmr FROM p4
-        |  UNION ALL SELECT q_id, n_id, 5, cos, mmr FROM p5)
-        |SELECT q_id, n_id, mmr_rank, cos, mmr FROM ranked
+        |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS mmr_rank, cos, mmr_u FROM p1
+        |  UNION ALL SELECT q_id, n_id, 2, cos, mmr_u FROM p2
+        |  UNION ALL SELECT q_id, n_id, 3, cos, mmr_u FROM p3
+        |  UNION ALL SELECT q_id, n_id, 4, cos, mmr_u FROM p4
+        |  UNION ALL SELECT q_id, n_id, 5, cos, mmr_u FROM p5)
+        |SELECT q_id, n_id, mmr_rank, cos, mmr_u / 10000000.0 AS mmr FROM ranked
         |ORDER BY q_id, mmr_rank""".stripMargin,
     "q_ann_filtered" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

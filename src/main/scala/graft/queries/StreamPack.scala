@@ -376,8 +376,9 @@ object StreamPack extends QueryPack {
         |FROM nm WHERE n_match >= 8
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // model refit on the history slice; OOV fallback ln(0.5/n); the
-    // keep bit compares the UNROUNDED score to the threshold, as the
-    // kernel does
+    // keep bit compares score and threshold BOTH rounded to 5 (the
+    // emitted scale), as the kernel does — unrounded float sums
+    // associate differently across engines/partitionings
     "q_stream_quality_gate" ->
       """WITH hist AS (SELECT lang, unnest(string_split(text,' ')) AS w
         |              FROM documents WHERE doc_id % 5 <> 0),
@@ -400,7 +401,8 @@ object StreamPack extends QueryPack {
         |       GROUP BY 1, 2)
         |SELECT sc.doc_id, sc.lang, CAST(n_toks AS BIGINT) AS n_toks,
         |  CAST(n_oov AS BIGINT) AS n_oov, round(score, 5) AS score,
-        |  CAST(CASE WHEN score >= thr.thr THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |  CAST(CASE WHEN round(score, 5) >= round(thr.thr, 5)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM sc JOIN thr ON sc.lang = thr.lang
         |ORDER BY sc.doc_id""".stripMargin,
     "q_stream_join" ->

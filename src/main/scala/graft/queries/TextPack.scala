@@ -2279,9 +2279,12 @@ object TextPack extends QueryPack {
         |  round(agg.n_fps * 1.0 / greatest(m.m - 3, 1), 6) AS density,
         |  CAST(agg.fp_xor AS BIGINT) AS fp_xor
         |FROM m JOIN agg USING (doc_id) ORDER BY m.doc_id""".stripMargin,
-    // same selection replay, then the fingerprint-bucket pair join
-    // (the 100000 hot cap never binds at fixture scale, as in the
-    // minhash oracle)
+    // same selection replay, then the fingerprint-bucket pair join.
+    // The engine's 100000 hot-fingerprint cap IS replicated below
+    // (hot/bsel CTEs): if a bucket ever exceeds the cap at a gated SF,
+    // engine and oracle drop the same pairs instead of the gate
+    // failing with no pointer to the cause. Doc sizes stay UNCAPPED,
+    // exactly like the engine's `sizes` over the raw fps relation.
     "q_winnow_pairs" ->
       """WITH w AS (SELECT doc_id,
         |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
@@ -2300,8 +2303,10 @@ object TextPack extends QueryPack {
         |                       AND g.pos BETWEEN win.t AND win.t + 3),
         |sel AS (SELECT DISTINCT doc_id, h FROM cand WHERE rk = 1),
         |sizes AS (SELECT doc_id, count(*) AS nfp FROM sel GROUP BY 1),
+        |hot AS (SELECT h FROM sel GROUP BY 1 HAVING count(*) > 100000),
+        |bsel AS (SELECT * FROM sel WHERE h NOT IN (SELECT h FROM hot)),
         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
-        |          FROM sel x JOIN sel y ON x.h = y.h AND x.doc_id < y.doc_id
+        |          FROM bsel x JOIN bsel y ON x.h = y.h AND x.doc_id < y.doc_id
         |          GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
         |  round(n_shared * 1.0 / (sa.nfp + sb.nfp - n_shared), 6) AS sim

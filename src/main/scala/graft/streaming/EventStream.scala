@@ -200,9 +200,15 @@ object EventStream {
       .mapPartitions { it =>
         val lp = bLp.value
         val th = bThr.value
+        def r5(x: Double): Double =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         it.flatMap { case (id, lang, text) =>
           th.get(lang).map { case (thrV, n) =>
-            val toks = text.split(" ")
+            // limit -1: keep trailing empty tokens, matching the model
+            // fit (Spark split) and the oracle (string_split) — a doc
+            // with a trailing space must tokenize identically in all
+            // three places
+            val toks = text.split(" ", -1)
             val oov = math.log(0.5 / n)
             var s = 0.0
             var nOov = 0L
@@ -212,14 +218,18 @@ object EventStream {
                 case None    => s += oov; nOov += 1
               }
             }
-            val score = s / toks.length
+            // round BOTH sides of the keep comparison to the emitted
+            // scale (5): score and thr are order-sensitive float sums
+            // that associate differently across partitionings/engines;
+            // comparing unrounded values would let a doc within ulps of
+            // the threshold flip keep (repo round-before-compare rule)
+            val score = r5(s / toks.length)
             (id, lang, toks.length.toLong, nOov, score,
-              if (score >= thrV) 1L else 0L)
+              if (score >= r5(thrV)) 1L else 0L)
           }
         }
       }
       .toDF("doc_id", "lang", "n_toks", "n_oov", "score", "keep")
-      .withColumn("score", round(col("score"), 5))
   }
 
   /** Fit the model on the HISTORY slice (doc_id % 5 != 0 — the same

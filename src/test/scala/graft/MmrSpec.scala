@@ -23,8 +23,11 @@ class MmrSpec extends AnyFunSuite {
     assert(mmr.nonEmpty)
     mmr.foreach { case (q, rows) =>
       assert(rows.length == 5 && rows.map(_._2).distinct.length == 5)
-      // the greedy start: max rounded cos, n_id tie-break — which is
-      // exactly qAnnCosine's rank-1 row
+      // the greedy start: max 7*cos_u on the integer grid, n_id
+      // tie-break. 7*cos_u is STRICTLY monotone in cos_u (unlike the
+      // r15 round(0.7*cos, 6), which compressed 1e-6-distinct cosines
+      // into ties), so this is now a true invariant: the pick equals
+      // qAnnCosine's rank-1 row exactly
       val plainFirst = SimilarityPack.qAnnCosine(spark, TestSpark.sf)
         .filter(col("q_id") === q && col("rank") === 1)
         .select("n_id").as[Long].head()

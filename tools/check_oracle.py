@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py [--strict] <verify_out_dir> <sf_dir> [allow_empty_csv]
 
 Loads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB (tables registered
 as views over the same parquet), and compares: schema (column names),
-row count, and a hash over rows sorted by all columns.
+row count, and the values of rows sorted by all columns.
+
+--strict: BIT-EXACT float compare (float64 payload equality, NaN==NaN),
+mirroring the driver's hash gate. Default (legacy) mode uses
+atol=1.5e-6 — which is exactly what masked the r15 q_ann_mmr half-grid
+rounding defect (local "pass" while the driver's bit-exact hash
+failed). The end-of-round gate MUST run strict.
 """
 import sys, json, glob, os
 import duckdb
@@ -26,11 +32,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    # optional third arg: comma list of queries allowed to be empty
-    # (candidate-pair queries at sf0.001 — mirrors EngineSpec's list);
-    # everything else empty-vs-empty counts as a FAILURE (vacuity guard)
-    allow_empty = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    out_dir, sf_dir = argv[0], argv[1]
+    # optional third positional: comma list of queries allowed to be
+    # empty (candidate-pair queries at sf0.001 — mirrors EngineSpec's
+    # list); everything else empty-vs-empty FAILS (vacuity guard)
+    allow_empty = set(argv[2].split(",")) if len(argv) > 2 else set()
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
@@ -66,22 +74,23 @@ def main():
         for c in g.columns:
             a, b = g[c].values, e[c].values
             if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
-                # atol matched to the round(..., 6) convention both engines
-                # use: a 1-ulp difference at a .5 rounding boundary flips the
-                # last digit; bit-exact compare would fail spuriously
-                ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1.5e-6, equal_nan=True)
+                af, bf = a.astype(float), b.astype(float)
+                if strict:
+                    # the driver's gate hashes bit-exact canonical rows;
+                    # replicate: exact float64 equality, NaN == NaN
+                    mism = ~((af == bf) | (np.isnan(af) & np.isnan(bf)))
+                else:
+                    # legacy tolerance "matched to the round(...,6)
+                    # convention" — masks half-grid rounding divergence
+                    # (the r15 q_ann_mmr failure class); gate runs strict
+                    mism = ~np.isclose(af, bf, rtol=0, atol=1.5e-6, equal_nan=True)
+                ok = not mism.any()
             else:
-                ok = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
+                mism = (pd.Series(a).astype(str) != pd.Series(b).astype(str)).values
+                ok = not mism.any()
             if not ok:
-                bad = None
-                try:
-                    m = ~np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1.5e-6, equal_nan=True)
-                    i = int(np.argmax(m))
-                    bad = f"col={c} row={i} spark={a[i]!r} duck={b[i]!r}"
-                except Exception:
-                    m = pd.Series(a).astype(str) != pd.Series(b).astype(str)
-                    i = int(np.argmax(m.values))
-                    bad = f"col={c} row={i} spark={a[i]!r} duck={b[i]!r}"
+                i = int(np.argmax(mism))
+                bad = f"col={c} row={i} spark={a[i]!r} duck={b[i]!r}"
                 print(f"{name:28s} VALUE-MISMATCH {bad}")
                 eq = False
                 break
