@@ -168,6 +168,15 @@ object Bench {
     // after the two spaced sweeps triggers a FULL third sweep — the
     // total becomes min-of-3, the strongest defense a single run can
     // mount against a contention window that outlasts one sweep.
+    //
+    // RE-PIN RULE (r16): the pinned constants are valid ONLY while
+    // the seven queries' code paths stay frozen — they have been
+    // untouched since round 1 and must stay that way. If any of them
+    // (or a plan-affecting config they depend on) ever changes,
+    // re-pin ALL seven from a fresh calm-window BENCH_DETAIL sample
+    // (canary ratio <= ~0.9 band) and note the new provenance here;
+    // a stale pin silently re-scales every later round's ratio.
+    // Pin provenance: committed calm sample 3a97bea (r15).
     val canaryPinned = Map(
       "q1_pricing_summary" -> 0.329, "q6_forecast_revenue" -> 0.133,
       "q_filter_project" -> 0.231, "q_join_star" -> 0.493,
