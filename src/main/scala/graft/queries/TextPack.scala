@@ -892,14 +892,26 @@ object TextPack extends QueryPack {
     * aggregate — 14.7× wall at 100× docs, the repo's steepest dedup
     * cell); the anchor probe emits Σ_docs df(rarest shingle) candidate
     * rows (≈ |docs| for natural text, since a doc's rarest shingle has
-    * df 1–2). The exact `|∩| = min(na, nb)` check is a SEMI-JOIN
-    * PROBE (r16): the shingle relation is first semi-joined down to
-    * candidate docs only, then the per-pair intersection is counted
-    * as an equi-join on (doc, shingle) — the r15 form materialized
-    * per-doc `collect_list` shingle arrays over the WHOLE corpus (a
-    * corpus-sized array-building shuffle that owned the 6.6× 100×
-    * cell) even though only candidate docs ever reach the check.
-    * `ContainmentSpec` pins row-equality with the exhaustive form. */
+    * df 1–2), and the exact `|∩| = min(na, nb)` check then runs as an
+    * array intersect over just the candidates' per-doc shingle arrays
+    * (bounded by doc length). `ContainmentSpec` pins row-equality with
+    * the exhaustive form on the fixture.
+    *
+    * SEMI-JOIN PROBE: NEGATIVE RESULT (r16, measured). Two variants
+    * that restrict the exact check to candidate docs were probed at
+    * 100× on the same box, same session: (a) pure join-counted
+    * intersection (no arrays; per-pair (doc, shingle) equi-join +
+    * (a,b) count agg) — 34.6 s vs this form's 13.5 s; (b) arrays
+    * built only over semi-joined candidate docs, `cand` persisted —
+    * 21.8 s. Root cause: candidate pairs cover nearly EVERY doc
+    * (each doc's rarest shingle has df 1–2, so ~every doc appears in
+    * some pair), so the candidate semi-join filters almost nothing
+    * and its extra shuffles (+ the persist barrier) are pure
+    * overhead; variant (a) additionally re-shuffles each pair's full
+    * shingle fan-out where the array intersect does that work
+    * partition-locally. The corpus-wide array build this form pays is
+    * one doc_id-keyed shuffle — linear, spreadable, and cheaper than
+    * any probed alternative. */
   def qContainment(s: SparkSession, d: String): DataFrame = {
     val dsh = shingleRelation(s, d)
     // rarest-shingle anchors WITHOUT a corpus-scale×corpus-scale join
@@ -934,23 +946,15 @@ object TextPack extends QueryPack {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
-    // semi-join probe: only candidate docs' shingles feed the exact
-    // intersection count — sizes stay a plain count agg (no arrays)
-    val candDocs = cand.select(col("a").as("doc_id"))
-      .union(cand.select(col("b"))).distinct()
-    val dshC = dsh.join(candDocs, Seq("doc_id"), "left_semi")
-    val inter = cand
-      .join(dshC.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(dshC.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
-      // containment pairs share ALL of the smaller doc's shingles, so
-      // the inner join on inter loses nothing: c >= 1 for every
-      // candidate (they share the anchor), and c == min is required
-      .filter(col("c") === least(col("na"), col("nb")))
+    val arrs = dsh.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("nsh"))
+    cand
+      .join(arrs.select(col("doc_id").as("a"), col("shs").as("sh_a"),
+        col("nsh").as("na")), Seq("a"))
+      .join(arrs.select(col("doc_id").as("b"), col("shs").as("sh_b"),
+        col("nsh").as("nb")), Seq("b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+        === least(col("na"), col("nb")))
       .select(col("a"), col("b"), col("na"), col("nb"),
         when(col("na") <= col("nb"), "a").otherwise("b").as("contained"))
       .orderBy(col("a"), col("b"))
