@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(CorePack, EraPack, InfoPack, EventsPack, TextPack, SimilarityPack,
-      MultimodalPack, MlPack, StatsPack, StreamPack)
+      MultimodalPack, MlPack, StatsPack, StreamPack, TrainPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The `spearman_rank` pipeline (`metrics.py:5-22`) — scan → per-era

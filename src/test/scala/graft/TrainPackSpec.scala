@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TrainPack
+
+/** Training-data output surface: temperature mix, shuffle-shard,
+  * shingle novelty (the DuckDB oracles pin exact values; these pin
+  * the semantic invariants that make the values RIGHT). */
+class TrainPackSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("temperature mix: weights sum to 1 and alpha<1 boosts rare languages") {
+    val rows = TrainPack.qMixTemperature(spark, TestSpark.sf)
+      .as[(String, Long, Double, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "weights must sum to 1")
+    rows.foreach { case (lang, nDocs, _, target, nKept, _) =>
+      assert(nKept == math.min(target, nDocs),
+        s"$lang: kept $nKept != min(target=$target, inventory=$nDocs)")
+    }
+    // p(L) ∝ n^0.7 upsamples rare languages: the smallest language's
+    // kept FRACTION must be >= the largest's (strictly, unless both
+    // saturate)
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    assert(smallest._2 < largest._2, "fixture should have skewed languages")
+    val fSmall = smallest._5.toDouble / smallest._2
+    val fLarge = largest._5.toDouble / largest._2
+    assert(fSmall >= fLarge,
+      s"temperature inverted: rare kept $fSmall < common kept $fLarge")
+  }
+
+  test("shuffle-shard: partition of the corpus; order is hash-determined, not ingest") {
+    val rows = TrainPack.qTrainShard(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.map(_._1).toSet == (0L until 8L).toSet)
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .agg(count(lit(1)), sum(col("doc_id"))).as[(Long, Long)].head()
+    assert(rows.map(_._2).sum == docs._1, "shards must partition the corpus")
+    assert(rows.map(_._4).sum == docs._2, "id checksum must cover every doc")
+    rows.foreach { case (sh, n, _, _, head3) =>
+      assert(head3.split(",").length == math.min(3, n).toInt, s"shard $sh head")
+    }
+    // the permutation decorrelates ingest order: no shard's head is
+    // simply the 3 smallest doc ids it contains (astronomically
+    // unlikely under a real hash order, certain under ingest order)
+    val byIngest = rows.count { case (_, _, _, _, h) =>
+      val ids = h.split(",").map(_.toLong); ids.sameElements(ids.sorted) }
+    assert(byIngest < rows.length, "every shard head in ingest order — not shuffled")
+  }
+
+  test("novelty: first doc is all-novel, ratios bounded, novel counts cover the shingle universe") {
+    val rows = TrainPack.qShingleNovelty(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, nov, r) =>
+      assert(nov >= 0 && nov <= n && r >= 0.0 && r <= 1.0, s"doc $id bounds")
+    }
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1.0, "the earliest doc's shingles are all first occurrences")
+    // every distinct corpus shingle is novel in exactly one doc
+    val universe = Tables.documents(spark, TestSpark.sf)
+      .select(explode(array_distinct(
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
+      .agg(countDistinct(col("sh"))).as[Long].head()
+    assert(rows.map(_._3).sum == universe,
+      "sum of per-doc novel counts must equal the distinct shingle universe")
+  }
+}
