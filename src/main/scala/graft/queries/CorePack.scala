@@ -1095,6 +1095,36 @@ object CorePack extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** ORC sink + scan round-trip — the third columnar interchange
+    * format after Parquet and the text formats (warehouses migrating
+    * from Hive ecosystems still hand ORC to ingest pipelines). Same
+    * contract as [[qCsvRoundtrip]]/[[qJsonlRoundtrip]]: a lineitem
+    * projection written ONCE per dir as ORC (fingerprint-memoized +
+    * shutdown-hook cleanup), read back, aggregated; the oracle runs
+    * the same aggregate on the original parquet, so the ORC
+    * writer→reader path must be value-exact (ORC is typed — longs
+    * and doubles survive bit-exactly; the 2-decimal quantity sum is
+    * grid-exact both engines). ORC scans split by stripe, so at
+    * 100 TB the read parallelizes exactly like Parquet — predicate
+    * pushdown and column pruning included (Spark's native
+    * OrcFileFormat). */
+  private val orcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = orcDirs.computeIfAbsent(
+      Tables.fingerprintKeyAny(s, s"$d/lineitem.parquet"), _ => {
+      val out = graft.TempDirs.create("graft_orc_rt_")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").orc(out.toAbsolutePath.toString)
+      out.toAbsolutePath.toString
+    })
+    s.read.orc(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"),
+        sum(col("l_orderkey")).as("key_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Schema EVOLUTION scan — the lake reality the fixed-schema
     * loaders don't exercise: files written before a column existed
     * coexist with files written after, and one read must span both.
@@ -1339,6 +1369,7 @@ object CorePack extends QueryPack {
     "q_zorder_scan"        -> qZorderScan,
     "q_csv_roundtrip"      -> qCsvRoundtrip,
     "q_jsonl_roundtrip"    -> qJsonlRoundtrip,
+    "q_orc_roundtrip"      -> qOrcRoundtrip,
     "q_schema_evolution"   -> qSchemaEvolution,
     "q20_dominant_supplier" -> q20DominantSupplier,
     "q2_min_cost"          -> q2MinCost,
@@ -1488,6 +1519,13 @@ object CorePack extends QueryPack {
       """SELECT lang, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the ORC copy must be value-exact, so the oracle aggregates the
+    // original parquet directly (2-decimal quantity sum is grid-exact)
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CSV copy must be value-exact, so the oracle aggregates the
     // original parquet directly
     "q_csv_roundtrip" ->

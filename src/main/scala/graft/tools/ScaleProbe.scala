@@ -218,7 +218,17 @@ object ScaleProbe {
     // initial-state distribution is one state-store write per carried
     // key — both linear in users (the user_id shift grows keys
     // `factor`x), with no driver funnel anywhere in the seam
-    "q_stream_warm_sessions")
+    "q_stream_warm_sessions",
+    // r16: the training-output surface. mix_temperature = one
+    // languages-row broadcast + per-language rank windows (languages
+    // stay 5 while docs grow, so per-language windows densify — the
+    // window-pressure regime, like spearman_by_era); train_shard =
+    // scan-local hashes + an 8-shard rank window (shard COUNT would
+    // scale with the corpus in production; fixed at 8 here, so this
+    // probes the worst case of constant-shard pressure);
+    // shingle_novelty = one shingle-keyed min agg + join back —
+    // word-salting grows the shingle universe linearly
+    "q_mix_temperature", "q_train_shard", "q_shingle_novelty")
 
   /** Probe drains for the streaming entries: the SparkEntry query fns
     * drain to a MEMORY sink (the Verify harness needs a DataFrame
