@@ -505,8 +505,11 @@ object SimilarityPack extends QueryPack {
     * residual AGAINST THAT CLUSTER'S centroid (the per-list LUT is
     * what distinguishes IVF-PQ's ADC from flat PQ), candidates join
     * cluster-keyed, distances fold in fixed m order, ranking on the
-    * rounded distance with the vec_id tie-break. */
-  def qAnnIvfPqSeeded(s: SparkSession, d: String): DataFrame = {
+    * rounded distance with the vec_id tie-break. The shared helper
+    * returns the UNRANKED (q_id, vec_id, adc_d2) candidate relation,
+    * consumed by [[qAnnIvfPqSeeded]] (top-5) and [[qAnnRefine]]
+    * (top-20 → exact re-rank). */
+  private def ivfPqSeededAdc(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = broadcast(e.orderBy(col("vec_id")).limit(16)
@@ -566,10 +569,46 @@ object SimilarityPack extends QueryPack {
         .reduce(_ + _).as("dist2"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_d2", round(col("dist2"), 6))
+  }
+
+  def qAnnIvfPqSeeded(s: SparkSession, d: String): DataFrame =
+    ivfPqSeededAdc(s, d)
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("adc_d2"), col("vec_id"))).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id").as("n_id"), col("adc_d2"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+
+  /** TWO-STAGE ANN with EXACT REFINE (FAISS IndexRefineFlat; the
+    * production recall fix for quantized search): the IVF-PQ ADC
+    * scan nominates each query's top-20 candidates from CODES alone
+    * (8 bytes/vector touched — the cheap stage that scans the
+    * corpus), then the 20 full float vectors per query are fetched
+    * and re-ranked by EXACT cosine (the expensive stage, bounded at
+    * R×|queries| regardless of corpus size). Emits the ADC rank next
+    * to the refined rank, so the relation itself shows the
+    * quantization error the refine step repairs. Scale shape: stage
+    * 1 is the IVF-PQ plan unchanged; stage 2 joins a ≤200-row
+    * broadcast candidate list against the vector table — at 100 TB
+    * that is 200 point lookups, not a scan. */
+  def qAnnRefine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cand = ivfPqSeededAdc(s, d)
+      .withColumn("adc_rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_d2"), col("vec_id"))).cast("long"))
+      .filter(col("adc_rank") <= 20)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adc_rank"))
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(cand), col("vec_id") === col("n_id"))
+      .join(broadcast(qv), "q_id")
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("adc_rank"), col("cos"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -785,9 +824,69 @@ object SimilarityPack extends QueryPack {
     "q_ann_ivf_seeded"  -> qAnnIvfSeeded,
     "q_ann_pq_seeded"   -> qAnnPqSeeded,
     "q_ann_ivfpq_seeded" -> qAnnIvfPqSeeded,
+    "q_ann_refine"      -> qAnnRefine,
     "q_ann_pq"          -> qAnnPq,
     "q_embed_quantize"  -> qEmbedQuantize,
   )
+
+  // the IVF-PQ ADC pipeline replayed relationally, up to the
+  // ranked candidate relation — shared by the q_ann_ivfpq_seeded
+  // oracle (top-5) and the q_ann_refine oracle (top-20 -> exact
+  // cosine re-rank), so the two can never drift apart
+  private val ivfPqAdcCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |          SELECT e.vec_id, c.cid,
+        |            row_number() OVER (PARTITION BY e.vec_id
+        |              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |          FROM e, c) WHERE rn = 1),
+        |res AS (SELECT a.vec_id, a.cluster,
+        |    list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS r
+        |  FROM asg a JOIN e ON a.vec_id = e.vec_id JOIN c ON a.cluster = c.cid),
+        |b AS (SELECT vec_id AS bid, CAST(rn - 17 AS INT) AS j FROM (
+        |        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        |        FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 32))
+        |      WHERE rn > 16),
+        |ms AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS m),
+        |cb AS (SELECT ms.m, b.j, list_slice(res.r, ms.m*8 + 1, ms.m*8 + 8) AS cw
+        |       FROM res JOIN b ON res.vec_id = b.bid, ms),
+        |sub AS (SELECT vec_id, cluster, m,
+        |    list_slice(r, m*8 + 1, m*8 + 8) AS sv FROM res, ms),
+        |enc AS (SELECT s.vec_id, s.cluster, s.m, cb.j,
+        |    list_sum(list_transform(list_zip(s.sv, cb.cw),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        |  FROM sub s JOIN cb ON s.m = cb.m),
+        |codes AS (SELECT vec_id, cluster, m, j AS code FROM (
+        |    SELECT vec_id, cluster, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        |    FROM enc) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (SELECT q_id, cid AS pcl,
+        |    list_transform(list_zip(qv, cv), x -> x[1] - x[2]) AS qr FROM (
+        |      SELECT q.q_id, c.cid, q.qv, c.cv,
+        |        row_number() OVER (PARTITION BY q.q_id
+        |          ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
+        |      FROM q, c) WHERE rn <= 4),
+        |lut AS (SELECT p.q_id, p.pcl, cb.m AS lm, cb.j,
+        |    list_sum(list_transform(
+        |      list_zip(list_slice(p.qr, cb.m*8 + 1, cb.m*8 + 8), cb.cw),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+        |  FROM probes p, cb),
+        |percell AS (SELECT l.q_id, cd.vec_id, cd.m, l.d2
+        |  FROM codes cd JOIN lut l
+        |    ON cd.cluster = l.pcl AND cd.m = l.lm AND cd.code = l.j),
+        |tot AS (SELECT q_id, vec_id,
+        |    (max(CASE WHEN m = 0 THEN d2 END) + max(CASE WHEN m = 1 THEN d2 END)
+        |     + max(CASE WHEN m = 2 THEN d2 END) + max(CASE WHEN m = 3 THEN d2 END)
+        |     + max(CASE WHEN m = 4 THEN d2 END) + max(CASE WHEN m = 5 THEN d2 END)
+        |     + max(CASE WHEN m = 6 THEN d2 END) + max(CASE WHEN m = 7 THEN d2 END))
+        |      AS dist2
+        |  FROM percell GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, vec_id AS n_id, round(dist2, 6) AS adc_d2,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(dist2, 6), vec_id) AS BIGINT) AS rank
+        |  FROM tot WHERE vec_id <> q_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_quantile_norm" ->
@@ -886,62 +985,27 @@ object SimilarityPack extends QueryPack {
     // break, RESIDUAL codebooks from the next 16 vectors, per-(query,
     // probed-cluster) residual LUTs, fixed-m-order ADC fold, ranking
     // on the rounded distance
-    "q_ann_ivfpq_seeded" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        |asg AS (SELECT vec_id, cid AS cluster FROM (
-        |          SELECT e.vec_id, c.cid,
-        |            row_number() OVER (PARTITION BY e.vec_id
-        |              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-        |          FROM e, c) WHERE rn = 1),
-        |res AS (SELECT a.vec_id, a.cluster,
-        |    list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS r
-        |  FROM asg a JOIN e ON a.vec_id = e.vec_id JOIN c ON a.cluster = c.cid),
-        |b AS (SELECT vec_id AS bid, CAST(rn - 17 AS INT) AS j FROM (
-        |        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-        |        FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 32))
-        |      WHERE rn > 16),
-        |ms AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS m),
-        |cb AS (SELECT ms.m, b.j, list_slice(res.r, ms.m*8 + 1, ms.m*8 + 8) AS cw
-        |       FROM res JOIN b ON res.vec_id = b.bid, ms),
-        |sub AS (SELECT vec_id, cluster, m,
-        |    list_slice(r, m*8 + 1, m*8 + 8) AS sv FROM res, ms),
-        |enc AS (SELECT s.vec_id, s.cluster, s.m, cb.j,
-        |    list_sum(list_transform(list_zip(s.sv, cb.cw),
-        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
-        |  FROM sub s JOIN cb ON s.m = cb.m),
-        |codes AS (SELECT vec_id, cluster, m, j AS code FROM (
-        |    SELECT vec_id, cluster, m, j,
-        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
-        |    FROM enc) WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-        |probes AS (SELECT q_id, cid AS pcl,
-        |    list_transform(list_zip(qv, cv), x -> x[1] - x[2]) AS qr FROM (
-        |      SELECT q.q_id, c.cid, q.qv, c.cv,
-        |        row_number() OVER (PARTITION BY q.q_id
-        |          ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
-        |      FROM q, c) WHERE rn <= 4),
-        |lut AS (SELECT p.q_id, p.pcl, cb.m AS lm, cb.j,
-        |    list_sum(list_transform(
-        |      list_zip(list_slice(p.qr, cb.m*8 + 1, cb.m*8 + 8), cb.cw),
-        |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
-        |  FROM probes p, cb),
-        |percell AS (SELECT l.q_id, cd.vec_id, cd.m, l.d2
-        |  FROM codes cd JOIN lut l
-        |    ON cd.cluster = l.pcl AND cd.m = l.lm AND cd.code = l.j),
-        |tot AS (SELECT q_id, vec_id,
-        |    (max(CASE WHEN m = 0 THEN d2 END) + max(CASE WHEN m = 1 THEN d2 END)
-        |     + max(CASE WHEN m = 2 THEN d2 END) + max(CASE WHEN m = 3 THEN d2 END)
-        |     + max(CASE WHEN m = 4 THEN d2 END) + max(CASE WHEN m = 5 THEN d2 END)
-        |     + max(CASE WHEN m = 6 THEN d2 END) + max(CASE WHEN m = 7 THEN d2 END))
-        |      AS dist2
-        |  FROM percell GROUP BY 1, 2),
-        |ranked AS (SELECT q_id, vec_id AS n_id, round(dist2, 6) AS adc_d2,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY round(dist2, 6), vec_id) AS BIGINT) AS rank
-        |  FROM tot WHERE vec_id <> q_id)
+    "q_ann_ivfpq_seeded" -> (ivfPqAdcCtes +
+      """
         |SELECT q_id, n_id, adc_d2, rank FROM ranked WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+        |ORDER BY q_id, rank""".stripMargin),
+    // stage 1 = the identical IVF-PQ ADC CTE chain widened to top-20;
+    // stage 2 fetches the candidates' full vectors and re-ranks by
+    // exact cosine — adc_rank emitted beside the refined rank so the
+    // relation shows the quantization error the refine repairs
+    "q_ann_refine" -> (ivfPqAdcCtes +
+      """,
+        |cand AS (SELECT q_id, n_id, rank AS adc_rank FROM ranked
+        |         WHERE rank <= 20),
+        |ref AS (SELECT cand.q_id, cand.n_id, cand.adc_rank,
+        |    round(list_cosine_similarity(en.v, eq.v), 6) AS cos
+        |  FROM cand JOIN e en ON en.vec_id = cand.n_id
+        |            JOIN e eq ON eq.vec_id = cand.q_id)
+        |SELECT q_id, n_id, adc_rank, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |FROM ref QUALIFY rank <= 5
+        |ORDER BY q_id, rank""".stripMargin),
     // the full IVF pipeline replayed relationally: seeded centroids
     // (16 smallest ids), list_distance assignment with lower-cid tie
     // break, nprobe=4 probe lists, cosine rerank within candidates

@@ -137,4 +137,25 @@ class IvfPqSpec extends AnyFunSuite {
     assert(index.posting.orderBy(col("vec_id")).collect().toSeq ==
       again.posting.orderBy(col("vec_id")).collect().toSeq)
   }
+
+  test("exact refine: ranks by true cosine, repairs ADC order, stays inside the candidates") {
+    val refined = graft.queries.SimilarityPack.qAnnRefine(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(refined.nonEmpty)
+    val byQ = refined.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to sorted.length))
+      // refined order is exactly descending true cosine (n_id ties)
+      assert(sorted.sliding(2).forall(w =>
+        w(0)._4 > w(1)._4 || (w(0)._4 == w(1)._4 && w(0)._2 < w(1)._2)),
+        s"query $q not in cosine order")
+      assert(rows.forall(r => r._3 >= 1 && r._3 <= 20),
+        s"query $q refined a vector outside the ADC top-20")
+    }
+    // the refine step must actually repair quantization error
+    // somewhere on the fixture, else the stage is vacuous
+    assert(refined.exists(r => r._3 != r._5),
+      "every refined rank equals its ADC rank — refine changed nothing")
+  }
 }
