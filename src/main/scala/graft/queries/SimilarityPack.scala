@@ -152,6 +152,75 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data-prep step
+    * (DPR, Karpukhin et al. 2020; SimCSE): for each anchor, the
+    * most-similar SAME-label vector is the positive and the
+    * most-similar DIFFERENT-label vector is the hardest negative;
+    * the margin `cos_pos − cos_neg` is the pair's difficulty (small
+    * or negative margin = the example a contrastive loss learns
+    * from). One broadcast of the anchors against the corpus scan,
+    * ONE rank window partitioned by (anchor, same-label bit) — both
+    * extremes come out of a single pass — then a 2-row pivot per
+    * anchor. The margin is a single IEEE subtraction of the two
+    * 6-rounded cosines, identical on both engines by construction. */
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("same", (col("label") === col("qlabel")).cast("int"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"), col("same"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("q_id"), col("qlabel").as("label"))
+      .agg(
+        max(when(col("same") === 1, col("vec_id"))).as("pos_id"),
+        max(when(col("same") === 1, col("cos"))).as("cos_pos"),
+        max(when(col("same") === 0, col("vec_id"))).as("neg_id"),
+        max(when(col("same") === 0, col("label"))).as("neg_label"),
+        max(when(col("same") === 0, col("cos"))).as("cos_neg"))
+      .withColumn("margin", col("cos_pos") - col("cos_neg"))
+      .orderBy(col("q_id"))
+  }
+
+  /** EMBEDDING OUTLIERS — centroid-distance label cleaning (the
+    * Northcutt-style "confident learning" signal at the embedding
+    * level): each label's 3 vectors LEAST similar to their own label
+    * centroid are the mislabel / noise candidates a curation pass
+    * reviews or drops. The centroid is a per-(label, dim) mean over
+    * the position-exploded relation (map-side combinable — never a
+    * whole-vector reduce into one task), the score join is corpus ×
+    * broadcastable centroid table, and the bottom-3 is one rank
+    * window per label. */
+  def qEmbedOutliers(s: SparkSession, d: String): DataFrame = {
+    val ex = embSpread(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), col("label"), col("p"),
+        col("x").cast("double").as("x"))
+    val cent = ex.groupBy(col("label"), col("p")).agg(avg(col("x")).as("cx"))
+    val cn = cent.groupBy(col("label"))
+      .agg(sqrt(sum(col("cx") * col("cx"))).as("cn"))
+    val scored = ex.join(broadcast(cent), Seq("label", "p"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("x") * col("cx")).as("dp"),
+        sqrt(sum(col("x") * col("x"))).as("nv"))
+      .join(broadcast(cn), Seq("label"))
+      .withColumn("cos", round(col("dp") / (col("nv") * col("cn")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("cos"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   /** MMR-DIVERSIFIED retrieval (Carbonell & Goldstein 1998) — the
     * re-rank every RAG stack runs between ANN and the context window:
     * from each query's top-20 cosine candidates, greedily select 5 by
@@ -816,6 +885,8 @@ object SimilarityPack extends QueryPack {
     "q_nearest_centroid" -> qNearestCentroid,
     "q_ann_cosine"      -> qAnnCosine,
     "q_ann_filtered"    -> qAnnFiltered,
+    "q_hard_negatives"  -> qHardNegatives,
+    "q_embed_outliers"  -> qEmbedOutliers,
     "q_ann_mmr"         -> qAnnMmr,
     "q_rrf_hybrid"      -> qRrfHybrid,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
@@ -1173,6 +1244,50 @@ object SimilarityPack extends QueryPack {
         |  UNION ALL SELECT q_id, n_id, 5, cos, mmr_u FROM p5)
         |SELECT q_id, n_id, mmr_rank, cos, mmr_u / 10000000.0 AS mmr FROM ranked
         |ORDER BY q_id, mmr_rank""".stripMargin,
+    // one rank per (anchor, same-label bit) replayed, 2-row pivot,
+    // margin = one subtraction of the two 6-rounded cosines
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS qlabel, v AS qv FROM e
+        |      WHERE vec_id < 10),
+        |scored AS (SELECT q.q_id, q.qlabel, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos,
+        |    CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS same
+        |  FROM e, q WHERE e.vec_id != q.q_id),
+        |top AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY q_id, same ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) WHERE rk = 1)
+        |SELECT q_id, qlabel AS label,
+        |  max(CASE WHEN same = 1 THEN vec_id END) AS pos_id,
+        |  max(CASE WHEN same = 1 THEN cos END) AS cos_pos,
+        |  max(CASE WHEN same = 0 THEN vec_id END) AS neg_id,
+        |  max(CASE WHEN same = 0 THEN label END) AS neg_label,
+        |  max(CASE WHEN same = 0 THEN cos END) AS cos_neg,
+        |  max(CASE WHEN same = 1 THEN cos END)
+        |    - max(CASE WHEN same = 0 THEN cos END) AS margin
+        |FROM top GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
+    // per-(label, dim) mean centroid, cosine to own centroid,
+    // bottom-3 per label with vec_id tie-breaks
+    "q_embed_outliers" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    generate_subscripts(embedding, 1) AS p,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |cent AS (SELECT label, p, avg(x) AS cx FROM ex GROUP BY 1, 2),
+        |cn AS (SELECT label, sqrt(sum(cx * cx)) AS cn FROM cent GROUP BY 1),
+        |sc AS (SELECT ex.vec_id, ex.label, sum(ex.x * cent.cx) AS dp,
+        |    sqrt(sum(ex.x * ex.x)) AS nv
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.p = cent.p
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT sc.vec_id, sc.label,
+        |    round(sc.dp / (sc.nv * cn.cn), 6) AS cos
+        |  FROM sc JOIN cn ON sc.label = cn.label),
+        |ranked AS (SELECT label, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY cos, vec_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT label, vec_id, cos, rank FROM ranked WHERE rank <= 3
+        |ORDER BY label, rank""".stripMargin,
     "q_ann_filtered" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

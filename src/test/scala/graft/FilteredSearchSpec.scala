@@ -95,4 +95,36 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(math.abs(got - BigDecimal(expected)
       .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("hard negatives: positive is the filtered-ANN rank-1; negative crosses labels") {
+    import spark.implicits._
+    val hn = graft.queries.SimilarityPack.qHardNegatives(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Double, Long, Long, Double, Double)].collect()
+    assert(hn.length == 10)
+    // the positive is BY DEFINITION qAnnFiltered's rank-1 row (same
+    // label slice, same rounded-cos + vec_id order)
+    val f1 = graft.queries.SimilarityPack.qAnnFiltered(spark, TestSpark.sf)
+      .filter(col("rank") === 1).select(col("q_id"), col("n_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    hn.foreach { case (q, lbl, posId, cosPos, negId, negLbl, cosNeg, margin) =>
+      assert(f1(q) == ((posId, cosPos)), s"anchor $q positive != filtered rank-1")
+      assert(negLbl != lbl && negId != posId, s"anchor $q negative not cross-label")
+      assert(margin == cosPos - cosNeg)
+    }
+  }
+
+  test("embed outliers: bottom-3 per label, never an anchor's own nearest kin") {
+    import spark.implicits._
+    val out = graft.queries.SimilarityPack.qEmbedOutliers(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Long)].collect()
+    val byLabel = out.groupBy(_._1)
+    assert(byLabel.size == 10 && out.length == 30)
+    byLabel.foreach { case (l, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == Seq(1L, 2L, 3L))
+      assert(sorted.sliding(2).forall(w => w(0)._3 < w(1)._3 ||
+        (w(0)._3 == w(1)._3 && w(0)._2 < w(1)._2)), s"label $l not ascending")
+      assert(rows.forall(r => r._3 <= 1.0 && r._3 >= -1.0))
+    }
+  }
 }
