@@ -167,6 +167,13 @@ object ScaleProbe {
     // r15: hybrid RRF — two bounded TakeOrdered heads + a <= 100-row
     // fusion join; wall should track the two corpus scans
     "q_rrf_hybrid",
+    // r16: two-stage refine (ADC scan + <=200-row exact re-rank — the
+    // refine stage is corpus-size-independent, so wall should track
+    // the IVF-PQ stage alone), hard-negative mining (one broadcast
+    // anchor scan + one rank window over (anchor, same-bit) groups),
+    // and centroid outliers (per-(label, dim) mean + broadcast score
+    // join — labels stay 10 while vectors grow, the densify regime)
+    "q_ann_refine", "q_hard_negatives", "q_embed_outliers",
     // r15: winnowing fingerprints — fused-kernel selection in one
     // scan (zero shuffle); wall should track doc count linearly. The
     // pair query adds the fingerprint-bucket join at 2/(w+1) shingle
