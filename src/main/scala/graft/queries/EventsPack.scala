@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -39,6 +40,38 @@ object EventsPack extends QueryPack {
       .select(col("w.start").cast("long").as("wstart"), col("n"),
         col("sum_value"), col("avg_value"))
       .orderBy(col("wstart"))
+
+  /** OHLC DOWNSAMPLING — the time-series warehouse staple: compress
+    * the purchase `value` series into 6-hour bars of (open, high,
+    * low, close, volume), where open/close are the bar's first/last
+    * values under a total (event-time, event_id) order — the
+    * tie-break that makes first/last well-defined when timestamps
+    * collide, which raw `first()`/`last()` aggregates are NOT (they
+    * are partition-order-dependent, the classic Spark trap). Two rank
+    * windows over ONE bar-keyed shuffle; bars are epoch-aligned by
+    * the same arithmetic as the tumbling windows. At 100 TB this is
+    * the standard OLAP rollup: per-bar groups are bounded by the bar
+    * width, and the bar key partitions freely. */
+  def qOhlcBars(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("es"), col("value"))
+      .withColumn("wstart",
+        (floor(col("es") / lit(21600000000L)) * 21600).cast("long"))
+    val wa = Window.partitionBy(col("wstart")).orderBy(col("es"), col("event_id"))
+    val wd = Window.partitionBy(col("wstart"))
+      .orderBy(col("es").desc, col("event_id").desc)
+    p.withColumn("ra", row_number().over(wa))
+      .withColumn("rd", row_number().over(wd))
+      .groupBy(col("wstart"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        round(sum(col("value")), 2).as("volume"))
+      .orderBy(col("wstart"))
+  }
 
   /** F6 — one-hot / pivot: per-user event-type counts as columns. */
   def qOnehotCounts(s: SparkSession, d: String): DataFrame = {
@@ -687,6 +720,7 @@ object EventsPack extends QueryPack {
     "q_json_extract"   -> qJsonExtract,
     "q_date_agg"       -> qDateAgg,
     "q_tumbling_window" -> qTumblingWindow,
+    "q_ohlc_bars"       -> qOhlcBars,
     "q_onehot_counts"  -> qOnehotCounts,
     "q_cv_group_mean"  -> qCvGroupMean,
   )
@@ -1031,6 +1065,23 @@ object EventsPack extends QueryPack {
         | count(*) AS n, round(sum(value), 2) AS sum_value,
         | round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // first/last replayed as rank-1 rows under the same total
+    // (event-time micros, event_id) order; open/high/low/close are
+    // raw fixture doubles (bit-exact both engines), volume rounded 2
+    "q_ohlc_bars" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS es, value,
+        |    CAST(floor(epoch_us(ts) / 21600000000) * 21600 AS BIGINT) AS wstart
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY wstart
+        |        ORDER BY es, event_id) AS ra,
+        |      row_number() OVER (PARTITION BY wstart
+        |        ORDER BY es DESC, event_id DESC) AS rd FROM p)
+        |SELECT wstart, count(*) AS n,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  round(sum(value), 2) AS volume
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_onehot_counts" ->
       """SELECT user_id,
         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -35,6 +35,18 @@ class EngineSpec extends AnyFunSuite {
       s"unexpected empty: $empties")
   }
 
+  test("ohlc bars: low <= open/close <= high, bars ordered and non-empty") {
+    val bars = graft.queries.EventsPack.qOhlcBars(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+    assert(bars.nonEmpty)
+    assert(bars.map(_._1).toSeq == bars.map(_._1).sorted.toSeq)
+    bars.foreach { case (w, n, open, high, low, close, _) =>
+      assert(n >= 1, s"bar $w empty")
+      assert(low <= math.min(open, close) && math.max(open, close) <= high,
+        s"bar $w OHLC ordering violated")
+    }
+  }
+
   test("rolling_hash: codegen expression matches reference impl") {
     val texts = Seq("", "a", "hello world", "🦄 utf8")
     val got = texts.toDF("t")
