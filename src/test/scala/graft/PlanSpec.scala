@@ -410,4 +410,19 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles == 1, s"expected 1 key shuffle, got $shuffles:\n${p.take(2000)}")
   }
+
+  test("refine stage broadcasts the candidate list and the query vectors") {
+    // stage 2 must be point lookups against the vector scan: both the
+    // <=200-row ADC candidate relation and the 10-row query relation
+    // arrive as broadcasts — a shuffle join here would re-shuffle the
+    // corpus for a bounded re-rank
+    val p = plan("q_ann_refine")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(1500))
+  }
+
+  test("temperature mix broadcasts the weight table; shard heads go through WindowGroupLimit") {
+    assert(plan("q_mix_temperature").contains("BroadcastHashJoin"))
+    // the head-3 emission must not sort whole shards to completion
+    assert(plan("q_train_shard").contains("WindowGroupLimit"))
+  }
 }
