@@ -182,6 +182,19 @@ object StreamPack extends QueryPack {
     EventStream.runQualityGateOnce(s, d,
       s"graft_stream_qg${runSeq.incrementAndGet()}")
 
+  /** Streaming VECTOR SEARCH ([[EventStream.runAnnOnce]]) — the
+    * RAG-ingest lookup: the archive (vec_id % 5 != 0) builds a
+    * flat-IVF silver index (seeded 16-centroid assignment, posting
+    * lists with vectors); the live fifth streams through a scan-local
+    * nprobe=4 probe kernel against the broadcast centroid table and a
+    * stateless stream-static cluster join, emitting exact-cosine
+    * candidates above a 0.2 floor; top-5 per query is the post-drain
+    * batch reduction. The oracle replays assignment, probes, cosine,
+    * floor, and ranking relationally. */
+  def qStreamAnn(s: SparkSession, d: String): DataFrame =
+    EventStream.runAnnOnce(s, d,
+      s"graft_stream_ann${runSeq.incrementAndGet()}")
+
   /** The batch → streaming WARM-START migration, driver-checked end
     * to end ([[EventStream.runWarmSessionsOnce]]): archive half
     * sessionized in batch (shared kernel, closed under the archive
@@ -244,6 +257,7 @@ object StreamPack extends QueryPack {
     "q_stream_enrich"      -> qStreamEnrich,
     "q_stream_neardup"     -> qStreamNeardup,
     "q_stream_quality_gate" -> qStreamQualityGate,
+    "q_stream_ann" -> qStreamAnn,
     "q_stream_warm_sessions" -> qStreamWarmSessions,
   )
 
@@ -379,6 +393,35 @@ object StreamPack extends QueryPack {
     // keep bit compares score and threshold BOTH rounded to 5 (the
     // emitted scale), as the kernel does — unrounded float sums
     // associate differently across engines/partitionings
+    // the full streaming-ANN pipeline replayed: seeded-centroid
+    // assignment (list_distance, cid ties), nprobe=4 probe lists,
+    // exact cosine with the 0.2 floor on the ROUNDED value (the
+    // engine filters the rounded cos too), distinct, top-5
+    "q_stream_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |h AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM h ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT vec_id AS n_id, cid AS cluster, v AS hv FROM (
+        |    SELECT h.vec_id, h.v, c.cid,
+        |      row_number() OVER (PARTITION BY h.vec_id
+        |        ORDER BY list_distance(h.v, c.cv), c.cid) AS rn
+        |    FROM h, c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 5 = 0),
+        |probes AS (SELECT q_id, cid AS cluster, qv FROM (
+        |    SELECT q.q_id, c.cid, q.qv,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
+        |    FROM q, c) WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, a.n_id,
+        |    round(list_cosine_similarity(p.qv, a.hv), 6) AS cos
+        |  FROM probes p JOIN asg a ON a.cluster = p.cluster
+        |  WHERE p.q_id != a.n_id),
+        |fl AS (SELECT DISTINCT q_id, n_id, cos FROM cand WHERE cos >= 0.2),
+        |ranked AS (SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank FROM fl)
+        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "q_stream_quality_gate" ->
       """WITH hist AS (SELECT lang, unnest(string_split(text,' ')) AS w
         |              FROM documents WHERE doc_id % 5 <> 0),

@@ -215,6 +215,10 @@ object ScaleProbe {
     // banded join) linearly; word-salting keeps cross-copy candidate
     // structure from inflating (no cross-copy shingle collisions)
     "q_stream_neardup", "q_stream_quality_gate",
+    // r16: streaming vector search — index build is one corpus
+    // assignment pass, the stream side is a stateless cluster join;
+    // sign-salted copies keep candidate volume linear
+    "q_stream_ann",
     // r14: stream-stream LEFT OUTER join — same bounded join state as
     // the inner form plus the unmatched-left buffer, which the
     // watermark evicts; the probe checks the outer bookkeeping stays
@@ -306,6 +310,16 @@ object ScaleProbe {
           try {
             val (model, thr) = EventStream.writeQualityModel(s, d, silver.toString)
             EventStream.drainNoop(s, EventStream.qualityGate(s, d, model, thr),
+              mode = "append")
+          } finally graft.TempDirs.deleteRecursively(silver)
+        }),
+      "q_stream_ann" ->
+        ((s, d) => {
+          val silver = graft.TempDirs.create("graft_probe_ann")
+          try {
+            val ix = graft.streaming.EventStream.writeAnnIndex(s, d, silver.toString)
+            graft.streaming.EventStream.drainNoop(s,
+              graft.streaming.EventStream.annAgainstHistory(s, d, ix),
               mode = "append")
           } finally graft.TempDirs.deleteRecursively(silver)
         }),
