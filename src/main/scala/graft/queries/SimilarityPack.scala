@@ -185,6 +185,11 @@ object SimilarityPack extends QueryPack {
         max(when(col("same") === 0, col("vec_id"))).as("neg_id"),
         max(when(col("same") === 0, col("label"))).as("neg_label"),
         max(when(col("same") === 0, col("cos"))).as("cos_neg"))
+      // a contrastive pair needs BOTH sides: an anchor whose label is
+      // a singleton (no same-label neighbor) or whose corpus is
+      // mono-label (no cross-label neighbor) cannot form one and is
+      // dropped, never emitted with nulls
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
       .withColumn("margin", col("cos_pos") - col("cos_neg"))
       .orderBy(col("q_id"))
   }
@@ -1245,7 +1250,9 @@ object SimilarityPack extends QueryPack {
         |SELECT q_id, n_id, mmr_rank, cos, mmr_u / 10000000.0 AS mmr FROM ranked
         |ORDER BY q_id, mmr_rank""".stripMargin,
     // one rank per (anchor, same-label bit) replayed, 2-row pivot,
-    // margin = one subtraction of the two 6-rounded cosines
+    // margin = one subtraction of the two 6-rounded cosines; anchors
+    // missing either side (singleton label / mono-label corpus) are
+    // dropped like the engine, never emitted with nulls
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1266,7 +1273,10 @@ object SimilarityPack extends QueryPack {
         |  max(CASE WHEN same = 0 THEN cos END) AS cos_neg,
         |  max(CASE WHEN same = 1 THEN cos END)
         |    - max(CASE WHEN same = 0 THEN cos END) AS margin
-        |FROM top GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
+        |FROM top GROUP BY 1, 2
+        |HAVING max(CASE WHEN same = 1 THEN vec_id END) IS NOT NULL
+        |   AND max(CASE WHEN same = 0 THEN vec_id END) IS NOT NULL
+        |ORDER BY q_id""".stripMargin,
     // per-(label, dim) mean centroid, cosine to own centroid,
     // bottom-3 per label with vec_id tie-breaks
     "q_embed_outliers" ->

@@ -70,4 +70,52 @@ class DegenerateInputSpec extends AnyFunSuite {
       .orderBy(col("user_id"), col("start_us")).collect().toSeq
     assert(warm.map(_.toSeq) == full.map(_.toSeq))
   }
+
+  test("r16 training-output ops on a one-language, tiny-corpus fixture") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_degen_tr_").toString
+    Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    // one language: weight must be exactly 1.0, target = floor(3/2)
+    val mix = graft.queries.TrainPack.qMixTemperature(spark, dir)
+      .as[(String, Long, Double, Long, Long, Long)].collect()
+    assert(mix.length == 1 && mix.head._3 == 1.0 && mix.head._4 == 1L
+      && mix.head._5 == 1L)
+    // sharding still partitions all 3 docs; sparse shards are fine
+    val shard = graft.queries.TrainPack.qTrainShard(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(shard.map(_._2).sum == 3L)
+    // novelty: doc 2 duplicates doc 1's shingles (0 novel), doc 3 is
+    // sub-shingle-length and drops out entirely
+    val nov = graft.queries.TrainPack.qShingleNovelty(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(nov == Map(1L -> 1.0, 2L -> 0.0))
+  }
+
+  test("r16 embedding ops survive a degenerate 2-vector corpus") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_degen_emb_").toString
+    // vec 0 is a live query (0 % 5 == 0); vec 1 and 6 are history
+    Seq((0L, 0L, Array(1f, 0f, 0f, 0f)), (1L, 0L, Array(1f, 0f, 0f, 0f)),
+      (6L, 1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // hard negatives: anchors 0 and 1 each have one same-label and
+    // one cross-label candidate (margin 1.0 - 0.0); anchor 6's label
+    // is a singleton — no positive exists, so it must be DROPPED,
+    // not emitted with nulls (the bug this arm originally caught)
+    val hn = graft.queries.SimilarityPack.qHardNegatives(spark, dir)
+      .as[(Long, Long, Long, Double, Long, Long, Double, Double)].collect()
+    assert(hn.map(_._1).toSet == Set(0L, 1L))
+    assert(hn.forall(r => r._5 == 6L && r._8 == 1.0))
+    // streaming ANN: history of 2 < k=16 centroids — limit(k) degrades
+    // to one-vector-per-list; the lone live vector matches only its
+    // identical twin above the 0.2 floor
+    val ann = EventStream.runAnnOnce(spark, dir, "graft_degen_ann")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(ann.toSeq == Seq((0L, 1L, 1.0, 1L)))
+  }
 }
