@@ -140,10 +140,51 @@ object TrainPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** The end-to-end training-data EXPORT macro — the composition a
+    * pipeline actually ships after curation ([[TextPack
+    * .qCorpusPipeline]] is the CLEANING macro; this is the OUTPUT
+    * one): exact dedup (content-hash keep-min) → temperature mix over
+    * the deduped inventory (α = 0.7 targets recomputed on the
+    * deduped per-language counts — mixing before dedup double-counts
+    * duplicates' mass) → deterministic hash-shard of the selected
+    * set, audited per (shard, language). One composed job: Catalyst
+    * sees the whole plan, so the dedup semi-join and the mix rank
+    * windows share the same corpus scan. */
+  def qTrainExport(s: SparkSession, d: String): DataFrame = {
+    val docs = docsSpread(s, d)
+    val keep = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val base = docs.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("toks"))
+    val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(pow(col("cnt"), lit(0.7))).as("z"),
+      floor(sum(col("cnt")) / lit(2.0)).cast("long").as("b"))
+    val wts = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(pow(col("cnt"), lit(0.7)) / col("z") * col("b"))
+          .cast("long").as("target"))
+    val coin = pmod(TextOps.hash60(
+      concat_ws("#", lit("exp"), col("doc_id"))), lit(1000000L))
+    val sel = base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(coin, col("doc_id"))))
+      .join(broadcast(wts), Seq("lang"))
+      .filter(col("rk") <= col("target"))
+    sel
+      .withColumn("shard", pmod(TextOps.hash60(
+        concat_ws("#", lit("shard"), col("doc_id"))), lit(8L)))
+      .groupBy(col("shard"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("shard"), col("lang"))
+  }
+
   override def queries: Map[String, Q] = Map(
     "q_mix_temperature" -> qMixTemperature,
     "q_train_shard" -> qTrainShard,
-    "q_shingle_novelty" -> qShingleNovelty)
+    "q_shingle_novelty" -> qShingleNovelty,
+    "q_train_export" -> qTrainExport)
 
   override def oracles: Map[String, String] = Map(
     // same pow/floor arithmetic on the same doubles; selection
@@ -189,6 +230,32 @@ object TrainPack extends QueryPack {
         |  head3
         |FROM stats JOIN heads ON stats.shard = heads.shard
         |ORDER BY stats.shard""".stripMargin,
+    // the composed export replayed stage by stage: dedup keep-min
+    // (GROUP BY text — same semantics as the engine's sha2 grouping),
+    // temperature targets on the DEDUPED counts, coin-rank selection,
+    // hash shard, per-(shard, lang) audit
+    "q_train_export" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |base AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+        |c AS (SELECT lang, count(*) AS cnt FROM base GROUP BY 1),
+        |t AS (SELECT sum(pow(cnt, 0.7)) AS z,
+        |         CAST(floor(sum(cnt) / 2.0) AS BIGINT) AS b FROM c),
+        |w AS (SELECT lang,
+        |         CAST(floor(pow(cnt, 0.7) / t.z * t.b) AS BIGINT) AS target
+        |      FROM c, t),
+        |r AS (SELECT doc_id, lang, toks, row_number() OVER (PARTITION BY lang
+        |        ORDER BY ('0x' || substr(md5('exp#' || doc_id), 1, 15))::BIGINT
+        |          % 1000000, doc_id) AS rk
+        |      FROM base),
+        |sel AS (SELECT r.doc_id, r.lang, r.toks,
+        |    ('0x' || substr(md5('shard#' || r.doc_id), 1, 15))::BIGINT % 8 AS shard
+        |  FROM r JOIN w ON r.lang = w.lang AND r.rk <= w.target)
+        |SELECT shard, lang, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS tok_sum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM sel GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // trigram replay (the winnow oracle's md5 scheme), distinct per
     // doc, first occurrence = min doc_id over the shingle key
     "q_shingle_novelty" ->

@@ -239,7 +239,10 @@ object ScaleProbe {
     // probes the worst case of constant-shard pressure);
     // shingle_novelty = one shingle-keyed min agg + join back —
     // word-salting grows the shingle universe linearly
-    "q_mix_temperature", "q_train_shard", "q_shingle_novelty")
+    "q_mix_temperature", "q_train_shard", "q_shingle_novelty",
+    // the composed export macro: dedup semi-join + mix windows +
+    // shard agg sharing one corpus scan
+    "q_train_export")
 
   /** Probe drains for the streaming entries: the SparkEntry query fns
     * drain to a MEMORY sink (the Verify harness needs a DataFrame

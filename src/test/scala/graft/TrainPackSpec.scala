@@ -52,6 +52,29 @@ class TrainPackSpec extends AnyFunSuite {
     assert(byIngest < rows.length, "every shard head in ingest order — not shuffled")
   }
 
+  test("export macro: deduped, mix-sized, fully sharded — consistent with its stages") {
+    val exp = TrainPack.qTrainExport(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(exp.nonEmpty)
+    // selected total equals the sum of per-language min(target, deduped
+    // inventory) — the mix stage's own contract applied after dedup
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dedupCnt = docs.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, "doc_id").groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val total = dedupCnt.values.sum
+    val z = dedupCnt.values.map(n => math.pow(n.toDouble, 0.7)).sum
+    val want = dedupCnt.map { case (_, n) =>
+      math.min(math.floor(math.pow(n.toDouble, 0.7) / z * (total / 2)).toLong, n)
+    }.sum
+    assert(exp.map(_._3).sum == want,
+      s"selected ${exp.map(_._3).sum} != per-language mix quota sum $want")
+    // every emitted shard id is in range; per-(shard, lang) rows unique
+    assert(exp.forall(r => r._1 >= 0 && r._1 < 8))
+    assert(exp.map(r => (r._1, r._2)).distinct.length == exp.length)
+  }
+
   test("novelty: first doc is all-novel, ratios bounded, novel counts cover the shingle universe") {
     val rows = TrainPack.qShingleNovelty(spark, TestSpark.sf)
       .as[(Long, Long, Long, Double)].collect()
