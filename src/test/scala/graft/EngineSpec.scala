@@ -18,7 +18,8 @@ class EngineSpec extends AnyFunSuite {
   test("oracleSql keys are a subset of queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // pins against a pack silently dropping out of SparkEntry.packs
-    assert(SparkEntry.queries.size >= 124)
+    // (r16 floor: 234 registered queries)
+    assert(SparkEntry.queries.size >= 234)
   }
 
   test("every query returns rows at sf0.001") {
