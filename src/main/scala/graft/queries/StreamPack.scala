@@ -389,10 +389,6 @@ object StreamPack extends QueryPack {
         |  CAST(max(n_match) AS BIGINT) AS best_match
         |FROM nm WHERE n_match >= 8
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // model refit on the history slice; OOV fallback ln(0.5/n); the
-    // keep bit compares score and threshold BOTH rounded to 5 (the
-    // emitted scale), as the kernel does — unrounded float sums
-    // associate differently across engines/partitionings
     // the full streaming-ANN pipeline replayed: seeded-centroid
     // assignment (list_distance, cid ties), nprobe=4 probe lists,
     // exact cosine with the 0.2 floor on the ROUNDED value (the
@@ -422,6 +418,10 @@ object StreamPack extends QueryPack {
         |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank FROM fl)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // model refit on the history slice; OOV fallback ln(0.5/n); the
+    // keep bit compares score and threshold BOTH rounded to 5 (the
+    // emitted scale), as the kernel does — unrounded float sums
+    // associate differently across engines/partitionings
     "q_stream_quality_gate" ->
       """WITH hist AS (SELECT lang, unnest(string_split(text,' ')) AS w
         |              FROM documents WHERE doc_id % 5 <> 0),

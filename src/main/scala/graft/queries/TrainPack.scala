@@ -44,10 +44,16 @@ object TrainPack extends QueryPack {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum(pow(col("cnt"), lit(0.7))).as("z"),
       floor(sum(col("cnt")) / lit(2.0)).cast("long").as("b"))
+    // round-before-floor (the repo's round-before-compare rule): the
+    // raw product can sit at an integer boundary where a 1-ulp libm
+    // pow() difference between JVM and DuckDB flips floor() — and with
+    // it target, n_kept, and id_sum. Snapping to the 1e-6 grid first
+    // makes the boundary class the same one every other rounded float
+    // in the gate already survives.
     val wts = counts.crossJoin(broadcast(tot))
       .select(col("lang"), col("cnt"),
         (pow(col("cnt"), lit(0.7)) / col("z")).as("wt"),
-        floor(pow(col("cnt"), lit(0.7)) / col("z") * col("b"))
+        floor(round(pow(col("cnt"), lit(0.7)) / col("z") * col("b"), 6))
           .cast("long").as("target"))
     val coin = pmod(TextOps.hash60(
       concat_ws("#", lit("mixT"), col("doc_id"))), lit(1000000L))
@@ -160,9 +166,10 @@ object TrainPack extends QueryPack {
     val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum(pow(col("cnt"), lit(0.7))).as("z"),
       floor(sum(col("cnt")) / lit(2.0)).cast("long").as("b"))
+    // round-before-floor, same boundary rule as qMixTemperature
     val wts = counts.crossJoin(broadcast(tot))
       .select(col("lang"),
-        floor(pow(col("cnt"), lit(0.7)) / col("z") * col("b"))
+        floor(round(pow(col("cnt"), lit(0.7)) / col("z") * col("b"), 6))
           .cast("long").as("target"))
     val coin = pmod(TextOps.hash60(
       concat_ws("#", lit("exp"), col("doc_id"))), lit(1000000L))
@@ -195,7 +202,7 @@ object TrainPack extends QueryPack {
         |t AS (SELECT sum(pow(cnt, 0.7)) AS z,
         |         CAST(floor(sum(cnt) / 2.0) AS BIGINT) AS b FROM c),
         |w AS (SELECT lang, cnt, pow(cnt, 0.7) / t.z AS wt,
-        |         CAST(floor(pow(cnt, 0.7) / t.z * t.b) AS BIGINT) AS target
+        |         CAST(floor(round(pow(cnt, 0.7) / t.z * t.b, 6)) AS BIGINT) AS target
         |      FROM c, t),
         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |        ORDER BY ('0x' || substr(md5('mixT#' || doc_id), 1, 15))::BIGINT
@@ -243,7 +250,7 @@ object TrainPack extends QueryPack {
         |t AS (SELECT sum(pow(cnt, 0.7)) AS z,
         |         CAST(floor(sum(cnt) / 2.0) AS BIGINT) AS b FROM c),
         |w AS (SELECT lang,
-        |         CAST(floor(pow(cnt, 0.7) / t.z * t.b) AS BIGINT) AS target
+        |         CAST(floor(round(pow(cnt, 0.7) / t.z * t.b, 6)) AS BIGINT) AS target
         |      FROM c, t),
         |r AS (SELECT doc_id, lang, toks, row_number() OVER (PARTITION BY lang
         |        ORDER BY ('0x' || substr(md5('exp#' || doc_id), 1, 15))::BIGINT

@@ -174,12 +174,25 @@ object EventStream {
     k
   }
 
-  def writeAnnIndex(spark: SparkSession, dir: String, out: String)
+  /** `requireK`: set by the oracle-gated verify path to pin the IVF
+    * width the static DuckDB oracle hardcodes (16). `ivfKFor` is
+    * scale-relative, so a future gated fixture with >5120 history
+    * embeddings would silently widen the index and strict-fail the
+    * gate with no pointer to the cause — this guard turns that into
+    * an immediate, named error instead. Non-oracle callers
+    * (ScaleProbe, production) pass None and get the adaptive width. */
+  def writeAnnIndex(spark: SparkSession, dir: String, out: String,
+                    requireK: Option[Int] = None)
       : (DataFrame, DataFrame) = {
     val e = graft.Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 5 =!= 0)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val k = ivfKFor(e.count())
+    requireK.foreach { want =>
+      require(k == want, s"q_stream_ann oracle pins k=$want IVF centroids " +
+        s"but ivfKFor resolved k=$k for this fixture; parameterize the " +
+        "DuckDB oracle's LIMIT/centroid count on k before gating this SF")
+    }
     val cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
@@ -248,7 +261,9 @@ object EventStream {
                  name: String = "graft_stream_ann"): DataFrame = {
     val silver = graft.TempDirs.create("graft_ann_silver")
     try {
-      val ix = writeAnnIndex(spark, dir, silver.toString)
+      // oracle-gated path: the DuckDB oracle seeds exactly 16
+      // centroids, so pin k=16 here (see writeAnnIndex scaladoc)
+      val ix = writeAnnIndex(spark, dir, silver.toString, requireK = Some(16))
       drain(spark, annAgainstHistory(spark, dir, ix), name, mode = "append")
       import org.apache.spark.sql.expressions.Window
       spark.table(name)

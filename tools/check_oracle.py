@@ -1,18 +1,20 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py [--strict] <verify_out_dir> <sf_dir> [allow_empty_csv]
+Usage: python3 tools/check_oracle.py [--tolerant] <verify_out_dir> <sf_dir> [allow_empty_csv]
 
 Loads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB (tables registered
 as views over the same parquet), and compares: schema (column names),
 row count, and the values of rows sorted by all columns.
 
---strict: BIT-EXACT float compare (float64 payload equality, NaN==NaN),
-mirroring the driver's hash gate. Default (legacy) mode uses
-atol=1.5e-6 — which is exactly what masked the r15 q_ann_mmr half-grid
-rounding defect (local "pass" while the driver's bit-exact hash
-failed). The end-of-round gate MUST run strict.
+DEFAULT is BIT-EXACT float compare (float64 payload equality,
+NaN==NaN), mirroring the driver's hash gate — the r16 verdict's
+strict protocol. --tolerant opts into the legacy atol=1.5e-6 mode,
+which is exactly what masked the r15 q_ann_mmr half-grid rounding
+defect (local "pass" while the driver's bit-exact hash failed); use
+it only to triage WHERE a strict mismatch is a pure-rounding class,
+never as the gate. --strict is still accepted (now a no-op).
 """
 import sys, json, glob, os
 import duckdb
@@ -32,8 +34,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
-    strict = "--strict" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a not in ("--strict", "--tolerant")]
+    strict = "--tolerant" not in sys.argv[1:]
     out_dir, sf_dir = argv[0], argv[1]
     # optional third positional: comma list of queries allowed to be
     # empty (candidate-pair queries at sf0.001 — mirrors EngineSpec's
