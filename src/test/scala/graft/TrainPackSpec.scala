@@ -65,9 +65,12 @@ class TrainPackSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     val total = dedupCnt.values.sum
     val z = dedupCnt.values.map(n => math.pow(n.toDouble, 0.7)).sum
-    val want = dedupCnt.map { case (_, n) =>
-      math.min(math.floor(math.pow(n.toDouble, 0.7) / z * (total / 2)).toLong, n)
-    }.sum
+    // mirror the engine's round-before-floor boundary rule (r17): the
+    // raw product snaps to the 1e-6 grid before floor on both engines
+    def target(n: Long): Long = math.floor(BigDecimal(
+      math.pow(n.toDouble, 0.7) / z * (total / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    val want = dedupCnt.map { case (_, n) => math.min(target(n), n) }.sum
     assert(exp.map(_._3).sum == want,
       s"selected ${exp.map(_._3).sum} != per-language mix quota sum $want")
     // every emitted shard id is in range; per-(shard, lang) rows unique
@@ -91,5 +94,27 @@ class TrainPackSpec extends AnyFunSuite {
       .agg(countDistinct(col("sh"))).as[Long].head()
     assert(rows.map(_._3).sum == universe,
       "sum of per-doc novel counts must equal the distinct shingle universe")
+  }
+
+  test("novelty via the shared repeated-shingle index equals the inline min-agg form") {
+    // r17 rewired qShingleNovelty to read first-occurrence facts from
+    // TextPack.sharedShingleDf (df>1 rows only; absent ⇒ df=1 ⇒ novel)
+    // instead of re-shuffling the corpus tokens per query — this pins
+    // that the rewrite is a pure plan change, not a semantic one
+    val viaIndex = TrainPack.qShingleNovelty(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val dsh = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
+    val first = dsh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    val inline = dsh.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(viaIndex.sameElements(inline),
+      "shared-index novelty diverged from the inline min-agg form")
   }
 }
