@@ -285,8 +285,14 @@ object EventStream {
     (cents, posting)
   }
 
+  /** `floor`: minimum ROUNDED cosine for a candidate to emit — 0.2
+    * for the streaming lookup (bounds append-mode emission), -2.0
+    * (no floor) for the batch kNN self-join, which wants k neighbors
+    * for every vector regardless of absolute similarity. */
   private[graft] def annProbeJoin(live: DataFrame, cents: DataFrame,
-                                  posting: DataFrame): DataFrame = {
+                                  posting: DataFrame,
+                                  floor: Double = 0.2,
+                                  nprobe: Int = 4): DataFrame = {
     val spark = live.sparkSession
     import spark.implicits._
     // the collected index is KB-to-MB-bounded by ivfKFor (≤ k·d
@@ -321,10 +327,10 @@ object EventStream {
           val cands =
             if (l1.isEmpty) flat
             else l1.map { case (pid, pv) => (d2(v, pv), pid) }
-              .sortBy(identity).take(4)
+              .sortBy(identity).take(nprobe)
               .flatMap { case (_, pid) => children.getOrElse(pid, Array.empty) }
           val byDist = cands.map { case (cid, cv) => (d2(v, cv), cid) }
-            .sortBy(identity).take(4)
+            .sortBy(identity).take(nprobe)
           byDist.map { case (_, cid) => (id, cid, vSeq, math.sqrt(qn)) }
         }
       }
@@ -334,7 +340,7 @@ object EventStream {
       .withColumn("cos", round(
         graft.functions.DotProduct.dot_product(col("qv"), col("hv"))
           / (col("qn") * col("hn")), 6))
-      .filter(col("cos") >= 0.2)
+      .filter(col("cos") >= floor)
       .select(col("q_id"), col("n_id"), col("cos"))
   }
 

@@ -242,7 +242,12 @@ object ScaleProbe {
     "q_mix_temperature", "q_train_shard", "q_shingle_novelty",
     // the composed export macro: dedup semi-join + mix windows +
     // shard agg sharing one corpus scan
-    "q_train_export")
+    "q_train_export",
+    // r17: bucketed kNN self-join — every vector both query and
+    // posting member, candidates bounded at nprobe·(n/k) per vector
+    // by the occupancy contract; the probe runs the adaptive width
+    // (two-level index past k=256)
+    "q_knn_join")
 
   /** Probe drains for the streaming entries: the SparkEntry query fns
     * drain to a MEMORY sink (the Verify harness needs a DataFrame
@@ -256,6 +261,12 @@ object ScaleProbe {
   private val streamProbes: Map[String, (SparkSession, String) => Unit] = {
     import graft.streaming.EventStream
     Map(
+      // batch override (not a stream): the gated q_knn_join pins k=16
+      // for its static oracle; the probe wants the adaptive width so
+      // the two-level index engages at blow-up scale
+      "q_knn_join" ->
+        ((s, d) => graft.queries.SimilarityPack.knnJoin(s, d, requireK = None)
+          .write.mode("overwrite").format("noop").save()),
       "q_stream_tumbling" ->
         ((s, d) => EventStream.drainNoop(s, EventStream.windowedAgg(s, d),
           mode = "complete")),
