@@ -906,24 +906,63 @@ object SimilarityPack extends QueryPack {
     * hardcodes — ScaleProbe passes None and gets the adaptive,
     * two-level form. */
   private[graft] def knnJoin(s: SparkSession, d: String,
-                             requireK: Option[Int]): DataFrame = {
+                             requireK: Option[Int],
+                             forceKernel: Boolean = false): DataFrame = {
     val es = graft.streaming.EventStream
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // spread before the n×k assignment pass (interpreted zip_with
+    // distance — the embSpread rule; see writeAnnIndex)
+    val e = Tables.spread(s, Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
     val k = es.ivfKFor(embCounts.computeIfAbsent(d,
       _ => Tables.embeddings(s, d).count()))
     requireK.foreach { want =>
       require(k == want, s"q_knn_join oracle pins k=$want centroids but " +
         s"ivfKFor resolved k=$k; parameterize the oracle before gating this SF")
     }
-    val (cents, posting) = es.buildAnnIndex(e, k)
-    val live = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // nprobe=8 (vs the streaming lookup's 4): a kNN GRAPH op keeps
     // recall high even on near-uniform vectors — measured on the
     // fixture (ANN-adversarial random data): recall@3 vs exact kNN
     // 0.48 / 0.63 / 0.74 at nprobe 4 / 6 / 8. Candidates stay
     // bounded at nprobe·(n/k) ≈ 2560 per vector — linear in n.
-    es.annProbeJoin(live, cents, posting, floor = -2.0, nprobe = 8)
+    val cand =
+      if (k <= es.TwoLevelKMin && !forceKernel) {
+        // BATCH flat path, pure Catalyst: streams need the per-row
+        // probe kernel (no windows on a stream), but a batch self-join
+        // ranks relationally — ONE crossJoin-with-broadcast pass
+        // yields assignment (rn = 1 ⇒ posting list) AND probe set
+        // (rn ≤ 8) from the same window, with no driver collect and
+        // no kernel broadcast. Identical arithmetic to the kernel
+        // path (index-order sums), spec-pinned equal in KnnJoinSpec.
+        val cents = e.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val diff = zip_with(col("v"), col("cv"), _ - _)
+        val ranked = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("cid"),
+            dot(diff, diff).as("dist"))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist"), col("cid"))))
+          .filter(col("rn") <= 8)
+        val posting = ranked.filter(col("rn") === 1)
+          .select(col("vec_id").as("n_id"), col("cid").as("cluster"),
+            col("v").as("hv"), sqrt(dot(col("v"), col("v"))).as("hn"))
+        val probes = ranked
+          .select(col("vec_id").as("q_id"), col("cid").as("cluster"),
+            col("v").as("qv"), sqrt(dot(col("v"), col("v"))).as("qn"))
+        probes.join(posting, Seq("cluster"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("cos", round(
+            dot(col("qv"), col("hv")) / (col("qn") * col("hn")), 6))
+          .select(col("q_id"), col("n_id"), col("cos"))
+      } else {
+        // scale path: two-level index build + hierarchical probe
+        // kernel (O(n·√k) build, O(√k) probe — the streaming-ANN
+        // machinery, shared)
+        val (cents, posting) = es.buildAnnIndex(e, k)
+        val live = Tables.spread(s,
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+        es.annProbeJoin(live, cents, posting, floor = -2.0, nprobe = 8)
+      }
+    cand
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))).cast("long"))
       .filter(col("rank") <= 3)

@@ -200,9 +200,14 @@ object EventStream {
   def writeAnnIndex(spark: SparkSession, dir: String, out: String,
                     requireK: Option[Int] = None)
       : (DataFrame, DataFrame) = {
-    val e = graft.Tables.embeddings(spark, dir)
+    // spread before the assignment kernel: zip_with lambdas are
+    // CodegenFallback (interpreted per element), and a single-file
+    // scan would run the whole n×k distance pass in one task — the
+    // docsSpread/embSpread rule; measured ~2 s single-threaded at
+    // sf0.1 vs ~0.1 s spread
+    val e = graft.Tables.spread(spark, graft.Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 5 =!= 0)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
     val k = ivfKFor(e.count())
     requireK.foreach { want =>
       require(k == want, s"q_stream_ann oracle pins k=$want IVF centroids " +
@@ -335,12 +340,16 @@ object EventStream {
         }
       }
       .toDF("q_id", "cluster", "qv", "qn")
-    probed.join(posting, Seq("cluster"))
+    val scored = probed.join(posting, Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(
         graft.functions.DotProduct.dot_product(col("qv"), col("hv"))
           / (col("qn") * col("hn")), 6))
-      .filter(col("cos") >= floor)
+    // a no-op floor (kNN join) must NOT reach the plan: Catalyst
+    // pushes the predicate into the cluster join's condition, where
+    // the dot product is then evaluated a second time for the output
+    // column — measured ~2× the candidate-stage cost on 2M rows
+    (if (floor > -1.0) scored.filter(col("cos") >= floor) else scored)
       .select(col("q_id"), col("n_id"), col("cos"))
   }
 

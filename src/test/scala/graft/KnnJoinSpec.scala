@@ -67,6 +67,18 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("relational flat path and index-kernel path emit identical rows") {
+    // the batch query plans the pure-Catalyst flat form at fixture k;
+    // ScaleProbe's blow-ups take the two-level index + probe kernel.
+    // Same arithmetic (index-order sums) ⇒ bit-equal output — this is
+    // what licenses measuring the scale path as "the same operator"
+    val kernel = SimilarityPack.knnJoin(spark, TestSpark.sf,
+        requireK = Some(16), forceKernel = true)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(kernel.sameElements(rows),
+      "kernel path diverged from the relational flat path")
+  }
+
   test("bucketed kNN recovers most of the exact kNN graph (recall@3)") {
     // the fixture's near-uniform random vectors are the ANN
     // worst case (true neighbors spread across cells); measured
