@@ -250,11 +250,17 @@ object TextPack extends QueryPack {
       // cache both stages for the one materializing action: raw feeds
       // the hot-set aggregate AND the anti-join probe (once, not
       // twice), the guarded relation feeds sizes + both self-join
-      // sides of the pair pipeline
+      // sides of the pair pipeline.
+      // r17: the repeated-shingle df index builds FROM THE SAME
+      // persisted raw relation here (instead of as its own pool task
+      // re-running the corpus explode): the two tables share one
+      // scan+shingle pass, and prepareShared's shdf task becomes a
+      // read-through of this build's output.
       val raw = rawShingles(s, d).persist()
       val dsh = dfFloor(raw, resolveMaxDf(s, d, ScaleRelativeDf)).persist()
       jaccardPairsFrom(dsh, minJac = 0.05)
         .write.mode("overwrite").parquet(out)
+      sharedShingleDfFrom(s, d, raw, tagSuffix)
       raw.unpersist()
       dsh.unpersist()
     }
@@ -273,8 +279,18 @@ object TextPack extends QueryPack {
     * second time. */
   private[graft] def sharedShingleDf(s: SparkSession, d: String,
                                      tagSuffix: String = ""): DataFrame =
+    sharedShingleDfFrom(s, d, rawShingles(s, d), tagSuffix)
+
+  /** Build-or-read of the df index from a CALLER-SUPPLIED shingle
+    * relation: the pair-table build passes its already-persisted raw
+    * shingles so the two tables share one corpus scan; standalone
+    * consumers pass a fresh [[rawShingles]] (only evaluated if the
+    * memo misses). */
+  private def sharedShingleDfFrom(s: SparkSession, d: String,
+                                  raw: => DataFrame,
+                                  tagSuffix: String = ""): DataFrame =
     memoizedTable(s, d, "shdf" + tagSuffix) { out =>
-      rawShingles(s, d)
+      raw
         .groupBy(col("sh")).agg(count(lit(1)).as("graft_df"),
           min(col("doc_id")).as("graft_first_doc"))
         .filter(col("graft_df") > 1L)
@@ -335,13 +351,14 @@ object TextPack extends QueryPack {
       def join(f: java.util.concurrent.Future[Unit]): Unit =
         try f.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      val fDf = pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = { sharedShingleDf(s, d, tagSuffix); () }
-      })
+      // no shdf task: the pair-table build materializes the df index
+      // from its own persisted shingle relation (one corpus scan for
+      // both tables — r17); a separate pool task would race it into
+      // a second scan
       val fWf = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = { sharedWinnowFps(s, d, tagSuffix); () }
       })
-      join(fJac); join(fMh); join(fDf); join(fWf)
+      join(fJac); join(fMh); join(fWf)
     } finally pool.shutdown()
   }
 
@@ -491,6 +508,42 @@ object TextPack extends QueryPack {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("chars"))
       .orderBy(col("split"), col("lang"))
+  }
+
+  /** SPLIT-LEAKAGE audit — near-duplicate pairs whose endpoints land
+    * in DIFFERENT splits of [[qSplitAssign]]'s 80/10/10 assignment:
+    * a hash split is uniform over documents, so every near-dup pair
+    * has a ~34% chance of straddling a boundary, and each straddling
+    * pair is an eval answer leaked into training (the C4/GPT-3
+    * contamination analyses — the reason pipelines dedup BEFORE
+    * splitting, and the audit that proves whether this corpus did).
+    * Emits the full split×split pair matrix (canonical low/high
+    * order), a `leaked` flag on the off-diagonal cells, and id
+    * checksums per cell.
+    *
+    * Scale shape: pairs come from the pipeline's MAINTAINED candidate
+    * table ([[sharedJaccardPairs]], dedup threshold 0.5 — the same
+    * relation `q_dedup_apply` consumes); the split is one scan-local
+    * hash expression per endpoint; the audit is a 6-group aggregate.
+    * Nothing here re-scans the corpus. */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val h = pmod(TextOps.hash60(concat_ws("#", lit("split42"), c)), lit(100L))
+      when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    }
+    sharedJaccardPairs(s, d).filter(col("jacv") >= 0.5)
+      .select(col("a"), col("b"),
+        splitOf(col("a")).as("sa"), splitOf(col("b")).as("sb"))
+      .select(col("a"), col("b"),
+        least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a") + col("b")).cast("long").as("id_sum"))
+      .withColumn("leaked", (col("split_lo") =!= col("split_hi")).cast("int"))
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        col("id_sum"), col("leaked"))
+      .orderBy(col("split_lo"), col("split_hi"))
   }
 
   /** Quality-WEIGHTED sampling — each doc kept with probability
@@ -1686,6 +1739,7 @@ object TextPack extends QueryPack {
     "q_minhash_lsh"   -> qMinhashLsh,
     "q_minhash_est"   -> qMinhashEst,
     "q_split_assign"  -> qSplitAssign,
+    "q_split_leakage" -> qSplitLeakage,
     "q_chunk_windows" -> qChunkWindows,
     "q_source_cap"    -> qSourceCap,
     "q_source_filter" -> qSourceFilter,
@@ -2223,6 +2277,38 @@ object TextPack extends QueryPack {
         |  CAST(sum(pd.n * r.lr_e6) AS BIGINT) AS logw_e6
         |FROM pd JOIN r ON pd.bk = r.bk
         |GROUP BY 1 ORDER BY logw_e6 DESC, doc_id LIMIT 20""".stripMargin,
+    // the q_ngram_jaccard pair fragment at the 0.5 dedup threshold +
+    // the q_split_assign hash per endpoint, canonical (lo, hi) cell
+    "q_split_leakage" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |        FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                 JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(sh),1,15))::BIGINT AS sh FROM tri),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT a, b FROM common
+        |  JOIN sizes sa ON a=sa.doc_id JOIN sizes sb ON b=sb.doc_id
+        |  WHERE c*1.0/(sa.n+sb.n-c) >= 0.5),
+        |sp AS (SELECT a, b,
+        |  CASE WHEN ('0x' || substr(md5('split42#' || a),1,15))::BIGINT % 100 < 80
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5('split42#' || a),1,15))::BIGINT % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS sa,
+        |  CASE WHEN ('0x' || substr(md5('split42#' || b),1,15))::BIGINT % 100 < 80
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5('split42#' || b),1,15))::BIGINT % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS sb
+        |  FROM pairs)
+        |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+        |  count(*) AS n_pairs, CAST(sum(a + b) AS BIGINT) AS id_sum,
+        |  CAST(CASE WHEN least(sa, sb) != greatest(sa, sb) THEN 1 ELSE 0 END
+        |    AS INT) AS leaked
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_split_assign" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN ('0x' || substr(md5('split42#' || doc_id),1,15))::BIGINT % 100 < 80

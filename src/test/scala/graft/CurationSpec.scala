@@ -328,4 +328,29 @@ class CurationSpec extends AnyFunSuite {
     val keptMin = out.find(_._1 == minLang).get._2
     assert(keptMin == minCnt)
   }
+
+  test("split leakage: cells partition the dedup pairs; leaked flags exactly the off-diagonal") {
+    val cells = TextPack.qSplitLeakage(spark, TestSpark.sf)
+      .as[(String, String, Long, Long, Int)].collect()
+    assert(cells.nonEmpty)
+    cells.foreach { case (lo, hi, n, _, leaked) =>
+      assert(lo <= hi, s"cell ($lo, $hi) not canonical")
+      assert(n > 0)
+      assert((leaked == 1) == (lo != hi), s"leaked flag on ($lo, $hi)")
+    }
+    // the cells partition the >=0.5 near-dup pair set exactly
+    val nPairs = TextPack.jaccardPairs(spark, TestSpark.sf, minJac = 0.5).count()
+    assert(cells.map(_._3).sum == nPairs,
+      s"cells cover ${cells.map(_._3).sum} pairs, pipeline has $nPairs")
+    // and dedup-before-split leaves nothing to leak: dropping the
+    // higher id of every pair (q_dedup_apply's rule) removes at least
+    // one endpoint of every leaked pair by construction — the audit's
+    // reason to exist is proving a corpus did this
+    val dropped = TextPack.jaccardPairs(spark, TestSpark.sf, minJac = 0.5)
+      .select(col("b")).distinct().as[Long].collect().toSet
+    val leakedPairs = TextPack.jaccardPairs(spark, TestSpark.sf, minJac = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => !dropped.contains(a) && !dropped.contains(b) }
+    assert(leakedPairs.isEmpty, "dedup-applied corpus still has near-dup pairs")
+  }
 }
