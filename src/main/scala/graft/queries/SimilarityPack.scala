@@ -905,9 +905,9 @@ object SimilarityPack extends QueryPack {
     * both sides); `requireK` pins the width the static oracle
     * hardcodes — ScaleProbe passes None and gets the adaptive,
     * two-level form. */
-  private[graft] def knnJoin(s: SparkSession, d: String,
-                             requireK: Option[Int],
-                             forceKernel: Boolean = false): DataFrame = {
+  private[graft] def knnCandidates(s: SparkSession, d: String,
+                                   requireK: Option[Int],
+                                   forceKernel: Boolean = false): DataFrame = {
     val es = graft.streaming.EventStream
     // spread before the n×k assignment pass (interpreted zip_with
     // distance — the embSpread rule; see writeAnnIndex)
@@ -963,18 +963,146 @@ object SimilarityPack extends QueryPack {
         es.annProbeJoin(live, cents, posting, floor = -2.0, nprobe = 8)
       }
     cand
+  }
+
+  private[graft] def knnJoin(s: SparkSession, d: String,
+                             requireK: Option[Int],
+                             forceKernel: Boolean = false): DataFrame =
+    knnCandidates(s, d, requireK, forceKernel)
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("q_id").as("vec_id"), col("n_id"), col("cos"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
-  }
 
   def qKnnJoin(s: SparkSession, d: String): DataFrame =
     knnJoin(s, d, requireK = Some(16))
 
+  /** kNN-PROTOTYPE labeling — the semi-supervised propagation step a
+    * labeling pipeline runs when a small curated seed set must label
+    * the rest of the corpus (the second named consumer of the r17
+    * bucketed kNN join, after SemDeDup; the classic 1-NN/k-NN
+    * prototype classifier of Cover & Hart 1967 run at corpus scale):
+    * seeds = the deterministic 25% slice `vec_id % 4 = 0` keeping
+    * their true label; every NON-seed vector takes the majority label
+    * of its top-3 seed neighbors. Candidates come from the SAME
+    * shared IVF index as [[knnCandidates]] (one index, many
+    * consumers — the production shape), restricted afterwards to
+    * (non-seed query, seed member) pairs: the candidate set is "seed
+    * members of the cells the query probes", so build cost is paid
+    * once for the whole family.
+    *
+    * Determinism: candidate cosines are on the 1e-6 grid (rounded in
+    * the shared relation); votes rank by (count DESC, Σcos_u DESC,
+    * label ASC) where cos_u = round(cos·1e6) is an exact Long — no
+    * float compare anywhere in the vote, the MMR integer-grid lesson
+    * applied from the start. A non-seed vector whose probed cells
+    * hold no seeds is absent from the output (at the 320/list
+    * occupancy contract and 25% seed density, an empty probe set is
+    * vanishingly rare; the fixture has none). */
+  private[graft] def knnLabel(s: SparkSession, d: String,
+                              requireK: Option[Int],
+                              forceKernel: Boolean = false): DataFrame = {
+    val cand = knnCandidates(s, d, requireK, forceKernel)
+      .filter(pmod(col("n_id"), lit(4)) === 0 && pmod(col("q_id"), lit(4)) =!= 0)
+    val top3 = cand
+      .withColumn("cos_u", round(col("cos") * lit(1e6)).cast("long"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+    val lbl = Tables.embeddings(s, d)
+      .select(col("vec_id").as("n_id"), col("label").cast("long").as("n_label"))
+    val votes = top3.join(lbl, Seq("n_id"))
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"), sum(col("cos_u")).as("cos_usum"))
+    val truth = Tables.embeddings(s, d)
+      .select(col("vec_id").as("q_id"), col("label").cast("long").as("true_label"))
+    votes
+      .withColumn("vr", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("votes").desc, col("cos_usum").desc, col("n_label"))))
+      .filter(col("vr") === 1)
+      .join(truth, Seq("q_id"))
+      .select(col("q_id").as("vec_id"), col("n_label").as("pred_label"),
+        col("votes"), col("cos_usum"), col("true_label"),
+        (col("n_label") === col("true_label")).cast("long").as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  def qKnnLabel(s: SparkSession, d: String): DataFrame =
+    knnLabel(s, d, requireK = Some(16))
+
+  /** Deterministic Rademacher sign for the JL projection,
+    * s(pos, j) ∈ {−1, +1}: the murmur3 finalizer (xor-shift avalanche)
+    * over the combined key pos·73856093 ⊕ (j+1)·19349663. A single
+    * Knuth multiply was tried first and REJECTED by measurement: its
+    * sign rows are linear enough in (pos, j) that two target dims
+    * agreed in 62/64 positions (row inner product 60), inflating the
+    * fixture's norm-ratio std to 0.86 vs the 0.35 a truly random ±1
+    * matrix gives — the avalanche family measures max |row·row| = 24
+    * and std 0.338, indistinguishable from Gaussian. Evaluated at
+    * PLAN TIME only (64·16 calls): both the Spark plan and the DuckDB
+    * oracle embed the resulting ±1 vectors as literals (the
+    * generated-artifact pattern [[graft.functions.Bpe
+    * .sqlEncodeTokens]] established), so no cross-engine arithmetic
+    * replay is needed. */
+  private[graft] def jlSign(pos: Int, j: Int): Int = {
+    var h = (pos.toLong * 73856093L ^ (j + 1).toLong * 19349663L) & 0xFFFFFFFFL
+    h ^= h >> 16; h = (h * 0x85EBCA6BL) & 0xFFFFFFFFL
+    h ^= h >> 13; h = (h * 0xC2B2AE35L) & 0xFFFFFFFFL
+    h ^= h >> 16
+    if ((h & 1L) == 1L) 1 else -1
+  }
+
+  private[graft] def jlSigns(j: Int): Array[Double] =
+    Array.tabulate(64)(pos => jlSign(pos, j).toDouble)
+
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims
+    * (Achlioptas 2003's database-friendly ±1 matrix) with the
+    * norm-preservation audit inline — the embedding-compression step
+    * a pipeline runs before shipping vectors to an ANN index when the
+    * index's memory is dim-bound (4× fewer bytes/vector at a
+    * distortion the lemma bounds). Vectors are CENTERED on the corpus
+    * mean first — the production stance, and not optional here: the
+    * fixture's all-positive coordinates give every vector a large
+    * shared all-ones component, and against ONE fixed sign matrix
+    * that single direction's distortion hits every vector at once
+    * (measured: only 53% of uncentered norm ratios within [0.5, 1.8]
+    * vs the centered form's χ²₁₆-like concentration; pairwise
+    * DISTANCES are unchanged by the shift, since R(x−μ) − R(y−μ) =
+    * R(x−y)). Per vector: centered ‖x−μ‖², the scaled projected norm
+    * ‖R(x−μ)‖²/16, and their ratio (E[ratio] = 1; the
+    * pairwise-distance form of the guarantee is spec-pinned in
+    * `JlProjectSpec`).
+    *
+    * Scale shape: one 64-row mean aggregate (map-side combinable)
+    * broadcast back, then 16 fused codegen dot kernels per row
+    * against plan-time constant sign vectors — one corpus scan, one
+    * KB-sized broadcast, zero driver state; multiplication by ±1 is
+    * EXACT in IEEE754 and every sum is index-ordered (the dot
+    * kernel). */
+  def qJlProject(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.spread(s, Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+    val mu = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x")).as("m"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(transform(col("pm"), p => p.getField("m")).as("mu"))
+    val proj = array((0 until 16).map(j => dot(col("c"), lit(jlSigns(j)))): _*)
+    e.crossJoin(broadcast(mu))
+      .withColumn("c", zip_with(col("v"), col("mu"), _ - _))
+      .withColumn("pr", proj)
+      .withColumn("orig_n2", dot(col("c"), col("c")))
+      .withColumn("proj_n2", dot(col("pr"), col("pr")) / lit(16.0))
+      .select(col("vec_id"), round(col("orig_n2"), 6).as("orig_n2"),
+        round(col("proj_n2"), 6).as("proj_n2"),
+        round(col("proj_n2") / col("orig_n2"), 6).as("ratio"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_join"         -> qKnnJoin,
+    "q_knn_label"        -> qKnnLabel,
+    "q_jl_project"       -> qJlProject,
     "q_quantile_norm"    -> qQuantileNorm,
     "q_semdedup"         -> qSemdedup,
     "q_nearest_centroid" -> qNearestCentroid,
@@ -1081,6 +1209,67 @@ object SimilarityPack extends QueryPack {
         |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank FROM cand)
         |SELECT q_id AS vec_id, n_id, cos, rank FROM ranked WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    // the q_knn_join candidate chain restricted to (non-seed query,
+    // seed member) pairs, then the integer-grid majority vote:
+    // count DESC, sum of cos_u = round(cos*1e6) DESC, label ASC
+    "q_knn_label" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT vec_id AS n_id, cid AS cluster, v AS hv FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |probes AS (SELECT q_id, cluster, qv FROM (
+        |    SELECT e.vec_id AS q_id, c.cid AS cluster, e.v AS qv,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |    FROM e, c) WHERE rn <= 8),
+        |cand AS (SELECT p.q_id, a.n_id,
+        |    round(list_cosine_similarity(p.qv, a.hv), 6) AS cos
+        |  FROM probes p JOIN asg a ON a.cluster = p.cluster
+        |  WHERE p.q_id != a.n_id AND a.n_id % 4 = 0 AND p.q_id % 4 != 0),
+        |top3 AS (SELECT q_id, n_id,
+        |    CAST(round(cos * 1000000) AS BIGINT) AS cos_u,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id) AS rank FROM cand),
+        |votes AS (SELECT t.q_id, CAST(s.label AS BIGINT) AS n_label,
+        |    count(*) AS votes, sum(cos_u) AS cos_usum
+        |  FROM top3 t JOIN embeddings s ON t.n_id = s.vec_id
+        |  WHERE t.rank <= 3 GROUP BY 1, 2),
+        |pred AS (SELECT q_id, n_label,
+        |    CAST(votes AS BIGINT) AS votes, CAST(cos_usum AS BIGINT) AS cos_usum,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, cos_usum DESC, n_label) AS vr FROM votes)
+        |SELECT p.q_id AS vec_id, p.n_label AS pred_label, p.votes, p.cos_usum,
+        |  CAST(g.label AS BIGINT) AS true_label,
+        |  CAST(CASE WHEN p.n_label = g.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM pred p JOIN embeddings g ON p.q_id = g.vec_id
+        |WHERE p.vr = 1 ORDER BY 1""".stripMargin,
+    // sign vectors GENERATED from the same plan-time jlSign table the
+    // engine embeds (the Bpe.sqlEncodeTokens pattern) — ±1 multiplies
+    // are IEEE-exact and list_dot_product sums in index order, so the
+    // doubles match bit-for-bit before the rounds
+    "q_jl_project" -> {
+      val signLits = (0 until 16).map(j =>
+        jlSigns(j).map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]"))
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u0 AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |u AS (SELECT pos, avg(x) AS m FROM u0 GROUP BY pos),
+        |mu AS (SELECT list(m ORDER BY pos) AS mu FROM u),
+        |ce AS (SELECT vec_id,
+        |    list_transform(range(1, 65), i -> v[i] - mu.mu[i]) AS c
+        |  FROM e, mu),
+        |p AS (SELECT vec_id, c, [
+        |${signLits.map(a => s"    list_dot_product(c, CAST($a AS DOUBLE[]))")
+           .mkString(",\n")}
+        |  ] AS pr FROM ce)
+        |SELECT vec_id, round(list_dot_product(c, c), 6) AS orig_n2,
+        |  round(list_dot_product(pr, pr) / 16.0, 6) AS proj_n2,
+        |  round(list_dot_product(pr, pr) / 16.0 / list_dot_product(c, c), 6) AS ratio
+        |FROM p ORDER BY vec_id""".stripMargin
+    },
     "q_quantile_norm" ->
       """WITH e AS (SELECT vec_id,
         |    CAST(generate_subscripts(embedding,1) - 1 AS BIGINT) AS pos,

@@ -190,6 +190,37 @@ object TrainPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-LANGUAGE tokenizer fertility under the same pinned BPE-32
+    * artifact as [[qBpeTokens]] — tokens/word (fertility) and
+    * chars/token, the two numbers a multilingual pipeline reads
+    * before setting per-language token budgets (a high-fertility
+    * language pays more sequence length per word, so a word-count mix
+    * over-weights it; Ács 2019's fertility metric, and the imbalance
+    * XLM-R §3.1 tunes its sampling α against). Same word-level
+    * memoization as the per-doc form: each DISTINCT word encodes
+    * once, per-word token/char counts join back to occurrences, and
+    * the per-language sums are integer-exact BIGINTs (the two ratios
+    * are the only doubles, both quotients of exact integers).
+    *
+    * Scale shape: one corpus scan + a |vocab|-relation encode + one
+    * language-keyed partial-aggregating shuffle of ≤ |langs| groups —
+    * the cheapest class in the battery. */
+  def qBpeFertility(s: SparkSession, d: String): DataFrame = {
+    val w = docsSpread(s, d)
+      .select(col("lang"), explode(TextOps.words(col("text"))).as("w"))
+    val vocabToks = w.select(col("w")).distinct()
+      .withColumn("n_toks", graft.functions.Bpe.tokenCount(col("w")))
+      .withColumn("n_chars", length(col("w")).cast("long"))
+    w.join(broadcast(vocabToks), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("bpe_tokens"),
+        round(col("bpe_tokens") / col("n_words"), 6).as("tokens_per_word"),
+        round(col("n_chars") / col("bpe_tokens"), 6).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** The end-to-end training-data EXPORT macro — the composition a
     * pipeline actually ships after curation ([[TextPack
     * .qCorpusPipeline]] is the CLEANING macro; this is the OUTPUT
@@ -236,6 +267,7 @@ object TrainPack extends QueryPack {
     "q_train_shard" -> qTrainShard,
     "q_shingle_novelty" -> qShingleNovelty,
     "q_bpe_tokens" -> qBpeTokens,
+    "q_bpe_fertility" -> qBpeFertility,
     "q_train_export" -> qTrainExport)
 
   override def oracles: Map[String, String] = Map(
@@ -320,6 +352,20 @@ object TrainPack extends QueryPack {
         |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(t.n_toks) AS BIGINT) AS bpe_tokens,
         |  round(sum(t.n_toks) * 1.0 / count(*), 6) AS tokens_per_word
+        |FROM w JOIN t USING (w) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same generated encode chain, grouped by language; the two
+    // ratios are quotients of exact BIGINTs, so the round lands on
+    // the same double in both engines
+    "q_bpe_fertility" ->
+      s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |v AS (SELECT DISTINCT w FROM w),
+        |t AS (SELECT w, CAST(${graft.functions.Bpe.sqlEncodeTokens("w")}
+        |        AS BIGINT) AS n_toks, CAST(len(w) AS BIGINT) AS n_chars FROM v)
+        |SELECT w.lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(t.n_toks) AS BIGINT) AS bpe_tokens,
+        |  round(sum(t.n_toks) * 1.0 / count(*), 6) AS tokens_per_word,
+        |  round(sum(t.n_chars) * 1.0 / sum(t.n_toks), 6) AS chars_per_token
         |FROM w JOIN t USING (w) GROUP BY 1 ORDER BY 1""".stripMargin,
     // trigram replay (the winnow oracle's md5 scheme), distinct per
     // doc, first occurrence = min doc_id over the shingle key

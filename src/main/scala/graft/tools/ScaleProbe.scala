@@ -247,7 +247,12 @@ object ScaleProbe {
     // posting member, candidates bounded at nprobe·(n/k) per vector
     // by the occupancy contract; the probe runs the adaptive width
     // (two-level index past k=256)
-    "q_knn_join")
+    "q_knn_join",
+    // r17: prototype labeling shares the kNN candidate machinery
+    // (adaptive-k override below); the JL projection is scan-only —
+    // 16 codegen dots/row against constant sign vectors plus one
+    // 64-row mean broadcast, probed to pin the no-shuffle claim
+    "q_knn_label", "q_jl_project")
 
   /** Probe drains for the streaming entries: the SparkEntry query fns
     * drain to a MEMORY sink (the Verify harness needs a DataFrame
@@ -266,6 +271,9 @@ object ScaleProbe {
       // the two-level index engages at blow-up scale
       "q_knn_join" ->
         ((s, d) => graft.queries.SimilarityPack.knnJoin(s, d, requireK = None)
+          .write.mode("overwrite").format("noop").save()),
+      "q_knn_label" ->
+        ((s, d) => graft.queries.SimilarityPack.knnLabel(s, d, requireK = None)
           .write.mode("overwrite").format("noop").save()),
       "q_stream_tumbling" ->
         ((s, d) => EventStream.drainNoop(s, EventStream.windowedAgg(s, d),

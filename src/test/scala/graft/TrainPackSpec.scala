@@ -117,4 +117,25 @@ class TrainPackSpec extends AnyFunSuite {
     assert(viaIndex.sameElements(inline),
       "shared-index novelty diverged from the inline min-agg form")
   }
+
+  test("fertility: per-language sums reconcile with the per-doc BPE accounting") {
+    // q_bpe_fertility and q_bpe_tokens share the pinned merge table;
+    // grouping the per-doc rows by language must reproduce the
+    // fertility relation's integer sums exactly
+    val fert = TrainPack.qBpeFertility(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    val perDoc = TrainPack.qBpeTokens(spark, TestSpark.sf)
+      .join(Tables.documents(spark, TestSpark.sf).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("w"), sum(col("bpe_tokens")).as("t"))
+      .as[(String, Long, Long)].collect()
+    assert(perDoc.nonEmpty && perDoc.length == fert.size)
+    perDoc.foreach { case (lang, w, t) =>
+      assert(fert(lang) == ((w, t)), s"$lang: per-doc rollup ($w,$t) vs ${fert(lang)}")
+    }
+    // fertility must be genuinely sub-word under the pinned artifact
+    fert.values.foreach { case (w, t) => assert(t > w, "merges saturated to words") }
+  }
 }
