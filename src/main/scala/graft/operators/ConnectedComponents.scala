@@ -8,14 +8,24 @@ import org.apache.spark.sql.functions._
   * CLUSTERS (a~b, b~c => {a,b,c}) so exactly one representative per
   * cluster survives, not per pair.
   *
-  * Min-label propagation in relational form: every node starts
-  * labelled with its own id; each round every node takes the minimum
-  * label among itself and its neighbours; at fixpoint the label is
-  * the component's minimum node id. Each round is one shuffle join on
-  * the edge relation — the standard scale shape (label propagation /
-  * small-star family): rounds = graph diameter, and near-dup graphs
-  * are shallow (clusters of copies, not long chains). The driver
-  * only runs the loop; labels never collect.
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction
+  * (Kiveris et al. 2014, "Connected Components in MapReduce and
+  * Beyond" — the published production CC for exactly this setting).
+  * Each round rewrites the edge set; the fixed point is a forest of
+  * STARS, every node pointing at its component's minimum id. Two
+  * earlier relational forms were measured and rejected on the r17
+  * mutual-kNN graph (diameter 43 on 500 near-uniform vectors — kNN
+  * graphs are long thin chains, unlike shallow near-dup copy
+  * clusters): plain min-label hooking needs diameter rounds, and
+  * hook + pointer-jump stalls just the same once the label forest
+  * flattens into many depth-1 trees that merge one boundary edge per
+  * round (measured: still >25 rounds). Star contraction merges whole
+  * trees per round: the same graph closes in 4 rounds.
+  *
+  * Each round is two grouped-min aggregates and two joins on the
+  * (shrinking) edge relation — the MapReduce-portable scale shape;
+  * rounds are O(log n) with high probability. The driver only runs
+  * the loop; edges never collect.
   */
 object ConnectedComponents {
 
@@ -24,54 +34,71 @@ object ConnectedComponents {
     * has not converged within `maxIter` rounds (a silent partial
     * closure would under-merge clusters).
     *
-    * The returned relation is PERSISTED (each round materializes on
-    * the previous one; an unpersisted result would re-run the whole
-    * propagation with exponentially nested lineage on every action) —
-    * callers that keep the session alive should `unpersist()` it when
-    * done; harness runs clear the cache per query. */
+    * The returned relation is PERSISTED — callers that keep the
+    * session alive should `unpersist()` it when done; harness runs
+    * clear the cache per query.
+    *
+    * KNOWN BOUNDED LEAK: the per-round localCheckpoint blocks bypass
+    * the CacheManager, so they linger until RDD GC — ≤ rounds
+    * (O(log n), 2-5 in practice) edge-table copies, MEMORY_AND_DISK.
+    * Deliberately accepted: force-unpersisting a checkpointed RDD
+    * destroys its only copy (lineage is truncated — nothing can
+    * recompute it), so an eviction or late re-action on a derived
+    * frame would fail instead of recompute. Driver GC reclaims the
+    * handles between queries. */
   def labels(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    val sym = edges.select(col("a").as("v"), col("b").as("u"))
-      .union(edges.select(col("b").as("v"), col("a").as("u")))
-      .persist()
-    var lab = sym.select(col("v")).distinct()
-      .withColumn("l", col("v")).persist()
-    try {
-      var round = 0
-      while (round < maxIter) {
-        val viaNeighbor = sym
-          .join(lab.select(col("v").as("u"), col("l")), "u")
-          .select(col("v"), col("l"))
-        // persist truncates recomputation but the LOGICAL plan still
-        // nests one join per round; localCheckpoint every 8 rounds cuts
-        // the lineage so analyzer/optimizer time stays flat on
-        // high-diameter graphs (near-dup graphs are shallow, but a
-        // 20+-round path must not pay quadratic plan analysis)
-        val next0 = lab.select(col("v"), col("l")).union(viaNeighbor)
-          .groupBy(col("v")).agg(min(col("l")).as("l"))
-        // KNOWN BOUNDED LEAK: when `next` is the every-8th-round
-        // localCheckpoint, the later lab.unpersist() is a
-        // CacheManager no-op (checkpoint blocks bypass it), so those
-        // blocks linger until RDD GC — ≤ maxIter/8 label-table copies,
-        // MEMORY_AND_DISK. Deliberately accepted: force-unpersisting a
-        // checkpointed RDD destroys its only copy (lineage is
-        // truncated — nothing can recompute it), so an eviction or
-        // late re-action on a derived frame would fail instead of
-        // recompute. Driver GC reclaims the handles between queries.
-        val next =
-          if (round % 8 == 7) next0.localCheckpoint() else next0.persist()
-        val changed = next
-          .join(lab.select(col("v"), col("l").as("l0")), "v")
-          .filter(col("l") < col("l0"))
-          .limit(1).count()
-        lab.unpersist()
-        lab = next
-        if (changed == 0) return lab.select(col("v").as("id"), col("l").as("rep"))
-        round += 1
+    // canonical undirected form (u > v), self-loops and dups dropped;
+    // checkpointed so every round starts from a flat scan (the round
+    // loop would otherwise nest the caller's plan — for the kNN graph
+    // a crossJoin + windows + semi-join — once per round, and the
+    // exponential tree OOMed the driver in plan rendering alone)
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    while (round < maxIter) {
+      // LARGE-STAR: over the symmetric adjacency of x, let
+      // m = min(Γ(x) ∪ {x}); connect every LARGER neighbor to m.
+      val sym = e.select(col("u").as("x"), col("v").as("n"))
+        .union(e.select(col("v").as("x"), col("u").as("n")))
+      val mins = sym.groupBy(col("x"))
+        .agg(least(min(col("n")), col("x")).as("m"))
+      val large = sym.join(mins, "x")
+        .filter(col("n") > col("x"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR: orient (u > v); let m = min of u's smaller
+      // neighborhood; connect every smaller neighbor AND u itself
+      // to m.
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = large.join(minsS, "u")
+      val small = withM
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(minsS.select(col("u").as("a"), col("m").as("b")))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val changed = small.join(e, Seq("u", "v"), "left_anti")
+        .union(e.join(small, Seq("u", "v"), "left_anti"))
+        .limit(1).count()
+      e = small
+      if (changed == 0) {
+        // fixed point = stars: (leaf -> min) edges plus the centers
+        return e.select(col("u").as("id"), col("v").as("rep"))
+          .union(e.select(col("v").as("id"), col("v").as("rep")))
+          .distinct()
+          .persist()
       }
-      lab.unpersist()
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds")
-    } finally sym.unpersist()
+      round += 1
+    }
+    throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds")
   }
 }

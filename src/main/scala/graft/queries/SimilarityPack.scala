@@ -1031,6 +1031,52 @@ object SimilarityPack extends QueryPack {
   def qKnnLabel(s: SparkSession, d: String): DataFrame =
     knnLabel(s, d, requireK = Some(16))
 
+  /** Mutual-kNN dedup GRAPH — the third named consumer of the bucketed
+    * kNN join (after SemDeDup and prototype labeling): an undirected
+    * edge (a, b) exists iff EACH vector is in the other's top-3 AND
+    * cosine ≥ 0.2 (one-way kNN edges chain through hub vectors and
+    * over-merge; mutuality is the standard pruning — Brito et al.
+    * 1997's mutual-kNN clustering), then connected components via the
+    * same relational min-label propagation as `q_dedup_clusters`.
+    * This is the embedding-space twin of the text dedup graph: the
+    * relation SemDeDup-style cluster pruning and duplicate-set audits
+    * consume. Per component: representative (min vec_id), size, and
+    * the member-id checksum.
+    *
+    * Scale shape: edges derive from the kNN join's linear candidate
+    * volume (never all-pairs); mutuality is one self-semi-join of a
+    * 3n-row relation; propagation rounds = component diameter
+    * (near-dup graphs are shallow). Cosine symmetry makes the edge
+    * orientation safe: both directions round the same index-ordered
+    * dot, so (a,b) and (b,a) carry the identical cos. */
+  private[graft] def knnGraph(s: SparkSession, d: String,
+                              requireK: Option[Int],
+                              forceKernel: Boolean = false): DataFrame = {
+    val top = knnJoin(s, d, requireK, forceKernel)
+      .select(col("vec_id").as("a"), col("n_id").as("b"), col("cos"))
+    val fwd = top.filter(col("a") < col("b"))
+    val rev = top.filter(col("a") > col("b"))
+      .select(col("b").as("a"), col("a").as("b"))
+    // lineage cut before the iterative closure: each propagation round
+    // embeds its input plan, and the kNN subtree (crossJoin + two
+    // windows + a self semi-join) nested 20 rounds deep OOMed the
+    // DRIVER in plan-tree rendering before a single task ran — the
+    // edge list is ≤ 3n/2 rows, so checkpointing it is cheap and CC's
+    // per-round plans stay flat (same guard as the stream-ANN silver
+    // scans)
+    val mutual = fwd.join(rev, Seq("a", "b"), "left_semi")
+      .filter(col("cos") >= 0.2)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    graft.operators.ConnectedComponents.labels(mutual)
+      .groupBy(col("rep").as("component"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("id")).as("id_sum"))
+      .orderBy(col("component"))
+  }
+
+  def qKnnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraph(s, d, requireK = Some(16))
+
   /** Deterministic Rademacher sign for the JL projection,
     * s(pos, j) ∈ {−1, +1}: the murmur3 finalizer (xor-shift avalanche)
     * over the combined key pos·73856093 ⊕ (j+1)·19349663. A single
@@ -1102,6 +1148,7 @@ object SimilarityPack extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q_knn_join"         -> qKnnJoin,
     "q_knn_label"        -> qKnnLabel,
+    "q_knn_graph"        -> qKnnGraph,
     "q_jl_project"       -> qJlProject,
     "q_quantile_norm"    -> qQuantileNorm,
     "q_semdedup"         -> qSemdedup,
@@ -1209,6 +1256,42 @@ object SimilarityPack extends QueryPack {
         |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank FROM cand)
         |SELECT q_id AS vec_id, n_id, cos, rank FROM ranked WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    // the q_knn_join top-3 relation both directions, mutual edges at
+    // the 0.2 floor, then the q_dedup_clusters recursive min-label
+    // closure and per-component stats
+    "q_knn_graph" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT vec_id AS n_id, cid AS cluster, v AS hv FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |probes AS (SELECT q_id, cluster, qv FROM (
+        |    SELECT e.vec_id AS q_id, c.cid AS cluster, e.v AS qv,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |    FROM e, c) WHERE rn <= 8),
+        |cand AS (SELECT p.q_id, a.n_id,
+        |    round(list_cosine_similarity(p.qv, a.hv), 6) AS cos
+        |  FROM probes p JOIN asg a ON a.cluster = p.cluster
+        |  WHERE p.q_id != a.n_id),
+        |top3 AS (SELECT q_id AS a, n_id AS b, cos FROM (
+        |    SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id) AS rank FROM cand) WHERE rank <= 3),
+        |mut AS (SELECT t.a, t.b FROM top3 t
+        |  JOIN top3 r ON t.a = r.b AND t.b = r.a
+        |  WHERE t.a < t.b AND t.cos >= 0.2),
+        |edges AS (SELECT a AS v, b AS u FROM mut
+        |          UNION ALL SELECT b AS v, a AS u FROM mut),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT v, v FROM edges
+        |  UNION
+        |  SELECT ed.v, r.r FROM edges ed JOIN reach r ON ed.u = r.v),
+        |lab AS (SELECT v, min(r) AS component FROM reach GROUP BY 1)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(v) AS BIGINT) AS id_sum
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q_knn_join candidate chain restricted to (non-seed query,
     // seed member) pairs, then the integer-grid majority vote:
     // count DESC, sum of cos_u = round(cos*1e6) DESC, label ASC

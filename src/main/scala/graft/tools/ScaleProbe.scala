@@ -252,7 +252,11 @@ object ScaleProbe {
     // (adaptive-k override below); the JL projection is scan-only —
     // 16 codegen dots/row against constant sign vectors plus one
     // 64-row mean broadcast, probed to pin the no-shuffle claim
-    "q_knn_label", "q_jl_project")
+    "q_knn_label", "q_jl_project",
+    // r17: mutual-kNN graph — kNN candidates + star-contraction CC
+    // (adaptive-k override below); probes BOTH the linear candidate
+    // claim and the O(log) contraction round count at blow-up scale
+    "q_knn_graph")
 
   /** Probe drains for the streaming entries: the SparkEntry query fns
     * drain to a MEMORY sink (the Verify harness needs a DataFrame
@@ -274,6 +278,9 @@ object ScaleProbe {
           .write.mode("overwrite").format("noop").save()),
       "q_knn_label" ->
         ((s, d) => graft.queries.SimilarityPack.knnLabel(s, d, requireK = None)
+          .write.mode("overwrite").format("noop").save()),
+      "q_knn_graph" ->
+        ((s, d) => graft.queries.SimilarityPack.knnGraph(s, d, requireK = None)
           .write.mode("overwrite").format("noop").save()),
       "q_stream_tumbling" ->
         ((s, d) => EventStream.drainNoop(s, EventStream.windowedAgg(s, d),

@@ -19,7 +19,7 @@ class EngineSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // pins against a pack silently dropping out of SparkEntry.packs
     // (r16 floor: 234 registered queries)
-    assert(SparkEntry.queries.size >= 240)
+    assert(SparkEntry.queries.size >= 241)
   }
 
   test("every query returns rows at sf0.001") {
