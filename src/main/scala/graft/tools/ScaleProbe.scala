@@ -274,13 +274,16 @@ object ScaleProbe {
       // for its static oracle; the probe wants the adaptive width so
       // the two-level index engages at blow-up scale
       "q_knn_join" ->
-        ((s, d) => graft.queries.SimilarityPack.knnJoin(s, d, requireK = None)
+        ((s, d) => graft.queries.SimilarityPack.knnJoin(s, d, requireK = None,
+          useShared = false)
           .write.mode("overwrite").format("noop").save()),
       "q_knn_label" ->
-        ((s, d) => graft.queries.SimilarityPack.knnLabel(s, d, requireK = None)
+        ((s, d) => graft.queries.SimilarityPack.knnLabel(s, d, requireK = None,
+          useShared = false)
           .write.mode("overwrite").format("noop").save()),
       "q_knn_graph" ->
-        ((s, d) => graft.queries.SimilarityPack.knnGraph(s, d, requireK = None)
+        ((s, d) => graft.queries.SimilarityPack.knnGraph(s, d, requireK = None,
+          useShared = false)
           .write.mode("overwrite").format("noop").save()),
       "q_stream_tumbling" ->
         ((s, d) => EventStream.drainNoop(s, EventStream.windowedAgg(s, d),

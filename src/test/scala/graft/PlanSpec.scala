@@ -362,8 +362,12 @@ class PlanSpec extends AnyFunSuite {
   test("IVF-PQ seeded: the 16-row fan-outs broadcast; ranking is windowed per query") {
     // the centroid / codebook / probe relations are all tiny
     // broadcasts — the fact-sized side must never sort-merge or
-    // shuffle for them
-    val p = plan("q_ann_ivfpq_seeded")
+    // shuffle for them. Pinned on the silver-table BUILD (r17): the
+    // gated query itself now reads the memoized ADC relation, so the
+    // plan under audit is the one that constructs it
+    val p = graft.queries.SimilarityPack
+      .ivfPqSeededAdcBuild(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
