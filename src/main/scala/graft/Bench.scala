@@ -101,13 +101,19 @@ object Bench {
       "q_union_filters" -> 0.176, "q_distinct_flags" -> 0.180)
     def probeRatio(): Double = {
       val t0 = System.nanoTime()
+      var failed = false
       probePinned.keys.toSeq.sorted.foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => failed = true }
       }
       spark.catalog.clearCache()
-      ((System.nanoTime() - t0) / 1e9) / probePinned.values.sum
+      // a failed probe query leaves its pin in the denominator but no
+      // work in the numerator, deflating the ratio exactly when the
+      // probe must not under-read — treat any failure as hot and let
+      // the shared build take the conservative sequential path
+      if (failed) Double.MaxValue
+      else ((System.nanoTime() - t0) / 1e9) / probePinned.values.sum
     }
     // one UNTIMED pass first: the probe queries' first executions pay
     // planning + codegen (~0.2 s each), which reads as a 2-3× "hot"
@@ -140,6 +146,17 @@ object Bench {
       try { graft.queries.SimilarityPack.prepareSharedKnn(spark, sfDir); true }
       catch { case _: Throwable => false }
     val sharedKnnSec = (System.nanoTime() - tSharedKnn) / 1e9
+    spark.catalog.clearCache()
+    // r17 review: the ADC candidate table (shared by
+    // q_ann_ivfpq_seeded / q_ann_refine) gets the same timed-entry
+    // treatment — without it the codebook/encode/LUT pipeline cost
+    // hid inside whichever consumer ran first in sweep A and then
+    // vanished from the min entirely
+    val tSharedAdc = System.nanoTime()
+    val sharedAdcOk =
+      try { graft.queries.SimilarityPack.prepareSharedAdc(spark, sfDir); true }
+      catch { case _: Throwable => false }
+    val sharedAdcSec = (System.nanoTime() - tSharedAdc) / 1e9
     spark.catalog.clearCache()
     // fixed (sorted) query order: Map iteration order reshuffles as
     // queries are added, which moves warm-up costs between rounds and
@@ -269,6 +286,13 @@ object Bench {
       catch { case _: Throwable => false }
     val sharedKnn2Sec = (System.nanoTime() - tSharedKnn2) / 1e9
     spark.catalog.clearCache()
+    val tSharedAdc2 = System.nanoTime()
+    val sharedAdc2Ok =
+      try { graft.queries.SimilarityPack.prepareSharedAdc(spark, sfDir,
+        "_probe"); true }
+      catch { case _: Throwable => false }
+    val sharedAdc2Sec = (System.nanoTime() - tSharedAdc2) / 1e9
+    spark.catalog.clearCache()
     // the entry's ok flag is the FIRST build's alone — that is the
     // table every consumer query actually read; a probe-only failure
     // is reported as its own entry instead of poisoning this one.
@@ -281,13 +305,18 @@ object Bench {
       if (shared2Ok) math.min(sharedSec, shared2Sec) else sharedSec)
     val sharedKnnEntry = (sharedKnnOk,
       if (sharedKnn2Ok) math.min(sharedKnnSec, sharedKnn2Sec) else sharedKnnSec)
+    val sharedAdcEntry = (sharedAdcOk,
+      if (sharedAdc2Ok) math.min(sharedAdcSec, sharedAdc2Sec) else sharedAdcSec)
     val probeEntry =
       (if (shared2Ok) Seq.empty
        else Seq("_shared_pairs_probe" -> (false, shared2Sec))) ++
       (if (sharedKnn2Ok) Seq.empty
-       else Seq("_shared_knn_probe" -> (false, sharedKnn2Sec)))
+       else Seq("_shared_knn_probe" -> (false, sharedKnn2Sec))) ++
+      (if (sharedAdc2Ok) Seq.empty
+       else Seq("_shared_adc_probe" -> (false, sharedAdc2Sec)))
     val results = ("_shared_pairs" -> sharedEntry) +:
-      ("_shared_knn" -> sharedKnnEntry) +: probeEntry ++:
+      ("_shared_knn" -> sharedKnnEntry) +:
+      ("_shared_adc" -> sharedAdcEntry) +: probeEntry ++:
       sweepA.zip(sweepB).map { case ((name, (okA, tA)), (_, (okB, tB))) =>
         val samples = Seq((okA, tA), (okB, tB)) ++ sweepC.get(name)
         name -> (samples.forall(_._1), samples.map(_._2).min)

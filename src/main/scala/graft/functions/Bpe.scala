@@ -22,16 +22,23 @@ import org.apache.spark.sql.functions._
   * 8/31 words whole), so the operator is real at fixture scale.
   *
   * ENCODE is expressed entirely in codegen built-ins (no UDF, the
-  * repo invariant): the word is exploded to terminator-delimited
-  * symbols ("spark" → "s;p;a;r;k;"), then each merge (a, b) → ab
-  * applies as one literal `replace(str, "a;b;", "ab;")` in merge-rank
-  * order — the terminator representation makes pair matches
-  * share no characters, so the left-to-right non-overlapping scan
-  * both Spark's and DuckDB's `replace` implement IS the BPE merge
-  * pass ([a a a] + merge(a,a) → [aa a], never [a aa]). Token count =
-  * remaining terminator count. The DuckDB oracle replays the same
-  * chain from the same pinned list via [[sqlEncodeTokens]], so the
-  * two engines cannot drift.
+  * repo invariant): the word is exploded to DELIMITER-WRAPPED symbols
+  * ("spark" → ";s;;p;;a;;r;;k;" — every symbol carries its OWN
+  * leading and trailing ';'), then each merge (a, b) → ab applies as
+  * one literal `replace(str, ";a;;b;", ";ab;")` in merge-rank order.
+  * Wrapping on BOTH sides is what makes the replace scan equal the
+  * BPE merge pass: the leading ';' anchors the left symbol boundary
+  * (a trailing-only form "a;b;" also matches when a LONGER symbol
+  * merely ends with "a" — "xa;b;" under merge (a,b) falsely became
+  * "xab;", the r17 review's boundary defect), the trailing ';'
+  * anchors the right one, and because each symbol owns a full ";…;"
+  * wrap, adjacent matches share no characters — so the left-to-right
+  * non-overlapping scan both Spark's and DuckDB's `replace` implement
+  * handles overlap exactly like greedy BPE ([a a a] + merge(a,a) →
+  * [aa a], never [a aa], and [a a a a] → [aa aa]). Token count =
+  * half the delimiter count. The DuckDB oracle replays the same chain
+  * from the same pinned list via [[sqlEncodeTokens]], so the two
+  * engines cannot drift.
   *
   * Reference scope note: the reference counts whitespace tokens only
   * (`utils.py` has no tokenizer); this is one of the engine-new
@@ -53,28 +60,30 @@ object Bpe {
     ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
     ("custo", "mer"), ("f", "i"), ("fi", "l"))
 
-  /** Terminator-delimited symbol string after applying the full merge
-    * chain to one word: "spark" → "sp;ar;k;" (under [[Merges32]]).
+  /** Delimiter-wrapped symbol string after applying the full merge
+    * chain to one word: "spark" → ";sp;;ar;;k;" (under [[Merges32]]).
     * Codegen-friendly: one regexp_replace + |merges| literal
     * replaces, all whole-stage-codegen built-ins. */
   def encode(word: Column, merges: Seq[(String, String)] = Merges32): Column =
-    merges.foldLeft(regexp_replace(word, "(.)", "$1;")) {
-      case (acc, (a, b)) => replace(acc, lit(a + ";" + b + ";"), lit(a + b + ";"))
+    merges.foldLeft(regexp_replace(word, "(.)", ";$1;")) {
+      case (acc, (a, b)) =>
+        replace(acc, lit(";" + a + ";;" + b + ";"), lit(";" + a + b + ";"))
     }
 
-  /** Token count for one word = terminator count of [[encode]]. */
+  /** Token count for one word = half the delimiter count of
+    * [[encode]] (each symbol owns exactly two). */
   def tokenCount(word: Column, merges: Seq[(String, String)] = Merges32): Column = {
     val enc = encode(word, merges)
-    (length(enc) - length(replace(enc, lit(";"), lit("")))).cast("long")
+    ((length(enc) - length(replace(enc, lit(";"), lit("")))) / 2).cast("long")
   }
 
   /** The DuckDB replay of [[tokenCount]] over a SQL expression
     * `wordExpr`, generated from the SAME pinned list so the oracle
     * cannot drift from the engine. */
   def sqlEncodeTokens(wordExpr: String, merges: Seq[(String, String)] = Merges32): String = {
-    val chain = merges.foldLeft(s"regexp_replace($wordExpr, '(.)', '\\1;', 'g')") {
-      case (acc, (a, b)) => s"replace($acc, '$a;$b;', '$a$b;')"
+    val chain = merges.foldLeft(s"regexp_replace($wordExpr, '(.)', ';\\1;', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, ';$a;;$b;', ';$a$b;')"
     }
-    s"(length($chain) - length(replace($chain, ';', '')))"
+    s"((length($chain) - length(replace($chain, ';', ''))) // 2)"
   }
 }

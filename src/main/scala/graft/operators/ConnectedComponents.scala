@@ -49,18 +49,32 @@ object ConnectedComponents {
   def labels(edges: DataFrame, maxIter: Int = 20,
              smallGraphMax: Long = 65536L): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    // canonical undirected form (u > v), self-loops and dups dropped;
-    // checkpointed so every round starts from a flat scan (the round
-    // loop would otherwise nest the caller's plan — for the kNN graph
-    // a crossJoin + windows + semi-join — once per round, and the
-    // exponential tree OOMed the driver in plan rendering alone)
-    var e = edges
+    // canonical undirected form (u > v), dups dropped; checkpointed so
+    // every round starts from a flat scan (the round loop would
+    // otherwise nest the caller's plan — for the kNN graph a
+    // crossJoin + windows + semi-join — once per round, and the
+    // exponential tree OOMed the driver in plan rendering alone).
+    // Self-loops survive the canonicalization into `canon` (one scan,
+    // no second pass over the caller's relation) and are split off
+    // below: they carry no connectivity, but a node whose ONLY edge
+    // is a self-loop must still label as its own singleton — the
+    // pre-r17 min-label implementation emitted (x, x) for it, and
+    // "every node appearing in an edge" is the documented contract.
+    val canon = edges
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    val canonCnt = canon.count()
+    var e = canon.filter(col("u") =!= col("v"))
     var eCnt = e.count()
+    // singleton rows owed to self-loop-only nodes: cheap block-scan
+    // filters on the checkpointed canon (empty for every in-repo
+    // caller — they pre-filter a < b)
+    def selfLoopSingletons(labeled: DataFrame): DataFrame =
+      canon.filter(col("u") === col("v")).select(col("u").as("id"))
+        .join(labeled.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("rep"))
     // ADAPTIVE SMALL-GRAPH PATH: below the repo's KB-bounded collect
     // budget (65536 rows ≈ 1 MB of id pairs — the same bound the
     // centroid-table and broadcast-side collects honor), a driver
@@ -71,8 +85,8 @@ object ConnectedComponents {
     // the O(log n) contraction below (the 100× scale probes exceed
     // the bound and exercise it). Both paths are spec-pinned equal
     // (ConnectedComponentsSpec / KnnGraphSpec brute-force replays).
-    if (eCnt <= smallGraphMax) {
-      val pairs = e.select(col("u"), col("v"))
+    if (canonCnt <= smallGraphMax) {
+      val pairs = canon.select(col("u"), col("v"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -83,6 +97,7 @@ object ConnectedComponents {
         r
       }
       pairs.foreach { case (a, b) =>
+        // a self-loop registers its node (singleton) without a union
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
@@ -134,10 +149,10 @@ object ConnectedComponents {
       eCnt = smallCnt
       if (changed == 0) {
         // fixed point = stars: (leaf -> min) edges plus the centers
-        return e.select(col("u").as("id"), col("v").as("rep"))
+        val stars = e.select(col("u").as("id"), col("v").as("rep"))
           .union(e.select(col("v").as("id"), col("v").as("rep")))
           .distinct()
-          .persist()
+        return stars.union(selfLoopSingletons(stars)).persist()
       }
       round += 1
     }

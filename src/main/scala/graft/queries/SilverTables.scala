@@ -16,11 +16,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SilverTables {
 
-  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate:
-  // the thunk materializes a full pipeline, and TrieMap may evaluate
-  // a racing first call's thunk twice (the zorderDirs fix)
+  // Values are LAZY CELLS, not evaluated paths: computeIfAbsent's
+  // mapping function must not touch the map (JDK contract — a nested
+  // update on the same map can throw "Recursive update" or livelock
+  // when two keys share a hash bin), and build thunks here DO nest
+  // (the pair-table build materializes the shingle-df table from its
+  // own scan). So the mapping function only allocates an unevaluated
+  // cell; the pipeline runs via `cell.value` OUTSIDE the bin lock,
+  // where a nested memoized() call is just another cheap allocate.
+  // `lazy val` gives the evaluate-at-most-once guarantee a racing
+  // second caller needs (it blocks on the cell monitor, not the map) —
+  // the same reason this was ConcurrentHashMap and not TrieMap's
+  // getOrElseUpdate (which may run a racing thunk twice — the
+  // zorderDirs fix).
+  private final class LazyCell(thunk: () => String) {
+    lazy val value: String = thunk()
+  }
   private val tableDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, LazyCell]()
   private val scratchDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val cleanupHooked =
@@ -62,15 +75,16 @@ object SilverTables {
       registerScratch(s, out)
       out
     }
-    val path = tableDirs.computeIfAbsent(full, _ => materialize())
+    val cell = tableDirs.computeIfAbsent(full, _ => new LazyCell(() => materialize()))
+    val path = cell.value
     // belt-and-braces re-check: if anything outside this JVM removed
     // the memoized table (warehouse wipe, external cleanup), drop the
     // stale memo and re-materialize instead of failing mid-read
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val live = if (fs.exists(p)) path else {
-      tableDirs.remove(full, path)
-      tableDirs.computeIfAbsent(full, _ => materialize())
+      tableDirs.remove(full, cell)
+      tableDirs.computeIfAbsent(full, _ => new LazyCell(() => materialize())).value
     }
     s.read.parquet(live)
   }

@@ -586,12 +586,24 @@ object SimilarityPack extends QueryPack {
     * consumers pay the codebook/encode/LUT pipeline once per
     * (dir, content), not once each: the relation is
     * |queries|·(corpus/nprobe-share) ≈ 5k rows at sf0.1. */
-  private def ivfPqSeededAdc(s: SparkSession, d: String): DataFrame =
-    SilverTables.memoized(s, "adc", d + "@" + embFingerprint(s, d)) { out =>
+  private def ivfPqSeededAdc(s: SparkSession, d: String,
+                             tagSuffix: String = ""): DataFrame =
+    SilverTables.memoized(s, "adc" + tagSuffix, d + "@" + embFingerprint(s, d)) { out =>
       ivfPqSeededAdcBuild(s, d)
         .select(col("q_id"), col("vec_id"), col("adc_d2"))
         .write.mode("overwrite").parquet(out)
     }
+
+  /** Bench hook: materialize the shared ADC candidate table so its
+    * cost is a visible line item (`_shared_adc`), not silently folded
+    * into whichever of [[qAnnIvfPqSeeded]] / [[qAnnRefine]] runs
+    * first — the same protocol as `_shared_pairs` / `_shared_knn`
+    * (an r17-review catch: the table shipped without its timed
+    * entry, so the codebook/encode/LUT pipeline cost appeared
+    * nowhere in BENCH_DETAIL). */
+  def prepareSharedAdc(s: SparkSession, d: String, tagSuffix: String = ""): Unit = {
+    ivfPqSeededAdc(s, d, tagSuffix); ()
+  }
 
   private[graft] def ivfPqSeededAdcBuild(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -997,10 +1009,29 @@ object SimilarityPack extends QueryPack {
     * kNN query happens to run first. No-op when the dir's adaptive k
     * exceeds the flat ceiling (consumers take the kernel path there). */
   def prepareSharedKnn(s: SparkSession, d: String, tagSuffix: String = ""): Unit = {
-    val es = graft.streaming.EventStream
-    val k = es.ivfKFor(embCounts.computeIfAbsent(d,
+    val k = resolveK(s, d)
+    if (k <= graft.streaming.EventStream.TwoLevelKMin) {
+      sharedKnnCandidates(s, d, k, tagSuffix); ()
+    }
+  }
+
+  /** The ONE k-resolution point for the kNN family (r17 review: this
+    * logic was copy-pasted at four sites, two already drifting in the
+    * message string): the dir's adaptive IVF width via `ivfKFor`,
+    * plus the oracle pin guard — a gated verify path passes
+    * `requireK` + the query name so a fixture whose adaptive k drifts
+    * from the static oracle fails LOUDLY with a pointer to the cause
+    * instead of silently diverging at the hash gate. */
+  private def resolveK(s: SparkSession, d: String,
+                       requireK: Option[Int] = None,
+                       queryName: String = "knn"): Int = {
+    val k = graft.streaming.EventStream.ivfKFor(embCounts.computeIfAbsent(d,
       _ => Tables.embeddings(s, d).count()))
-    if (k <= es.TwoLevelKMin) { sharedKnnCandidates(s, d, k, tagSuffix); () }
+    requireK.foreach { want =>
+      require(k == want, s"$queryName oracle pins k=$want centroids but " +
+        s"ivfKFor resolved k=$k; parameterize the oracle before gating this SF")
+    }
+    k
   }
 
   /** Compute-form candidates (no silver table): the flat Catalyst
@@ -1017,12 +1048,7 @@ object SimilarityPack extends QueryPack {
                                    requireK: Option[Int],
                                    forceKernel: Boolean = false): DataFrame = {
     val es = graft.streaming.EventStream
-    val k = es.ivfKFor(embCounts.computeIfAbsent(d,
-      _ => Tables.embeddings(s, d).count()))
-    requireK.foreach { want =>
-      require(k == want, s"q_knn_join oracle pins k=$want centroids but " +
-        s"ivfKFor resolved k=$k; parameterize the oracle before gating this SF")
-    }
+    val k = resolveK(s, d, requireK)
     if (k <= es.TwoLevelKMin && !forceKernel) knnCandidatesFlat(s, d, k)
     else {
       val e = Tables.spread(s, Tables.embeddings(s, d)
@@ -1038,22 +1064,16 @@ object SimilarityPack extends QueryPack {
     * combination: gated flat path only. */
   private def sharedServes(s: SparkSession, d: String,
                            forceKernel: Boolean, useShared: Boolean): Option[Int] = {
-    val es = graft.streaming.EventStream
-    val k = es.ivfKFor(embCounts.computeIfAbsent(d,
-      _ => Tables.embeddings(s, d).count()))
-    if (useShared && !forceKernel && k <= es.TwoLevelKMin) Some(k) else None
+    val k = resolveK(s, d)
+    if (useShared && !forceKernel &&
+      k <= graft.streaming.EventStream.TwoLevelKMin) Some(k) else None
   }
 
   private[graft] def knnJoin(s: SparkSession, d: String,
                              requireK: Option[Int],
                              forceKernel: Boolean = false,
                              useShared: Boolean = true): DataFrame = {
-    requireK.foreach { want =>
-      val k = graft.streaming.EventStream.ivfKFor(embCounts.computeIfAbsent(d,
-        _ => Tables.embeddings(s, d).count()))
-      require(k == want, s"q_knn_join oracle pins k=$want centroids but " +
-        s"ivfKFor resolved k=$k; parameterize the oracle before gating this SF")
-    }
+    resolveK(s, d, requireK, "q_knn_join")
     val ranked = sharedServes(s, d, forceKernel, useShared) match {
       case Some(k) => sharedKnnCandidates(s, d, k)
         .filter(col("rank").isNotNull)
@@ -1097,12 +1117,7 @@ object SimilarityPack extends QueryPack {
                               requireK: Option[Int],
                               forceKernel: Boolean = false,
                               useShared: Boolean = true): DataFrame = {
-    requireK.foreach { want =>
-      val k = graft.streaming.EventStream.ivfKFor(embCounts.computeIfAbsent(d,
-        _ => Tables.embeddings(s, d).count()))
-      require(k == want, s"q_knn_label oracle pins k=$want centroids but " +
-        s"ivfKFor resolved k=$k; parameterize the oracle before gating this SF")
-    }
+    resolveK(s, d, requireK, "q_knn_label")
     val top3 = sharedServes(s, d, forceKernel, useShared) match {
       case Some(k) => sharedKnnCandidates(s, d, k)
         .filter(col("seed_rank").isNotNull)
@@ -1234,8 +1249,14 @@ object SimilarityPack extends QueryPack {
   def qJlProject(s: SparkSession, d: String): DataFrame = {
     val e = Tables.spread(s, Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+    // the mean snaps to the 1e-6 grid BEFORE centering: avg() sums
+    // float64 in partition order (Spark) vs scan order (DuckDB), and
+    // an UNROUNDED mu propagates any ulp-level summation-order
+    // difference into every centered value — rounding first reduces
+    // the cross-engine exposure to the repo's standard
+    // boundary-of-a-rounded-value class (r17 review)
     val mu = e.select(posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("pos")).agg(round(avg(col("x")), 6).as("m"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(transform(col("pm"), p => p.getField("m")).as("mu"))
     val proj = array((0 until 16).map(j => dot(col("c"), lit(jlSigns(j)))): _*)
@@ -1444,7 +1465,7 @@ object SimilarityPack extends QueryPack {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |u0 AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-        |u AS (SELECT pos, avg(x) AS m FROM u0 GROUP BY pos),
+        |u AS (SELECT pos, round(avg(x), 6) AS m FROM u0 GROUP BY pos),
         |mu AS (SELECT list(m ORDER BY pos) AS mu FROM u),
         |ce AS (SELECT vec_id,
         |    list_transform(range(1, 65), i -> v[i] - mu.mu[i]) AS c

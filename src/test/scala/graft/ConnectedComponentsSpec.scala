@@ -58,6 +58,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(run(Seq.empty, smallMax = 0L).isEmpty)
   }
 
+  test("self-loop-only nodes label as singletons on both paths") {
+    // node 7's only edge is (7,7); node 2 has a self-loop AND a real
+    // edge — the singleton fill-in must not double-label it
+    val got = runBoth(Seq((7L, 7L), (2L, 2L), (1L, 2L)))
+    assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+    // all-self-loop graph: no connectivity at all, every node its own rep
+    assert(runBoth(Seq((3L, 3L), (4L, 4L))) == Map(3L -> 3L, 4L -> 4L))
+  }
+
   test("diameter-21 path converges in logarithmic contraction rounds") {
     // 22-node path: min-label hooking would need 21 rounds; star
     // contraction must close it well inside maxIter = 8 (log-rounds

@@ -30,9 +30,12 @@ class EngineSpec extends AnyFunSuite {
     // candidate-pair queries may legitimately be empty at tiny SF; all
     // others must produce rows (q_anti_join and q_theta_pairs left this
     // list in r12: the 1998-scoped / region-grouped forms are non-empty
-    // at every SF)
+    // at every SF). q_split_leakage (pairs at the stricter 0.5
+    // threshold) and q_knn_graph (mutual edges at the 0.2 cosine
+    // floor) joined in r17: both derive from relations this list
+    // already grants may be empty on a tiny or regenerated fixture.
     assert(empties.toSet.subsetOf(Set("q_ngram_jaccard", "q_minhash_lsh",
-      "q_simhash_dedup")),
+      "q_simhash_dedup", "q_split_leakage", "q_knn_graph")),
       s"unexpected empty: $empties")
   }
 
