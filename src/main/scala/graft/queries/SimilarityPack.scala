@@ -1457,7 +1457,9 @@ object SimilarityPack extends QueryPack {
         |WHERE p.vr = 1 ORDER BY 1""".stripMargin,
     // sign vectors GENERATED from the same plan-time jlSign table the
     // engine embeds (the Bpe.sqlEncodeTokens pattern) — ±1 multiplies
-    // are IEEE-exact and list_dot_product sums in index order, so the
+    // are IEEE-exact and list_dot_product sums in index order, and the
+    // corpus mean is snapped to the 1e-6 grid on both engines before
+    // centering (avg() alone is summation-order-dependent), so the
     // doubles match bit-for-bit before the rounds
     "q_jl_project" -> {
       val signLits = (0 until 16).map(j =>
