@@ -1168,26 +1168,36 @@ object SimilarityPack extends QueryPack {
     * (near-dup graphs are shallow). Cosine symmetry makes the edge
     * orientation safe: both directions round the same index-ordered
     * dot, so (a,b) and (b,a) carry the identical cos. */
-  private[graft] def knnGraph(s: SparkSession, d: String,
-                              requireK: Option[Int],
-                              forceKernel: Boolean = false,
-                              useShared: Boolean = true): DataFrame = {
+  /** The mutual top-3 edge relation (a < b, cos ≥ 0.2) shared by
+    * [[knnGraph]] and [[knnTriangles]]: an edge survives only when
+    * each endpoint ranks the other in ITS OWN top-3 (Brito et al.
+    * 1997 mutual-kNN pruning — hub vectors cannot chain clusters).
+    * localCheckpointed: both consumers iterate or self-join over it,
+    * and the kNN subtree (crossJoin + two windows + a self semi-join)
+    * nested per round/join OOMed the DRIVER in plan-tree rendering
+    * before a single task ran — the edge list is ≤ 3n/2 rows, so the
+    * lineage cut is cheap and downstream plans stay flat (same guard
+    * as the stream-ANN silver scans). */
+  private[graft] def mutualKnnEdges(s: SparkSession, d: String,
+                                    requireK: Option[Int],
+                                    forceKernel: Boolean = false,
+                                    useShared: Boolean = true): DataFrame = {
     val top = knnJoin(s, d, requireK, forceKernel, useShared)
       .select(col("vec_id").as("a"), col("n_id").as("b"), col("cos"))
     val fwd = top.filter(col("a") < col("b"))
     val rev = top.filter(col("a") > col("b"))
       .select(col("b").as("a"), col("a").as("b"))
-    // lineage cut before the iterative closure: each propagation round
-    // embeds its input plan, and the kNN subtree (crossJoin + two
-    // windows + a self semi-join) nested 20 rounds deep OOMed the
-    // DRIVER in plan-tree rendering before a single task ran — the
-    // edge list is ≤ 3n/2 rows, so checkpointing it is cheap and CC's
-    // per-round plans stay flat (same guard as the stream-ANN silver
-    // scans)
-    val mutual = fwd.join(rev, Seq("a", "b"), "left_semi")
+    fwd.join(rev, Seq("a", "b"), "left_semi")
       .filter(col("cos") >= 0.2)
       .select(col("a"), col("b"))
       .localCheckpoint()
+  }
+
+  private[graft] def knnGraph(s: SparkSession, d: String,
+                              requireK: Option[Int],
+                              forceKernel: Boolean = false,
+                              useShared: Boolean = true): DataFrame = {
+    val mutual = mutualKnnEdges(s, d, requireK, forceKernel, useShared)
     graft.operators.ConnectedComponents.labels(mutual)
       .groupBy(col("rep").as("component"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("id")).as("id_sum"))
@@ -1196,6 +1206,54 @@ object SimilarityPack extends QueryPack {
 
   def qKnnGraph(s: SparkSession, d: String): DataFrame =
     knnGraph(s, d, requireK = Some(16))
+
+  /** Triangle count + local clustering coefficient over the
+    * mutual-kNN graph — the density diagnostic a dedup/curation
+    * pipeline reads next to the component sizes: high-clustering
+    * neighborhoods are tight duplicate pockets (safe to collapse to
+    * one representative), low-clustering chains are topic drift the
+    * transitive closure would over-merge (the semantic-dedup
+    * over-merge audit; cf. the chain-vs-clique distinction
+    * `feature_clustering.py:26-33`'s flat threshold cannot see).
+    *
+    * Algorithm: the canonical compact-forward wedge join on the
+    * (a < b)-oriented edge list — wedges (x<y<z with xy, yz edges)
+    * semi-joined against the closing edge (x,z). On a GENERAL edge
+    * list the wedge volume is Σ deg², tamed by re-orienting edges
+    * low-degree→high-degree first (node-iterator-with-ordering);
+    * HERE max degree ≤ 3 BY CONSTRUCTION (mutual top-3 membership
+    * bounds both endpoints), so wedges ≤ 9·n/2 and the whole op is
+    * linear in n with no ordering pass — the kNN bound is the
+    * scale story. Emission per node: degree, triangle count, and
+    * clustering = 2·T / (deg·(deg−1)) — one IEEE division of exact
+    * BIGINTs (0.0 where deg < 2), rounded at 6 on both engines. */
+  private[graft] def knnTriangles(s: SparkSession, d: String,
+                                  requireK: Option[Int],
+                                  forceKernel: Boolean = false,
+                                  useShared: Boolean = true): DataFrame = {
+    val mut = mutualKnnEdges(s, d, requireK, forceKernel, useShared)
+    val wedges = mut.select(col("a").as("x"), col("b").as("y"))
+      .join(mut.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+    val tri = wedges.join(mut.select(col("a").as("x"), col("b").as("z")),
+      Seq("x", "z"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val deg = mut.select(col("a").as("id"))
+      .unionAll(mut.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("id"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("id").as("vec_id"), col("deg").cast("long").as("deg"),
+        col("n_tri").cast("long").as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(col("vec_id"))
+  }
+
+  def qKnnTriangles(s: SparkSession, d: String): DataFrame =
+    knnTriangles(s, d, requireK = Some(16))
 
   /** Deterministic Rademacher sign for the JL projection,
     * s(pos, j) ∈ {−1, +1}: the murmur3 finalizer (xor-shift avalanche)
@@ -1275,6 +1333,7 @@ object SimilarityPack extends QueryPack {
     "q_knn_join"         -> qKnnJoin,
     "q_knn_label"        -> qKnnLabel,
     "q_knn_graph"        -> qKnnGraph,
+    "q_knn_triangles"    -> qKnnTriangles,
     "q_jl_project"       -> qJlProject,
     "q_quantile_norm"    -> qQuantileNorm,
     "q_semdedup"         -> qSemdedup,
@@ -1355,6 +1414,34 @@ object SimilarityPack extends QueryPack {
         |      ORDER BY round(dist2, 6), vec_id) AS BIGINT) AS rank
         |  FROM tot WHERE vec_id <> q_id)""".stripMargin
 
+  /** Shared DuckDB CTE chain ending in the mutual top-3 edge
+    * relation `mut` (a < b, cos ≥ 0.2) — the q_knn_graph /
+    * q_knn_triangles oracle prefix, factored so the two replays of
+    * [[mutualKnnEdges]] cannot drift. */
+  private val knnMutualCte: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      |asg AS (SELECT vec_id AS n_id, cid AS cluster, v AS hv FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      |    FROM e, c) WHERE rn = 1),
+      |probes AS (SELECT q_id, cluster, qv FROM (
+      |    SELECT e.vec_id AS q_id, c.cid AS cluster, e.v AS qv,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      |    FROM e, c) WHERE rn <= 8),
+      |cand AS (SELECT p.q_id, a.n_id,
+      |    round(list_cosine_similarity(p.qv, a.hv), 6) AS cos
+      |  FROM probes p JOIN asg a ON a.cluster = p.cluster
+      |  WHERE p.q_id != a.n_id),
+      |top3 AS (SELECT q_id AS a, n_id AS b, cos FROM (
+      |    SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, n_id) AS rank FROM cand) WHERE rank <= 3),
+      |mut AS (SELECT t.a, t.b FROM top3 t
+      |  JOIN top3 r ON t.a = r.b AND t.b = r.a
+      |  WHERE t.a < t.b AND t.cos >= 0.2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the q_stream_ann oracle pattern with EVERY vector on both
     // sides: seeded 16-centroid assignment (list_distance, cid
@@ -1386,28 +1473,7 @@ object SimilarityPack extends QueryPack {
     // the 0.2 floor, then the q_dedup_clusters recursive min-label
     // closure and per-component stats
     "q_knn_graph" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        |asg AS (SELECT vec_id AS n_id, cid AS cluster, v AS hv FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-        |    FROM e, c) WHERE rn = 1),
-        |probes AS (SELECT q_id, cluster, qv FROM (
-        |    SELECT e.vec_id AS q_id, c.cid AS cluster, e.v AS qv,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-        |    FROM e, c) WHERE rn <= 8),
-        |cand AS (SELECT p.q_id, a.n_id,
-        |    round(list_cosine_similarity(p.qv, a.hv), 6) AS cos
-        |  FROM probes p JOIN asg a ON a.cluster = p.cluster
-        |  WHERE p.q_id != a.n_id),
-        |top3 AS (SELECT q_id AS a, n_id AS b, cos FROM (
-        |    SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos DESC, n_id) AS rank FROM cand) WHERE rank <= 3),
-        |mut AS (SELECT t.a, t.b FROM top3 t
-        |  JOIN top3 r ON t.a = r.b AND t.b = r.a
-        |  WHERE t.a < t.b AND t.cos >= 0.2),
+      s"""WITH RECURSIVE $knnMutualCte,
         |edges AS (SELECT a AS v, b AS u FROM mut
         |          UNION ALL SELECT b AS v, a AS u FROM mut),
         |reach(v, r) AS (
@@ -1418,6 +1484,26 @@ object SimilarityPack extends QueryPack {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(sum(v) AS BIGINT) AS id_sum
         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same mutual-edge chain, then the compact-forward wedge
+    // join: x<y<z triangles (each counted once), per-node counts,
+    // clustering = 2T/(deg(deg-1)) — one division of exact BIGINTs
+    "q_knn_triangles" ->
+      s"""WITH $knnMutualCte,
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM mut e1 JOIN mut e2 ON e2.a = e1.b
+        |  JOIN mut e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pern AS (SELECT id, count(*) AS n_tri FROM (
+        |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY 1),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |    SELECT a AS id FROM mut UNION ALL SELECT b AS id FROM mut)
+        |  GROUP BY 1)
+        |SELECT d.id AS vec_id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg >= 2
+        |    THEN round(2.0 * COALESCE(p.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+        |    ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN pern p ON p.id = d.id ORDER BY 1""".stripMargin,
     // the q_knn_join candidate chain restricted to (non-seed query,
     // seed member) pairs, then the integer-grid majority vote:
     // count DESC, sum of cos_u = round(cos*1e6) DESC, label ASC

@@ -35,7 +35,8 @@ class EngineSpec extends AnyFunSuite {
     // floor) joined in r17: both derive from relations this list
     // already grants may be empty on a tiny or regenerated fixture.
     assert(empties.toSet.subsetOf(Set("q_ngram_jaccard", "q_minhash_lsh",
-      "q_simhash_dedup", "q_split_leakage", "q_knn_graph")),
+      "q_simhash_dedup", "q_split_leakage", "q_knn_graph",
+      "q_knn_triangles")),
       s"unexpected empty: $empties")
   }
 
