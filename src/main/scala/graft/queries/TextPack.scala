@@ -1490,6 +1490,54 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** BIGRAM interpolated LM score per document — one modeling step up
+    * from [[qUnigramLogprob]]'s unigram CCNet filter, toward the
+    * n-gram KenLM the real CCNet ships: per language, a
+    * Jelinek–Mercer-interpolated bigram model (Jelinek & Mercer 1980;
+    * Chen & Goodman 1996's baseline smoother)
+    * q(w|a) = 0.75·c(a,w)/ctx(a) + 0.25·c(w)/N, scored as each doc's
+    * mean bigram log-probability. Context counts ctx(a) = Σ_w c(a,w)
+    * roll up FROM the bigram table (exact at document boundaries,
+    * where a word's last occurrence is not a context), and the
+    * unigram backoff term keeps unseen-in-context continuations
+    * finite — the reason templated text separates even harder here
+    * than under the unigram score: its bigrams are either verbatim
+    * (high q) or broken mid-template (backoff-only, low q).
+    *
+    * Scale shape: the fitted model is VOCABULARY²-bounded per
+    * language (three associative count aggregates), so the score
+    * join is corpus × broadcast-able model; the per-doc mean
+    * partial-aggregates map-side. Determinism: every model term is a
+    * quotient of exact BIGINTs combined in one fixed expression shape
+    * on both engines; ln + round(avg, 5) is the same accepted class
+    * as the unigram twin. Reference scope: the reference has no LM
+    * scoring (`utils.py` counts whitespace tokens); engine-new, from
+    * the published CCNet design. */
+  def qBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val docs = docsSpread(s, d)
+    val bw = docs.select(col("doc_id"), col("lang"), explode(
+        graft.functions.ShingleStrings.shingle_strings(col("text"), 2)).as("bg"))
+      .withColumn("wa", split(col("bg"), " ").getItem(0))
+      .withColumn("wb", split(col("bg"), " ").getItem(1))
+    val cab = bw.groupBy(col("lang"), col("wa"), col("wb"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ctx = cab.groupBy(col("lang"), col("wa")).agg(sum(col("c_ab")).as("ctx"))
+    val uni = docs.select(col("lang"), explode(TextOps.words(col("text"))).as("wb"))
+      .groupBy(col("lang"), col("wb")).agg(count(lit(1)).as("c_b"))
+    val nTot = uni.groupBy(col("lang")).agg(sum(col("c_b")).cast("double").as("n"))
+    val model = cab.join(ctx, Seq("lang", "wa"))
+      .join(uni, Seq("lang", "wb"))
+      .join(nTot, Seq("lang"))
+      .select(col("lang"), col("wa"), col("wb"),
+        log(lit(0.75) * col("c_ab") / col("ctx") +
+          lit(0.25) * col("c_b") / col("n")).as("lp"))
+    bw.join(model, Seq("lang", "wa", "wb"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_bi"),
+        round(avg(col("lp")), 5).as("bi_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The per-doc scoring half of [[qUnigramLogprob]] over any frame
     * with (doc_id, lang, text): fit the per-language unigram model,
     * score each doc by mean token log-probability. Returns
@@ -1677,6 +1725,7 @@ object TextPack extends QueryPack {
     "q_regr_slope"    -> qRegrSlope,
     "q_unigram_entropy" -> qUnigramEntropy,
     "q_unigram_logprob" -> qUnigramLogprob,
+    "q_bigram_logprob" -> qBigramLogprob,
     "q_bigram_pmi"    -> qBigramPmi,
     "q_bm25"          -> qBm25,
     "q_length_hist"   -> qLengthHist,
@@ -1872,6 +1921,32 @@ object TextPack extends QueryPack {
         |SELECT doc_id, lang, n_toks, logprob,
         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
         |FROM nt ORDER BY doc_id""".stripMargin,
+    // the interpolated bigram model replayed with the IDENTICAL
+    // expression shape (0.75·c_ab/ctx + 0.25·c_b/n, every operand an
+    // exact BIGINT forced to DOUBLE, left-associative like the
+    // engine's column expression); positional self-join = the
+    // engine's 2-shingles (the q_bigram_pmi-established equivalence)
+    "q_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |bw AS (SELECT a.doc_id, a.lang, a.w AS wa, b.w AS wb
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |cab AS (SELECT lang, wa, wb, count(*) AS c_ab FROM bw GROUP BY 1, 2, 3),
+        |ctx AS (SELECT lang, wa, sum(c_ab) AS ctx FROM cab GROUP BY 1, 2),
+        |uni AS (SELECT lang, w AS wb, count(*) AS c_b FROM w GROUP BY 1, 2),
+        |nt AS (SELECT lang, sum(c_b) * 1.0 AS n FROM uni GROUP BY 1),
+        |model AS (SELECT cab.lang, cab.wa, cab.wb,
+        |    ln(0.75 * CAST(c_ab AS DOUBLE) / ctx
+        |       + 0.25 * CAST(c_b AS DOUBLE) / n) AS lp
+        |  FROM cab JOIN ctx ON cab.lang = ctx.lang AND cab.wa = ctx.wa
+        |           JOIN uni ON cab.lang = uni.lang AND cab.wb = uni.wb
+        |           JOIN nt ON cab.lang = nt.lang)
+        |SELECT b.doc_id, b.lang, CAST(count(*) AS BIGINT) AS n_bi,
+        |  round(avg(m.lp), 5) AS bi_logprob
+        |FROM bw b JOIN model m
+        |  ON b.lang = m.lang AND b.wa = m.wa AND b.wb = m.wb
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_bigram_pmi" ->
       """WITH w AS (SELECT doc_id,
         |    CAST(generate_subscripts(string_split(text,' '),1) AS BIGINT) AS pos,

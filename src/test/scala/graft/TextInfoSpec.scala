@@ -116,4 +116,26 @@ class TextInfoSpec extends AnyFunSuite {
       assert(sse <= bound, s"sse=$sse bound=$bound")
     }
   }
+
+  test("bigram LM: one row per multi-word doc, n_bi = words-1, scores negative") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_words"))
+      .as[(Long, Long)].collect().toMap
+    val got = graft.queries.TextPack.qBigramLogprob(spark, TestSpark.sf)
+      .as[(Long, String, Long, Double)].collect()
+    // every doc with >= 2 words contributes exactly its words-1 bigrams
+    assert(got.map(_._1).toSet == docs.filter(_._2 >= 2).keySet)
+    got.foreach { case (id, _, nBi, lp) =>
+      assert(nBi == docs(id) - 1, s"n_bi($id)")
+      // q = 0.75 P(w|a) + 0.25 P(w) is a strict sub-distribution of
+      // probabilities < 1 on any corpus with >= 2 distinct bigrams,
+      // so every mean log-probability is negative
+      assert(lp < 0.0, s"bi_logprob($id) = $lp")
+    }
+    // interpolation floor: a doc's score can never be below
+    // ln(0.25 * c_min/N) of its language — the backoff term alone
+    val minUni = math.log(0.25 / docs.values.sum.toDouble)
+    assert(got.forall(_._4 >= minUni))
+  }
 }
