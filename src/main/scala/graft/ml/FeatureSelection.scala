@@ -56,6 +56,14 @@ object FeatureSelection {
     import org.apache.spark.sql.expressions.Window
     val folds = Folds.foldAssignment(df.select(col(eraCol)).distinct(), eraCol, k)
     val withFold = df.join(broadcast(folds), eraCol).persist()
+    // ONE upfront aggregate replaces a per-fold maxEraRows action (the
+    // dispatch statistic below) AND materializes the persisted base
+    // before the fold threads start — two concurrent first-touch
+    // actions would otherwise both compute it (guide §1.2)
+    val maxEraByFold = withFold.groupBy(col("fold"), col(eraCol))
+      .agg(count(lit(1)).as("graft_n"))
+      .groupBy(col("fold")).agg(max(col("graft_n")).as("graft_m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // per-fold fit + permutation scoring run CONCURRENTLY (the
     // kfoldScores pattern): each fold's RF fit and collect are
     // independent jobs; futures joined in fold order keep the output
@@ -90,7 +98,7 @@ object FeatureSelection {
       // (variant, era) key — bit-identical values, no window partition
       // spans an era (the same hazard SCALE.md's permutation pair
       // quantifies: 23.7x vs 5.5x wall at 100x).
-      val twoPass = graft.operators.EraRank.maxEraRows(test, col(eraCol)) >
+      val twoPass = maxEraByFold.getOrElse(f.toLong, 0L) >
         graft.operators.EraRank.onePassCeiling(test)
       val ranked =
         if (!twoPass) {

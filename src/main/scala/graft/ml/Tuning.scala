@@ -65,9 +65,18 @@ object Tuning {
     * when each evaluation is a cluster job, not a local function.
     * Identical control flow and results to [[hyperband]]. */
   def hyperbandBatch(params: Seq[Param], maxResource: Double, eta: Int, seed: Long)
-                    (evaluateBatch: (Seq[Map[String, Double]], Double) => Seq[Double]): Seq[Trial] = {
+                    (evaluateBatch: (Seq[Map[String, Double]], Double) => Seq[Double]): Seq[Trial] =
+    hyperbandBatchTagged(params, maxResource, eta, seed)(
+      (_, _, cs, frac) => evaluateBatch(cs, frac))
+
+  /** [[hyperbandBatch]] with the (bracket s, rung index) identifying
+    * each evaluation call — what lets an observer (q_hyperband's
+    * schedule audit) reconstruct the canonical sequential call order
+    * even though brackets run CONCURRENTLY here. */
+  def hyperbandBatchTagged(params: Seq[Param], maxResource: Double, eta: Int, seed: Long)
+                          (evaluateBatch: (Int, Int, Seq[Map[String, Double]], Double) => Seq[Double]): Seq[Trial] = {
     val sMax = (math.log(maxResource) / math.log(eta)).toInt
-    val brackets = (sMax to 0 by -1).map { s =>
+    def runBracket(s: Int): Seq[Trial] = {
       val n0 = math.ceil((sMax + 1).toDouble / (s + 1) * math.pow(eta, s)).toInt
       val r0 = maxResource * math.pow(eta, -s)
       var configs = latinHypercube(params, n0, seed + s)
@@ -75,7 +84,7 @@ object Tuning {
       var trials = Seq.empty[Trial]
       var rung = 0
       while (configs.nonEmpty && rung <= s) {
-        val scores = evaluateBatch(configs, math.min(1.0, r / maxResource))
+        val scores = evaluateBatch(s, rung, configs, math.min(1.0, r / maxResource))
         require(scores.length == configs.length,
           s"evaluateBatch returned ${scores.length} scores for ${configs.length} configs")
         trials = configs.zip(scores).map { case (c, sc) => Trial(c, sc) }
@@ -87,6 +96,28 @@ object Tuning {
       }
       trials
     }
+    // brackets are INDEPENDENT (each seeds its own configs and halves
+    // within itself) — only the rungs inside a bracket are sequential.
+    // Run them concurrently (the MDA/kfold fold-pool pattern): each
+    // rung's Spark action leaves driver-side gaps (planning, collect)
+    // the other brackets fill (guide §2.6). Futures joined in bracket
+    // order keep the trial list identical to the sequential loop.
+    val order = (sMax to 0 by -1).toSeq
+    val brackets =
+      if (order.size <= 1) order.map(runBracket)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(order.size)
+        try {
+          val futs = order.map { s =>
+            pool.submit(new java.util.concurrent.Callable[Seq[Trial]] {
+              def call(): Seq[Trial] = runBracket(s)
+            })
+          }
+          futs.map(f =>
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+        } finally pool.shutdown()
+      }
     brackets.flatten.sortBy(-_.score)
   }
 }

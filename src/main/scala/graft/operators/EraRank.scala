@@ -279,11 +279,17 @@ object EraRank {
   def withPctRankFirstAdaptive(df: DataFrame, out: String, era: Column,
                                pred: Column, tie: Seq[Column],
                                buckets: Int = 32,
-                               onePassMaxEraRows: Long = -1L): DataFrame =
-    if (maxEraRows(df, era) <= resolveOnePassCeiling(df, onePassMaxEraRows))
+                               onePassMaxEraRows: Long = -1L): DataFrame = {
+    // ceiling 0 = two-pass unconditionally: skip the dispatch count
+    // aggregate (a full column-pruned scan) whose answer cannot change
+    // the branch — every era with >=1 row exceeds 0, and on an empty
+    // relation both forms emit the identical empty result
+    val ceiling = resolveOnePassCeiling(df, onePassMaxEraRows)
+    if (ceiling > 0L && maxEraRows(df, era) <= ceiling)
       withPctRankFirst(df, out, era, pred, tie: _*)
     else
       withPctRankFirstTwoPass(df, out, buckets, era, pred, tie: _*)
+  }
 
   /** [[spearmanByEra]] through the adaptive rank dispatch. */
   def spearmanByEraAdaptive(df: DataFrame, era: Column, pred: Column,

@@ -183,7 +183,11 @@ object Folds {
     val ceiling =
       if (onePassMaxEraRows >= 0) onePassMaxEraRows
       else EraRank.onePassCeiling(df)
-    if (EraRank.maxEraRows(df, col(eraCol)) <= ceiling)
+    // ceiling 0 = two-pass unconditionally: skip the dispatch count
+    // aggregate whose answer cannot change the branch (every era with
+    // >=1 row exceeds 0; both forms emit identical empty results on an
+    // empty relation)
+    if (ceiling > 0L && EraRank.maxEraRows(df, col(eraCol)) <= ceiling)
       permuteWithinEra(df, valueCol, eraCol, idCols, orderKey)
     else
       permuteWithinEraTwoPass(df, valueCol, eraCol, idCols, orderKey, buckets)

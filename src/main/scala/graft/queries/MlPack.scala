@@ -359,20 +359,27 @@ object MlPack extends QueryPack {
       })
     }
     // observe the schedule the bracket loop actually issues: one
-    // record per evaluateBatch call, in call order
-    val calls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Int, Boolean)]
-    def instrumented(configs: Seq[Map[String, Double]], frac: Double): Seq[Double] = {
+    // record per evaluateBatch call, keyed by (bracket s, rung) so the
+    // canonical sequential call order reconstructs even though the
+    // brackets execute CONCURRENTLY (r17 — brackets are independent;
+    // the tagged callback exists exactly so this audit stays exact)
+    val calls = scala.collection.concurrent.TrieMap
+      .empty[(Int, Int), (Int, Double, Int, Boolean)]
+    def instrumented(s0: Int, rung: Int, configs: Seq[Map[String, Double]],
+                     frac: Double): Seq[Double] = {
       val scores = evaluateBatch(configs, frac)
-      calls += ((configs.length, frac, scores.length,
+      calls((s0, rung)) = ((configs.length, frac, scores.length,
         scores.forall(x => !x.isNaN && !x.isInfinite)))
       scores
     }
-    val trials = Tuning.hyperbandBatch(Seq(Tuning.Param("alpha", 0.0, 1.0)),
+    val trials = Tuning.hyperbandBatchTagged(Seq(Tuning.Param("alpha", 0.0, 1.0)),
       maxResource = 4, eta = 2, seed = 42)(instrumented)
     ev.unpersist()
     require(trials.nonEmpty && trials.head.score >= trials.last.score,
       "hyperband returned an unsorted or empty leaderboard")
-    calls.toSeq.zipWithIndex.map { case ((n, frac, ns, fin), i) =>
+    // sequential call order = brackets s descending, rungs ascending
+    calls.toSeq.sortBy { case ((s0, rung), _) => (-s0, rung) }
+      .map(_._2).zipWithIndex.map { case ((n, frac, ns, fin), i) =>
       (i + 1L, n.toLong, math.rint(frac * 1e4) / 1e4, ns.toLong,
         math.max(1L, n.toLong / 2), fin)
     }.toDF("call", "n_configs", "frac", "n_scored", "n_survivors", "all_finite")

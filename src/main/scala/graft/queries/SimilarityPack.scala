@@ -316,16 +316,25 @@ object SimilarityPack extends QueryPack {
     * compare on ROUNDED scores with id tie-breaks — engine-stable,
     * and the oracle replays the whole fusion exactly. */
   def qRrfHybrid(s: SparkSession, d: String): DataFrame = {
+    // the BM25 pipeline feeds THREE consumers (the PRF anchor set, the
+    // final fusion join, and transitively the PRF vector used twice) —
+    // persist the 50-row head so the whole lexical scoring pipeline
+    // runs once per execution, not once per consumer (guide §1.2:
+    // don't compute things twice; the bench clears the cache per query)
     val lexTop = graft.queries.TextPack.bm25Scores(s, d)
       .orderBy(col("bm25").desc, col("doc_id")).limit(50)
       .withColumn("r_lex", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .persist()
     val ex = embSpread(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), col("p"), col("x").cast("double").as("x"))
+    // 64-row PRF vector read by the norm aggregate AND the semantic
+    // scorer: persist so the lexTop→embeddings join runs once
     val prf = lexTop.filter(col("r_lex") <= 3).select(col("doc_id").as("vec_id"))
       .join(ex, "vec_id")
       .groupBy(col("p")).agg(avg(col("x")).as("qx"))
+      .persist()
     val qn = prf.agg(sqrt(sum(col("qx") * col("qx"))).as("qn"))
     val semTop = ex.join(broadcast(prf), "p")
       .groupBy(col("vec_id"))
@@ -872,10 +881,15 @@ object SimilarityPack extends QueryPack {
     * the global min-rank, so the emitted values are bit-identical to
     * the exact window (the DuckDB oracle still says percent_rank). */
   def qQuantileNorm(s: SparkSession, d: String): DataFrame = {
+    // e feeds the sketch aggregate AND the bucketing join; bucketed
+    // (below) feeds the offset rollup AND the final rank — persist
+    // both so the embeddings explode runs once per execution (guide
+    // §1.2; the harness clears the cache between queries)
     val e = embSpread(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         col("x").cast("double").as("x"))
+      .persist()
     val pcts = array((1 until 32).map(i => lit(i / 32.0)): _*)
     // low sketch accuracy on purpose: the edges only need to be
     // monotone bucket bounds (exactness comes from the rank phase),
@@ -886,6 +900,7 @@ object SimilarityPack extends QueryPack {
     val bucketed = e.join(broadcast(edges), Seq("pos"))
       .withColumn("bkt", size(filter(col("edges"), ed => ed < col("x"))))
       .drop("edges")
+      .persist()
     // exclusive per-dim offset: rows in strictly-lower buckets all have
     // strictly smaller x (bucketing is monotone), so offset + local
     // min-rank = global min-rank

@@ -933,7 +933,13 @@ object TextPack extends QueryPack {
     * one doc_id-keyed shuffle — linear, spreadable, and cheaper than
     * any probed alternative. */
   def qContainment(s: SparkSession, d: String): DataFrame = {
-    val dsh = shingleRelation(s, d)
+    // the floored shingle relation feeds THREE consumers below (anchor
+    // selection, the candidate probe's right side, and the per-doc
+    // array build) — persist it so the docs-scan → fused shingle hash →
+    // explode → df-floor pipeline runs once per execution instead of
+    // once per consumer (guide §1.2; the harness clears the cache
+    // between queries)
+    val dsh = shingleRelation(s, d).persist()
     // rarest-shingle anchors WITHOUT a corpus-scale×corpus-scale join
     // (r15 — the pre-r15 form joined the full shingle relation to the
     // full df relation on sh, a sort-merge of two ~|corpus shingles|
@@ -1515,12 +1521,18 @@ object TextPack extends QueryPack {
     * the published CCNet design. */
   def qBigramLogprob(s: SparkSession, d: String): DataFrame = {
     val docs = docsSpread(s, d)
+    // bw feeds the model fit AND the scoring join; cab feeds the
+    // context rollup AND the model join — persist both so the docs
+    // scan + bigram explode + splits run once per execution (guide
+    // §1.2; the harness clears the cache between queries)
     val bw = docs.select(col("doc_id"), col("lang"), explode(
         graft.functions.ShingleStrings.shingle_strings(col("text"), 2)).as("bg"))
       .withColumn("wa", split(col("bg"), " ").getItem(0))
       .withColumn("wb", split(col("bg"), " ").getItem(1))
+      .persist()
     val cab = bw.groupBy(col("lang"), col("wa"), col("wb"))
       .agg(count(lit(1)).as("c_ab"))
+      .persist()
     val ctx = cab.groupBy(col("lang"), col("wa")).agg(sum(col("c_ab")).as("ctx"))
     val uni = docs.select(col("lang"), explode(TextOps.words(col("text"))).as("wb"))
       .groupBy(col("lang"), col("wb")).agg(count(lit(1)).as("c_b"))
