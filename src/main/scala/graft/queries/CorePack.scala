@@ -1281,11 +1281,19 @@ object CorePack extends QueryPack {
     // integer-or-decimal below 2^53, where double is injective). At
     // 100 TB the same swap-to-HLL note applies as before:
     // `q_sketch_distinct` ships the mergeable path. */
-    val melted = Tables.lineitem(s, d).select(explode(array(cols.map(c =>
-      struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("m"))
+    // r17 (guide §2.3 — shuffle fewer bytes): the melt key rides the
+    // 3.6M-row expand and BOTH aggregate exchanges; a tinyint column
+    // INDEX halves the shuffled row vs the 24-byte padded string name
+    // (hashed twice per row besides). The name joins back onto the
+    // 6-row seed relation at the end, where it was already needed for
+    // the empty-relation contract.
+    val melted = Tables.lineitem(s, d).select(explode(array(
+      cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).cast("tinyint").as("ci"), col(c).cast("double").as("v"))
+      }: _*)).as("m"))
       .select("m.*")
-    val stats = melted.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("col_name"))
+    val stats = melted.groupBy(col("ci"), col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("ci"))
       .agg(sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n"),
         coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
         count(when(col("v").isNotNull, lit(1))).as("ndv"),
@@ -1295,7 +1303,8 @@ object CorePack extends QueryPack {
     // the per-column-aggregate oracle keeps and a groupBy over an
     // empty melt would lose (6-row literal, broadcast, ~free)
     import s.implicits._
-    cols.toDF("col_name").join(broadcast(stats), Seq("col_name"), "left")
+    cols.zipWithIndex.map { case (c, i) => (c, i.toByte) }
+      .toDF("col_name", "ci").join(broadcast(stats), Seq("ci"), "left")
       .select(col("col_name"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("n_null"), lit(0L)).as("n_null"),

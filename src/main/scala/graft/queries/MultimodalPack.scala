@@ -48,7 +48,13 @@ object MultimodalPack extends QueryPack {
           build.toDF().write.mode("overwrite").parquet(out)
           out
         })
-        s.read.parquet(dir)
+        // r17: spread the read-back before the decode kernels (the
+        // docsSpread rule): the memoized table is a handful of files,
+        // and file-split packing (openCostInBytes) lands them in 2-4
+        // scan tasks — serializing the per-row codec work, the actual
+        // cost of every query in this pack. One tiny payload shuffle
+        // buys full decode parallelism; decode stays row-local.
+        Tables.spread(s, s.read.parquet(dir))
       case None => build.toDF()
     }
 
