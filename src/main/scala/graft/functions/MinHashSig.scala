@@ -42,14 +42,43 @@ case class MinHashSig(child: Expression, n: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** [[MinHashSig]] over an ALREADY-HASHED shingle array — the min
+  * reduction alone, for pipelines that compute
+  * [[ShingleHash.shingle_hash60]] once and feed several consumers
+  * (the shared-table build hashes the corpus once for the jaccard,
+  * minhash and winnow indexes — r18). `minhash_from_hashes(
+  * shingle_hash60(text, n), k)` is IDENTICAL to
+  * `minhash_sig(text, n, k)` by construction: [[MinHashSig.compute]]
+  * delegates to the same [[MinHashSig.fromHashes]] reduction. */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.fromHashes(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.fromHashes($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+}
+
 object MinHashSig {
 
   val P: Long = 2147483647L
 
   /** Empty array when the doc has fewer than `n` words, else the
     * `numHashes` minima over h_j(x) = ((x mod P) * (2j+1)) mod P. */
-  def compute(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
-    val sh = ShingleHash.compute(text, n)
+  def compute(text: UTF8String, n: Int, numHashes: Int): ArrayData =
+    fromHashes(ShingleHash.compute(text, n), numHashes)
+
+  /** The min reduction over a shingle-hash array — the shared core of
+    * [[compute]] and [[MinHashFromHashes]]. */
+  def fromHashes(sh: ArrayData, numHashes: Int): ArrayData = {
     val m = sh.numElements()
     if (m == 0) return new GenericArrayData(Array.empty[Long])
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -71,5 +100,11 @@ object MinHashSig {
   def minhash_sig(c: Column, n: Int, numHashes: Int): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), n, numHashes))
+  }
+
+  /** Column API: `minhash_from_hashes(hashes, numHashes)`. */
+  def minhash_from_hashes(c: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(MinHashFromHashes(ColumnBridge.expression(c), numHashes))
   }
 }

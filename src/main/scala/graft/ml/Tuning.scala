@@ -52,7 +52,14 @@ object Tuning {
     * trained on a head-fraction of the data (`tuners.py:439-440` —
     * Spark side: `df.sample`/`limit` pushed into the scan).
     * Returns all surviving trials of the final rung, best first.
-    */
+    *
+    * CONCURRENCY CONTRACT (r17): brackets run on a thread pool, so
+    * `evaluate` is invoked CONCURRENTLY from several driver threads
+    * (one per bracket; rungs within a bracket stay sequential). The
+    * callback must be thread-safe — pure functions and Spark actions
+    * are; un-synchronized mutable accumulators are not. Results are
+    * identical to the sequential control flow (futures join in
+    * bracket order). */
   def hyperband(params: Seq[Param], maxResource: Double, eta: Int, seed: Long)
                (evaluate: (Map[String, Double], Double) => Double): Seq[Trial] =
     hyperbandBatch(params, maxResource, eta, seed)(
@@ -63,7 +70,8 @@ object Tuning {
     * caller can fold them into ONE cross-joined plan / one action per
     * rung instead of a job per (config, rung) — the scale-safe shape
     * when each evaluation is a cluster job, not a local function.
-    * Identical control flow and results to [[hyperband]]. */
+    * Identical results to [[hyperband]], and the same concurrent
+    * `evaluateBatch` invocation contract (see [[hyperband]]). */
   def hyperbandBatch(params: Seq[Param], maxResource: Double, eta: Int, seed: Long)
                     (evaluateBatch: (Seq[Map[String, Double]], Double) => Seq[Double]): Seq[Trial] =
     hyperbandBatchTagged(params, maxResource, eta, seed)(
@@ -72,7 +80,9 @@ object Tuning {
   /** [[hyperbandBatch]] with the (bracket s, rung index) identifying
     * each evaluation call — what lets an observer (q_hyperband's
     * schedule audit) reconstruct the canonical sequential call order
-    * even though brackets run CONCURRENTLY here. */
+    * even though brackets run CONCURRENTLY here (the callback is
+    * invoked from one thread per bracket — see [[hyperband]]'s
+    * concurrency contract). */
   def hyperbandBatchTagged(params: Seq[Param], maxResource: Double, eta: Int, seed: Long)
                           (evaluateBatch: (Int, Int, Seq[Map[String, Double]], Double) => Seq[Double]): Seq[Trial] = {
     val sMax = (math.log(maxResource) / math.log(eta)).toInt

@@ -321,19 +321,30 @@ object SimilarityPack extends QueryPack {
     // persist the 50-row head so the whole lexical scoring pipeline
     // runs once per execution, not once per consumer (guide §1.2:
     // don't compute things twice; the bench clears the cache per query)
+    // coalesce(1) before persist: a KB-sized cached relation otherwise
+    // inherits the session's shuffle-partition layout, costing one
+    // cached-read task PER PARTITION per consumer (32 at local[32] —
+    // the r17 verdict measured the persisted queries anti-scaling on
+    // exactly this). Bounded by the limit(50), so 1 partition is safe
+    // at any corpus size.
     val lexTop = graft.queries.TextPack.bm25Scores(s, d)
       .orderBy(col("bm25").desc, col("doc_id")).limit(50)
       .withColumn("r_lex", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .coalesce(1)
       .persist()
     val ex = embSpread(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), col("p"), col("x").cast("double").as("x"))
     // 64-row PRF vector read by the norm aggregate AND the semantic
     // scorer: persist so the lexTop→embeddings join runs once
+    // dimension-bounded (64 rows): same coalesce(1)-before-persist rule
+    // as lexTop — the narrow coalesce merges the final agg's output
+    // partitions without touching per-key values
     val prf = lexTop.filter(col("r_lex") <= 3).select(col("doc_id").as("vec_id"))
       .join(ex, "vec_id")
       .groupBy(col("p")).agg(avg(col("x")).as("qx"))
+      .coalesce(1)
       .persist()
     val qn = prf.agg(sqrt(sum(col("qx") * col("qx"))).as("qn"))
     val semTop = ex.join(broadcast(prf), "p")

@@ -124,15 +124,27 @@ object TextPack extends QueryPack {
   private def docsSpread(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.documents(s, d))
 
-  /** (doc_id, 60-bit shingle hash) before the idf floor. The fused
-    * native kernel hashes every 3-word window in one pass
-    * (ShingleHashSpec pins equality with the HOF composition);
-    * distinct runs on the HASHES, matching the oracle's
-    * `SELECT DISTINCT doc_id, hash` exactly. */
-  private def rawShingles(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, graft_hs = positional 3-gram shingle-hash array) — the
+    * ONE corpus hashing pass every shared dedup index derives from
+    * (r18): the jaccard/containment relation explodes its distinct
+    * set, the minhash signature min-reduces it, the winnow sketch
+    * window-selects over it. [[prepareShared]] persists this base so
+    * the three builds pay the docs scan + md5 kernel once, not thrice. */
+  private def hashedDocs(s: SparkSession, d: String): DataFrame =
     docsSpread(s, d)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.ShingleHash.shingle_hash60(col("text"), 3))).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.shingle_hash60(col("text"), 3).as("graft_hs"))
+
+  /** (doc_id, 60-bit shingle hash) before the idf floor, from a
+    * [[hashedDocs]]-shaped base. distinct runs on the HASHES, matching
+    * the oracle's `SELECT DISTINCT doc_id, hash` exactly. */
+  private def rawShinglesFrom(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), explode(array_distinct(col("graft_hs"))).as("sh"))
+
+  /** The fused one-pass form (ShingleHashSpec pins kernel equality
+    * with the HOF composition). */
+  private def rawShingles(s: SparkSession, d: String): DataFrame =
+    rawShinglesFrom(hashedDocs(s, d))
 
   /** The hot-shingle idf floor. The HOT set (df > maxDf) is by
     * definition tiny or empty — at any scale only boilerplate shingles
@@ -148,8 +160,24 @@ object TextPack extends QueryPack {
   }
 
   def shingleRelation(s: SparkSession, d: String,
-                      maxDf: Long = ScaleRelativeDf): DataFrame =
-    dfFloor(rawShingles(s, d), resolveMaxDf(s, d, maxDf))
+                      maxDf: Long = ScaleRelativeDf): DataFrame = {
+    val resolved = resolveMaxDf(s, d, maxDf)
+    // r18: for any floor >= 1 the hot set (df > maxDf) is a subset of
+    // the memoized repeated-shingle index's df > 1 rows, whose counts
+    // are the same raw df this floor is defined over — so filter the
+    // maintained index instead of re-running a full groupBy(sh)
+    // aggregate over the corpus shingles per execution (guide §1.2;
+    // the same raw-df == post-floor-df argument qContainment's anchor
+    // join documents). maxDf = 0 would need the df = 1 majority the
+    // index deliberately omits; that degenerate floor (drop every
+    // shingle) keeps the inline aggregate.
+    if (resolved >= 1L) {
+      val hot = sharedShingleDf(s, d)
+        .filter(col("graft_df") > resolved).select(col("sh"))
+      rawShingles(s, d).join(broadcast(hot), Seq("sh"), "left_anti")
+        .select(col("doc_id"), col("sh"))
+    } else dfFloor(rawShingles(s, d), resolved)
+  }
 
   /** Candidate near-dup pairs (a < b) with raw Jaccard `jacv`:
     * pairs exist only via a shared shingle (never all-pairs),
@@ -197,24 +225,35 @@ object TextPack extends QueryPack {
     SilverTables.memoized(s, tag, d + "@" + docsFingerprint(s, d))(build)
 
   private def sharedJaccardPairs(s: SparkSession, d: String,
-                                 tagSuffix: String = ""): DataFrame =
+                                 tagSuffix: String = "",
+                                 base: Option[() => DataFrame] = None): DataFrame =
     memoizedTable(s, d, "pairs" + tagSuffix) { out =>
-      // cache both stages for the one materializing action: raw feeds
-      // the hot-set aggregate AND the anti-join probe (once, not
-      // twice), the guarded relation feeds sizes + both self-join
-      // sides of the pair pipeline.
-      // r17: the repeated-shingle df index builds FROM THE SAME
-      // persisted raw relation here (instead of as its own pool task
-      // re-running the corpus explode): the two tables share one
-      // scan+shingle pass, and prepareShared's shdf task becomes a
-      // read-through of this build's output.
-      val raw = rawShingles(s, d).persist()
-      val dsh = dfFloor(raw, resolveMaxDf(s, d, ScaleRelativeDf)).persist()
+      // r18 build shape: ONE corpus hashing pass (the shared
+      // [[hashedDocs]] base when prepareShared supplies it, an owned
+      // persisted copy otherwise), and ONE groupBy(sh) aggregate whose
+      // df > 1 rows serve BOTH the idf-floor hot set (df > maxDf ⊆
+      // df > 1 for any floor >= 1) and the repeated-shingle df index —
+      // previously two full aggregates over the raw shingle relation.
+      // The floored relation still persists for its three consumers
+      // (sizes + both self-join sides).
+      val owned = base.isEmpty
+      val b = base.map(_()).getOrElse(hashedDocs(s, d).persist())
+      val raw = rawShinglesFrom(b)
+      val rep = raw.groupBy(col("sh"))
+        .agg(count(lit(1)).as("graft_df"),
+          min(col("doc_id")).as("graft_first_doc"))
+        .filter(col("graft_df") > 1L)
+        .persist()
+      val maxDf = resolveMaxDf(s, d, ScaleRelativeDf)
+      val hot = rep.filter(col("graft_df") > maxDf).select(col("sh"))
+      val dsh = raw.join(broadcast(hot), Seq("sh"), "left_anti")
+        .select(col("doc_id"), col("sh")).persist()
       jaccardPairsFrom(dsh, minJac = 0.05)
         .write.mode("overwrite").parquet(out)
-      sharedShingleDfFrom(s, d, raw, tagSuffix)
-      raw.unpersist()
+      sharedShingleDfFromRep(s, d, rep, tagSuffix)
+      rep.unpersist()
       dsh.unpersist()
+      if (owned) { b.unpersist(); () }
     }
 
   /** The repeated-shingle DOCUMENT-FREQUENCY table — (sh, graft_df,
@@ -234,10 +273,9 @@ object TextPack extends QueryPack {
     sharedShingleDfFrom(s, d, rawShingles(s, d), tagSuffix)
 
   /** Build-or-read of the df index from a CALLER-SUPPLIED shingle
-    * relation: the pair-table build passes its already-persisted raw
-    * shingles so the two tables share one corpus scan; standalone
-    * consumers pass a fresh [[rawShingles]] (only evaluated if the
-    * memo misses). */
+    * relation: standalone consumers pass a fresh [[rawShingles]] (only
+    * evaluated if the memo misses); the pair-table build goes through
+    * [[sharedShingleDfFromRep]] with its already-aggregated relation. */
   private def sharedShingleDfFrom(s: SparkSession, d: String,
                                   raw: => DataFrame,
                                   tagSuffix: String = ""): DataFrame =
@@ -249,17 +287,36 @@ object TextPack extends QueryPack {
         .write.mode("overwrite").parquet(out)
     }
 
+  /** Write-or-skip of the df index from the pair build's ALREADY
+    * AGGREGATED (and persisted) repeated-shingle relation — the r18
+    * form of the shared corpus scan: the pair build computes the one
+    * groupBy(sh) aggregate, and this just lands its rows as the memo
+    * table (schema identical to [[sharedShingleDfFrom]]'s). */
+  private def sharedShingleDfFromRep(s: SparkSession, d: String,
+                                     rep: DataFrame,
+                                     tagSuffix: String = ""): DataFrame =
+    memoizedTable(s, d, "shdf" + tagSuffix) { out =>
+      rep.select(col("sh"), col("graft_df"), col("graft_first_doc"))
+        .write.mode("overwrite").parquet(out)
+    }
+
   /** The minhash CANDIDATE table shared by `q_minhash_lsh`,
     * `q_minhash_est` and `q_lsh_recall` — same checkpoint rationale
     * as the pair table: three consumers, one banded self-join. */
   private def sharedMinhashCandidates(s: SparkSession, d: String,
-                                      tagSuffix: String = ""): DataFrame =
+                                      tagSuffix: String = "",
+                                      base: Option[() => DataFrame] = None): DataFrame =
     memoizedTable(s, d, "mhcand" + tagSuffix) { out =>
       // the persist is scoped to this one materializing action: the
       // stacked relation feeds the hot-bucket aggregate and both
       // self-join sides, then unpersists (no leaked cached relation
-      // per JVM — the pairs-table build does the same)
-      val stacked = bandedStack(minhashSignatures(s, d)).persist()
+      // per JVM — the pairs-table build does the same). With a shared
+      // base the signatures are the min reduction over the already
+      // hashed shingle arrays (kernel-identical by construction —
+      // MinHashSig.compute delegates to fromHashes).
+      val sigs = base.map(b => minhashSignaturesFromHashes(b()))
+        .getOrElse(minhashSignatures(s, d))
+      val stacked = bandedStack(sigs).persist()
       minhashBandedPairs(stacked, DefaultMaxBucket)
         .write.mode("overwrite").parquet(out)
       stacked.unpersist()
@@ -291,27 +348,45 @@ object TextPack extends QueryPack {
   def prepareShared(s: SparkSession, d: String,
                     tagSuffix: String = "",
                     concurrency: Int = 4): Unit = {
+    // ONE corpus hashing pass for all three builds (r18): the shared
+    // (doc_id, shingle-hash array) base is computed lazily — only if
+    // at least one memo actually misses — persisted, and eagerly
+    // materialized through the noop sink so concurrent builds read the
+    // cache instead of racing to compute its partitions. A thread-safe
+    // local lazy val gives at-most-once materialization under the
+    // 4-way pool; the base unpersists when every build has joined.
+    val materialized = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    lazy val base: DataFrame = {
+      val b = hashedDocs(s, d).persist()
+      b.write.mode("overwrite").format("noop").save()
+      materialized.set(b)
+      b
+    }
+    val baseRef = Some(() => base)
     val pool = graft.Pools.newPool(math.max(1, math.min(4, concurrency)))
     try {
       val fJac = pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = { sharedJaccardPairs(s, d, tagSuffix); () }
+        def call(): Unit = { sharedJaccardPairs(s, d, tagSuffix, baseRef); () }
       })
       val fMh = pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = { sharedMinhashCandidates(s, d, tagSuffix); () }
+        def call(): Unit = { sharedMinhashCandidates(s, d, tagSuffix, baseRef); () }
       })
       // unwrap so callers (Bench's try/catch) see the real cause
       def join(f: java.util.concurrent.Future[Unit]): Unit =
         try f.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       // no shdf task: the pair-table build materializes the df index
-      // from its own persisted shingle relation (one corpus scan for
-      // both tables — r17); a separate pool task would race it into
-      // a second scan
+      // from its own one groupBy(sh) aggregate (one corpus scan AND
+      // one aggregate for both tables — r17/r18); a separate pool task
+      // would race it into a second scan
       val fWf = pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = { sharedWinnowFps(s, d, tagSuffix); () }
+        def call(): Unit = { sharedWinnowFps(s, d, tagSuffix, baseRef); () }
       })
       join(fJac); join(fMh); join(fWf)
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      Option(materialized.get()).foreach(_.unpersist())
+    }
   }
 
   /** n-gram Jaccard near-dup: distinct 3-word shingles per doc, pairs
@@ -339,6 +414,16 @@ object TextPack extends QueryPack {
     docsSpread(s, d)
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhash_sig(col("text"), 3, 16).as("mh"))
+      .filter(size(col("mh")) > 0)
+
+  /** [[minhashSignatures]] over a [[hashedDocs]]-shaped base: the min
+    * reduction alone ([[graft.functions.MinHashFromHashes]]) — equal
+    * by construction since the fused text kernel composes the same
+    * two steps. */
+  private def minhashSignaturesFromHashes(base: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_from_hashes(col("graft_hs"), 16).as("mh"))
       .filter(size(col("mh")) > 0)
 
   /** MinHash-LSH candidate pairs, with the hot-bucket cap applied
@@ -1141,9 +1226,15 @@ object TextPack extends QueryPack {
     * Returns (doc_id, m = gram count, nwin = window count, sel =
     * distinct selected (h, p) structs). */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
-    docs
+    winnowFingerprintsHashed(docs
       .select(col("doc_id"),
-        graft.functions.ShingleHash.shingle_hash60(col("text"), k).as("graft_hs"))
+        graft.functions.ShingleHash.shingle_hash60(col("text"), k).as("graft_hs")), w)
+
+  /** [[winnowFingerprints]] over an already-hashed (doc_id, graft_hs)
+    * base — the window-minimum selection alone, so the shared-table
+    * build can reuse [[hashedDocs]]'s one hashing pass (r18). */
+  private def winnowFingerprintsHashed(hashed: DataFrame, w: Int = 4): DataFrame =
+    hashed
       .withColumn("m", size(col("graft_hs")).cast("long"))
       .filter(col("m") > 0L)
       .withColumn("nwin", greatest(col("m") - (w - 1), lit(1L)))
@@ -1188,13 +1279,22 @@ object TextPack extends QueryPack {
     * deployment maintains alongside its corpus rather than recomputes
     * per consumer. */
   private def sharedWinnowFps(s: SparkSession, d: String,
-                              tagSuffix: String = ""): DataFrame =
+                              tagSuffix: String = "",
+                              base: Option[() => DataFrame] = None): DataFrame =
     memoizedTable(s, d, "wfps" + tagSuffix) { out =>
-      winnowFpsOf(docsSpread(s, d)).write.mode("overwrite").parquet(out)
+      base.map(b => winnowFpsOfHashed(b()))
+        .getOrElse(winnowFpsOf(docsSpread(s, d)))
+        .write.mode("overwrite").parquet(out)
     }
 
   private def winnowFpsOf(docs: DataFrame): DataFrame =
-    winnowFingerprints(docs)
+    winnowFpsFrom(winnowFingerprints(docs))
+
+  private def winnowFpsOfHashed(hashed: DataFrame): DataFrame =
+    winnowFpsFrom(winnowFingerprintsHashed(hashed))
+
+  private def winnowFpsFrom(fps: DataFrame): DataFrame =
+    fps
       .select(col("doc_id"), explode(col("sel")).as("f"))
       .select(col("doc_id"), col("f.h").as("h"))
       .distinct()

@@ -33,12 +33,19 @@ object TimeQ {
         b0.config("spark.graft.stream.checkpointDir", "/dev/shm/graft_ckpt")
       else b0).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // A/B experiment hook: semicolon-separated k=v runtime SQL confs
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
-      println(s"[timeq] conf $k=$v")
-    })
+    // A/B experiment hook: semicolon-separated k=v runtime SQL confs.
+    // Skip empty tokens (a trailing semicolon) and fail with a named
+    // error on a token without '=' instead of an opaque MatchError.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            spark.conf.set(k, v)
+            println(s"[timeq] conf $k=$v")
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF entry without '=': '$kv'")
+        }
+      })
     // same warm-up as Bench: JIT/codegen the common paths untimed
     locally {
       import org.apache.spark.sql.functions._
@@ -49,10 +56,6 @@ object TimeQ {
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.catalog.clearCache()
     }
-    graft.queries.TextPack.prepareShared(spark, sfDir)
-    graft.queries.SimilarityPack.prepareSharedKnn(spark, sfDir)
-    graft.queries.SimilarityPack.prepareSharedAdc(spark, sfDir)
-    spark.catalog.clearCache()
     // Deterministic work metrics, immune to host noise: job/stage/task
     // counts and shuffle bytes per query execution. Wall time on this
     // box swings 2-10x with hypervisor load; task counts do not.
@@ -74,6 +77,28 @@ object TimeQ {
       })
     def snap(): (Long, Long, Long, Long) =
       (jobs.get(), stages.get(), tasks.get(), shuffleB.get())
+    // the shared silver-table builds, instrumented like any query (the
+    // bench bills them as their own entries, so their work metrics are
+    // first-class optimization targets — r18)
+    def timedBuild(name: String)(build: => Unit): Unit = {
+      org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
+      val before = snap()
+      val t0 = System.nanoTime()
+      build
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
+      val after = snap()
+      println(f"[timeq] $name%-28s min=$sec%.3f jobs=${after._1 - before._1} " +
+        f"stages=${after._2 - before._2} tasks=${after._3 - before._3} " +
+        f"shufKB=${(after._4 - before._4) / 1024} samples=$sec%.3f")
+    }
+    timedBuild("_shared_pairs") {
+      graft.queries.TextPack.prepareShared(spark, sfDir) }
+    timedBuild("_shared_knn") {
+      graft.queries.SimilarityPack.prepareSharedKnn(spark, sfDir) }
+    timedBuild("_shared_adc") {
+      graft.queries.SimilarityPack.prepareSharedAdc(spark, sfDir) }
     // SWEEP-interleaved sampling (the Bench protocol): consecutive
     // samples of one query land in the same host-contention window;
     // spacing a query's samples a full sweep apart lets min-of-k
@@ -84,16 +109,27 @@ object TimeQ {
     (1 to reps).foreach { _ =>
       names.foreach { n =>
         val fn = graft.SparkEntry.queries(n)
+        // deterministic listener barrier BEFORE the snapshot too, so a
+        // prior query's straggler events can't land inside this delta
+        org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
         val before = snap()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
         samples(n) = samples(n) :+ (System.nanoTime() - t0) / 1e9
-        // listener events are async; give the bus a beat before reading
-        Thread.sleep(120)
+        // drain the async bus deterministically (was a fixed
+        // Thread.sleep, which let late stage events bleed across
+        // queries — ADVICE r17)
+        org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
         val after = snap()
-        work(n) = (after._1 - before._1, after._2 - before._2,
+        val delta = (after._1 - before._1, after._2 - before._2,
           after._3 - before._3, after._4 - before._4)
+        // keep the MINIMUM per field across reps, not the last rep:
+        // contamination (stray maintenance jobs, evicted-cache
+        // recomputes) only ever ADDS work, so min is the clean count
+        work(n) = work.get(n).fold(delta)(p =>
+          (math.min(p._1, delta._1), math.min(p._2, delta._2),
+            math.min(p._3, delta._3), math.min(p._4, delta._4)))
       }
     }
     names.foreach { n =>

@@ -160,6 +160,24 @@ class ShingleHashSpec extends AnyFunSuite {
       .filter(col("fused") =!= col("hof")).count() == 0)
   }
 
+  test("minhash_from_hashes over shingle_hash60 equals the fused text kernel") {
+    // the r18 shared-base build computes the shingle-hash array once
+    // and min-reduces it; this pins that split form to the fused
+    // text→signature kernel on adversarial + fixture docs
+    import graft.functions.MinHashSig.{minhash_from_hashes, minhash_sig}
+    val docs = Seq(
+      "a b c d e", "one two", "x", "", "a  b c", " a b c",
+      "的 是 了 在 和", "same same same same")
+      .toDF("text")
+      .union(Tables.documents(spark, TestSpark.sf).select(col("text")))
+    val mismatches = docs.select(
+        minhash_sig(col("text"), 3, 16).as("fused"),
+        minhash_from_hashes(shingle_hash60(col("text"), 3), 16).as("split"))
+      .filter(col("fused") =!= col("split"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("sim_hash48 kernel equals the explode + 48-vote-column composition") {
     import graft.functions.SimHash.sim_hash48
     val docs = Seq(

@@ -46,22 +46,29 @@ class TuningSpec extends AnyFunSuite {
     val ps = Seq(Param("x", 0, 1))
     def sc(c: Map[String, Double], frac: Double) = -math.abs(c("x") - 0.3) * frac
     val single = Tuning.hyperband(ps, maxResource = 9, eta = 3, seed = 5)(sc)
-    var rungSizes = List.empty[Int]
+    // brackets run concurrently (the documented callback contract), so
+    // the accumulator must be thread-safe — a plain var here was a
+    // data race with possible lost updates (ADVICE r17)
+    val rungSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     val batch = Tuning.hyperbandBatch(ps, maxResource = 9, eta = 3, seed = 5) {
-      (cs, frac) => rungSizes ::= cs.size; cs.map(sc(_, frac))
+      (cs, frac) => rungSizes.add(cs.size); cs.map(sc(_, frac))
     }
     assert(batch == single)
     // whole rungs are evaluated at once (no one-config-at-a-time calls
     // except rungs that genuinely hold one survivor)
-    assert(rungSizes.exists(_ > 1))
+    assert({ import scala.jdk.CollectionConverters._
+      rungSizes.asScala.exists(_ > 1) })
   }
 
   test("hyperband: converges toward the optimum, evaluates head-fractions") {
     val ps = Seq(Param("x", 0, 1))
-    var fractions = Set.empty[Double]
+    // concurrent-callback contract: accumulate through a thread-safe
+    // collection, not a var (see the rung-size note above)
+    val fracQ = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val trials = Tuning.hyperband(ps, maxResource = 9, eta = 3, seed = 1) {
-      (c, frac) => fractions += frac; -math.abs(c("x") - 0.7)
+      (c, frac) => fracQ.add(frac); -math.abs(c("x") - 0.7)
     }
+    val fractions = { import scala.jdk.CollectionConverters._; fracQ.asScala.toSet }
     assert(trials.nonEmpty)
     assert(trials.map(_.score) == trials.map(_.score).sorted.reverse)
     assert(fractions.exists(_ < 1.0) && fractions.contains(1.0))
