@@ -140,21 +140,41 @@ object EraRank {
       // Recompute after eviction stays consistent: bucketing is a
       // pure function of values and frozen literals.
       .persist()
-    def ranked(bkt: String, pred: Column, tie: Seq[Column]): DataFrame = {
-      val offs = bucketed.groupBy(col("graft_e"), col(bkt))
-        .agg(count(lit(1)).as("graft_nb"))
-        .withColumn("graft_off", coalesce(
-          sum(col("graft_nb")).over(Window.partitionBy(col("graft_e"))
-            .orderBy(col(bkt))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("graft_e"), col(bkt), col("graft_off"))
+    // BOTH orderings' exclusive offsets in ONE pass over the cached
+    // base (r18): the two per-ordering groupBy(e, bkt) aggregates fold
+    // into a single GROUPING SETS aggregate — one exchange instead of
+    // two — whose cumsum window runs once partitioned by (grouping id,
+    // era). The tiny result (#eras × buckets × 2 rows, exact integer
+    // counts) is frozen to plan literals like the edges, so each rank
+    // branch broadcasts a LocalRelation slice instead of re-running
+    // its own aggregate pipeline over the base.
+    // gid bits over (e, bkt_a, bkt_b): the A set omits bkt_b -> 1,
+    // the B set omits bkt_a -> 2.
+    val cumW = Window
+      .partitionBy(col("graft_gid"), col("graft_e"))
+      .orderBy(coalesce(col("graft_bkt_a"), col("graft_bkt_b")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsAll = frozenCopy(bucketed
+      .groupingSets(
+        Seq(Seq(col("graft_e"), col("graft_bkt_a")),
+          Seq(col("graft_e"), col("graft_bkt_b"))),
+        col("graft_e"), col("graft_bkt_a"), col("graft_bkt_b"))
+      .agg(count(lit(1)).as("graft_nb"), grouping_id().as("graft_gid"))
+      .withColumn("graft_off",
+        coalesce(sum(col("graft_nb")).over(cumW), lit(0L)))
+      .select(col("graft_gid"), col("graft_e"),
+        coalesce(col("graft_bkt_a"), col("graft_bkt_b")).as("graft_bkt"),
+        col("graft_off")))
+    def ranked(gid: Int, bkt: String, pred: Column, tie: Seq[Column]): DataFrame = {
+      val offs = offsAll.filter(col("graft_gid") === gid)
+        .select(col("graft_e"), col("graft_bkt").as(bkt), col("graft_off"))
       bucketed.join(broadcast(offs), Seq("graft_e", bkt))
         .withColumn(out, col("graft_off") + row_number().over(
           Window.partitionBy(col("graft_e"), col(bkt))
             .orderBy((pred +: tie).map(_.asc): _*)))
         .select((keep :+ col(out)): _*)
     }
-    (ranked("graft_bkt_a", predA, tieA), ranked("graft_bkt_b", predB, tieB),
+    (ranked(1, "graft_bkt_a", predA, tieA), ranked(2, "graft_bkt_b", predB, tieB),
       () => { bucketed.unpersist(); () })
   }
 
