@@ -26,6 +26,12 @@ class ExactPercentileSpec extends AnyFunSuite {
     val got = ExactPercentile.grouped(df, Seq(g), v, ps)
       .orderBy(col(g)).collect().toSeq
     assert(got.map(_.toSeq) == exp.map(_.toSeq))
+    // the size-dispatched bucketed form (ceiling 0 forces it) must be
+    // bit-identical too — the dispatch is a pure plan choice
+    val bucketed = ExactPercentile.grouped(df, Seq(g), v, ps,
+        onePassMaxBytes = 0L)
+      .orderBy(col(g)).collect().toSeq
+    assert(bucketed.map(_.toSeq) == exp.map(_.toSeq))
   }
 
   test("grouped quartiles on orders are bit-identical to the builtin") {
@@ -94,5 +100,26 @@ class ExactPercentileSpec extends AnyFunSuite {
     val got = ExactPercentile.grouped(ev, Seq.empty, "value",
       Seq(("med", 0.5), ("p90", 0.9))).collect().head
     assert(got.toSeq == exp.toSeq)
+    val bkt = ExactPercentile.grouped(ev, Seq.empty, "value",
+      Seq(("med", 0.5), ("p90", 0.9)), onePassMaxBytes = 0L).collect().head
+    assert(bkt.toSeq == exp.toSeq)
+  }
+
+  test("dispatch: fixture inputs keep the one-pass window; ceiling 0 removes the per-group running window") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val ps = Seq(("lo", 0.05), ("hi", 0.95))
+    // below the ceiling (fixture scale): the per-group running window
+    // is the plan — and no bucketed machinery
+    val onePass = ExactPercentile.grouped(li, Seq("l_returnflag"),
+      "l_extendedprice", ps)
+    assert(!onePass.queryExecution.analyzed.toString.contains("graft_bkt"))
+    // forced bucketed: the cum-count window partitions by
+    // (group, bucket), never by the group alone
+    val forced = ExactPercentile.grouped(li, Seq("l_returnflag"),
+      "l_extendedprice", ps, onePassMaxBytes = 0L)
+    val plan = forced.queryExecution.analyzed.toString
+    assert(plan.contains("graft_bkt"))
+    assert(!plan.matches("(?s).*windowspecdefinition\\(l_returnflag[^,]*, graft_v.*"),
+      "a running window still partitions by the group alone")
   }
 }
