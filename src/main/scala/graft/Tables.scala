@@ -158,18 +158,45 @@ object Tables {
     if (new java.io.File(path).exists) fingerprintKey(path)
     else fingerprintKeyHadoop(spark, path)
 
-  /** Re-spread a scan across the session's shuffle parallelism before
-    * a COMPUTE-heavy kernel (shingling, signature hashing, array
-    * explosion): scan tasks follow file layout, and a small fixture is
-    * one parquet file = one task, which serializes the per-row work
-    * onto a single core. The repartition costs one tiny shuffle and
-    * buys full parallelism; at 100 TB the same call is a cheap
-    * rebalance against row-group skew (explicit numPartitions is
-    * honored, not AQE-coalesced). Only safe for row-local consumers
-    * and aggregations whose per-key inputs stay within one row —
-    * which is how the text/embedding kernels use it. */
-  def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+  /** Re-spread a scan before a COMPUTE-heavy kernel (shingling,
+    * signature hashing, array explosion, media decode): scan tasks
+    * follow file layout, and a small fixture is one parquet file = one
+    * task, which serializes the per-row work onto a single core. The
+    * repartition costs one tiny shuffle and buys kernel parallelism;
+    * at 100 TB the same call is a cheap rebalance against row-group
+    * skew (explicit numPartitions is honored, not AQE-coalesced).
+    *
+    * WIDTH IS SCALE-ADAPTIVE (r18, guide §2): ceil(estimated input
+    * bytes / target-bytes-per-task), capped at the session's shuffle
+    * parallelism. A constant width equal to the core count — the old
+    * form — anti-scaled on small inputs: at local[32] a 600 KB corpus
+    * became 32 ~tens-of-KB tasks whose scheduling overhead exceeded
+    * the kernel work (the r17 scaling block measured the spread
+    * consumers FASTER at 8 cores than 32 for exactly this reason). At
+    * any real input size the estimate exceeds cap × target and the
+    * width is the full session parallelism, unchanged from before.
+    * The default target (`spark.graft.spread.targetBytesPerTask`,
+    * 64 KB of Catalyst-estimated — i.e. compressed — input) sizes a
+    * task at ~100-300 ms of hash-kernel work; callers with far
+    * costlier per-byte kernels (media codecs) pass an explicit
+    * smaller `targetBytesPerTask`.
+    *
+    * Only safe for row-local consumers and aggregations whose per-key
+    * inputs stay within one row — which is how the text/embedding/
+    * media kernels use it. Result invariance to width is the same
+    * property as invariance to core count, which the driver's
+    * local[8]/local[32] oracle runs both exercise. */
+  def spread(s: SparkSession, df: DataFrame,
+             targetBytesPerTask: Long = -1L): DataFrame = {
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val target =
+      if (targetBytesPerTask > 0L) targetBytesPerTask
+      else s.conf.get("spark.graft.spread.targetBytesPerTask", "65536").toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val width = ((bytes + (target - 1)) / target)
+      .min(BigInt(cap)).max(BigInt(1)).toInt
+    df.repartition(width)
+  }
 
   /** The reference's central grouping key is an integer `era` time bucket
     * (utils.py:18, metrics.py:5). On the fixtures the analogue is a

@@ -54,7 +54,11 @@ object MultimodalPack extends QueryPack {
         // scan tasks — serializing the per-row codec work, the actual
         // cost of every query in this pack. One tiny payload shuffle
         // buys full decode parallelism; decode stays row-local.
-        Tables.spread(s, s.read.parquet(dir))
+        // r18: explicit 8 KB/task target — codec kernels cost far
+        // more per byte than the hash kernels the adaptive default is
+        // sized for, so the decode keeps (near-)full width at any
+        // payload size.
+        Tables.spread(s, s.read.parquet(dir), targetBytesPerTask = 8192L)
       case None => build.toDF()
     }
 

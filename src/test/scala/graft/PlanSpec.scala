@@ -394,13 +394,17 @@ class PlanSpec extends AnyFunSuite {
   test("winnow selection is scan-local: no hash shuffle anywhere") {
     // both kernels (shingle hashing, window-minimum selection) run
     // inside the scan projection — the only exchanges are docsSpread's
-    // deliberate round-robin fan-out (single-file fixture → cores) and
-    // the final presentation sort's range partitioning; a
-    // hashpartitioning exchange would mean a key shuffle crept into
-    // what must stay one pass
+    // deliberate round-robin fan-out and (when the adaptive spread
+    // width exceeds one partition) the final presentation sort's range
+    // partitioning; a hashpartitioning exchange would mean a key
+    // shuffle crept into what must stay one pass. At tiny fixture SFs
+    // the r18 size-adaptive spread resolves to ONE partition, which
+    // already satisfies the global sort — no range exchange at all,
+    // one pass either way.
     val p = plan("q_winnow")
     assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
-    assert(p.contains("rangepartitioning"), p.take(1500))
+    assert(p.contains("rangepartitioning") || p.contains("SinglePartition"),
+      p.take(1500))
   }
 
   test("directional as-of: both direction frames ride ONE key shuffle") {
