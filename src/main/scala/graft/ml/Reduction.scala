@@ -83,6 +83,75 @@ object Reduction {
       folds, fitterFor, score, metric)
   }
 
+  /** [[tuneOverKs]] for NESTED candidates scored by a fitter whose
+    * per-feature statistics are SUBSET-INDEPENDENT (the additive
+    * univariate-OLS family: each feature's beta/mean never depends on
+    * which other features are in the model). Fits ONCE per fold over
+    * `colsFor(max k)` and derives every candidate k's predictor from
+    * that one fitted row, and folds every (k, fold) score into ONE
+    * leaderboard action — the per-candidate form paid |ks| × folds
+    * fit collects plus one collect per candidate (q_reduction_tune:
+    * 42 Spark jobs for a sub-second query, mostly driver latency).
+    * Values are identical by construction: each aggregate expression
+    * accumulates independently of its siblings, the predictor folds
+    * the same prefix literals in the same order, and the per-k mean
+    * is over the same `folds` doubles (addition is commutative, and
+    * the leaderboard sort is stable on the ks order, exactly like the
+    * sequential loop). */
+  def tuneOverKsSharedFit(reduced: DataFrame, colsFor: Int => Seq[String],
+                          ks: Seq[Int], eraCol: String, folds: Int,
+                          fitAllFor: Seq[String] => DataFrame => (Seq[String] => DataFrame => DataFrame),
+                          score: DataFrame => DataFrame,
+                          metric: String = "spearman"): Seq[(Int, Double)] = {
+    if (ks.isEmpty) return Seq.empty
+    val foldRel = graft.operators.Folds.foldAssignment(
+      reduced.select(col(eraCol)).distinct(), eraCol, folds)
+    val cached = reduced.join(broadcast(foldRel), eraCol).persist()
+    try {
+      val fitAll = fitAllFor(colsFor(ks.max))
+      // one fit per fold (each collects its model row at the driver
+      // edge); the fold fits are independent, so they overlap on a
+      // pool exactly like kfoldScores' fold threads
+      val pool = graft.Pools.newPool(folds)
+      val predictors =
+        try {
+          val futs = (0 until folds).map { f =>
+            pool.submit(new java.util.concurrent.Callable[Seq[String] => DataFrame => DataFrame] {
+              def call(): Seq[String] => DataFrame => DataFrame =
+                fitAll(cached.filter(col("fold") =!= f).drop("fold"))
+            })
+          }
+          futs.map(f =>
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+        } finally pool.shutdown()
+      // candidates still score CONCURRENTLY (one action per k over the
+      // shared persisted frame — a single all-k union action was
+      // measured ~0.5 s slower at fixture scale than the overlapped
+      // per-k actions, despite fewer jobs); the win kept here is the
+      // 6 fit collects folded into `folds`
+      val kPool = graft.Pools.newPool(ks.length)
+      val scored =
+        try {
+          val futs = ks.map { k =>
+            kPool.submit(new java.util.concurrent.Callable[(Int, Double)] {
+              def call(): (Int, Double) = {
+                val perFold = (0 until folds).map { f =>
+                  val test = cached.filter(col("fold") === f).drop("fold")
+                  score(predictors(f)(colsFor(k))(test))
+                }.reduce(_ unionByName _)
+                k -> perFold.agg(avg(col(metric))).head().getDouble(0)
+              }
+            })
+          }
+          futs.map(f =>
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+        } finally kPool.shutdown()
+      scored.sortBy(-_._2)
+    } finally cached.unpersist()
+  }
+
   /** The candidate-scan/CV/leaderboard loop of [[tuneReduction]],
     * decoupled from the PCA step: score `colsFor(k)` for each k by
     * era-fold CV of the supplied fitter, return the leaderboard

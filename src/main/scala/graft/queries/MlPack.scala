@@ -254,9 +254,14 @@ object MlPack extends QueryPack {
   def qReductionTuneOls(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.ml.{Reduction, Scoring}
-    val lb = Reduction.tuneOverKs(featureFrame(s, d), k => featCols.take(k),
+    // shared-fit nested scan (r18): one OLS aggregate per fold serves
+    // all three k prefixes, one action collects the leaderboard —
+    // identical values to the per-candidate tuneOverKs loop
+    // (SelectionSpec pins the leaderboards equal)
+    val lb = Reduction.tuneOverKsSharedFit(featureFrame(s, d),
+      k => featCols.take(k),
       Seq(2, 4, 6), "era", 2,
-      pcs => olsFitter(pcs, "target"),
+      pcs => olsFitterNested(pcs, "target"),
       sc => Scoring.scores(sc, col("era"), col("pred"), col("target"),
         9.0, col("vec_id")))
     lb.sortBy(_._1)
@@ -525,6 +530,30 @@ object MlPack extends QueryPack {
         acc + lit(num(s"b_$f")) * (col(f) - lit(num(s"mx_$f")))))
   }
 
+  /** [[olsFitter]] for NESTED candidate scans
+    * ([[graft.ml.Reduction.tuneOverKsSharedFit]]): each feature's
+    * beta/mean is univariate — independent of which other features are
+    * in the model — so ONE train aggregate over the full feature list
+    * serves every prefix. The returned per-subset predictor folds the
+    * same literals in the same left-to-right order as [[olsFitter]]
+    * (each aggregate expression accumulates independently of its
+    * siblings, so the collected values are the per-subset fits'). */
+  def olsFitterNested(feats: Seq[String], target: String)
+                     (train: DataFrame): Seq[String] => DataFrame => DataFrame = {
+    val aggs = feats.flatMap(f => Seq(
+      (covar_samp(col(f), col(target)) / var_samp(col(f))).as(s"b_$f"),
+      avg(col(f)).as(s"mx_$f"))) :+ avg(col(target)).as("my")
+    val r = train.agg(aggs.head, aggs.tail: _*).head()
+    def num(name: String): Double = {
+      val v = r.getAs[java.lang.Double](name)
+      if (v == null) 0.0 else v.doubleValue()
+    }
+    val my = num("my")
+    subset => test => test.withColumn("pred",
+      subset.foldLeft(lit(my): org.apache.spark.sql.Column)((acc, f) =>
+        acc + lit(num(s"b_$f")) * (col(f) - lit(num(s"mx_$f")))))
+  }
+
   /** M12 — `tune_reduction_dask` (`tuners.py:149-252`, `:255-373`) as a
     * driver query: PCA component-count grid, each k fit on a
     * deterministic head sample, the projected data scored by 2-fold
@@ -536,10 +565,19 @@ object MlPack extends QueryPack {
   def qReductionTune(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.ml.{Reduction, Scoring}
-    val lb = Reduction.tuneReduction(featureFrame(s, d), featCols, "era",
-      ks = Seq(2, 4, 6), nFit = 500, orderCol = "vec_id", folds = 2,
-      fitterFor = pcs => olsFitter(pcs, "target"),
-      score = sc => Scoring.scores(sc, col("era"), col("pred"), col("target"),
+    // PCA components are nested (tuneReduction's one-fit-at-max(ks)
+    // argument), and the additive-OLS fitter's per-component stats are
+    // subset-independent — so the whole scan rides the shared-fit
+    // nested loop: one PCA fit, one OLS aggregate per fold, one
+    // leaderboard action (r18; was a fit per (k, fold) plus a collect
+    // per k)
+    val (reduced, _) = Reduction.pcaFitTransformOnHead(featureFrame(s, d),
+      featCols, Seq(2, 4, 6).max, nFit = 500, orderCol = "vec_id")
+    val lb = Reduction.tuneOverKsSharedFit(reduced,
+      k => (0 until k).map(i => s"pc_$i"),
+      Seq(2, 4, 6), "era", 2,
+      pcs => olsFitterNested(pcs, "target"),
+      sc => Scoring.scores(sc, col("era"), col("pred"), col("target"),
         9.0, col("vec_id")))
     // sort by k, not tuneReduction's score-descending order: raw
     // double score ties would make row order float-boundary-unstable

@@ -44,6 +44,23 @@ class ReductionSpec extends AnyFunSuite {
     assert(lb.map(_._2) == lb.map(_._2).sorted.reverse)
   }
 
+  test("shared-fit nested scan equals the per-candidate tuneOverKs loop") {
+    // the r18 job-merge behind q_reduction_tune(_ols): one OLS
+    // aggregate per fold + one leaderboard action must produce the
+    // SAME leaderboard (values and order) as the per-(k, fold) loop
+    import graft.queries.MlPack
+    val score = (sc: org.apache.spark.sql.DataFrame) =>
+      Scoring.scores(sc, col("era"), col("pred"), col("target"),
+        9.0, col("vec_id"))
+    val perCandidate = Reduction.tuneOverKs(df, k => featCols.take(k),
+      Seq(2, 4, 6), "era", 2,
+      pcs => MlPack.olsFitter(pcs, "target"), score)
+    val shared = Reduction.tuneOverKsSharedFit(df, k => featCols.take(k),
+      Seq(2, 4, 6), "era", 2,
+      pcs => MlPack.olsFitterNested(pcs, "target"), score)
+    assert(shared == perCandidate)
+  }
+
   test("q_reduction_tune: one leaderboard row per k, finite scores, deterministic") {
     val lb = graft.queries.MlPack.qReductionTune(spark, TestSpark.sf).collect()
     assert(lb.length == 3) // ks = 2, 4, 6
