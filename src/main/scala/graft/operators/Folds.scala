@@ -200,11 +200,25 @@ object Folds {
     val wKey = Window.partitionBy(col(eraCol))
       .orderBy((orderKey +: ids).map(_.asc): _*)
     val keep = df.columns.filterNot(_ == valueCol).map(col)
-    val a = df.withColumn("graft_rn", row_number().over(wId))
-      .select((keep :+ col("graft_rn")): _*)
-    val b = df.withColumn("graft_rn", row_number().over(wKey))
-      .select(col(eraCol).as("graft_era_b"), col("graft_rn").as("graft_rn_b"),
-        col(valueCol))
+    // BOTH rankings ride ONE era exchange (r18, guide §2.4): the two
+    // windows share hashpartitioning(era), so computing them as two
+    // columns of one frame exchanges the input once (plus an
+    // in-partition re-sort for the second ordering) instead of once
+    // per ordering — and the persisted ranked base lets the
+    // positional self-join's two sides read it instead of re-running
+    // a window each (differently-pruned projections defeat exchange
+    // reuse otherwise). Ranks are unchanged: each row_number sees the
+    // same per-era row set and the same deterministic tie-broken
+    // order. KNOWN BOUNDED LEAK (the permuteWithinEraTwoPass
+    // contract): the returned frame is lazy, so there is no safe
+    // unpersist point here; the harness clears the cache per query.
+    val ranked = df
+      .withColumn("graft_rn", row_number().over(wId))
+      .withColumn("graft_rn_b", row_number().over(wKey))
+      .persist()
+    val a = ranked.select((keep :+ col("graft_rn")): _*)
+    val b = ranked.select(col(eraCol).as("graft_era_b"),
+      col("graft_rn_b"), col(valueCol))
     a.join(b, a(eraCol) === col("graft_era_b") &&
         col("graft_rn") === col("graft_rn_b"))
       .drop("graft_rn", "graft_rn_b", "graft_era_b")
